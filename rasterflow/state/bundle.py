@@ -1,0 +1,195 @@
+"""PolygonBundle — the broadcast small side of every spatial join.
+
+Packs, for one (layer, canvas grid) pair, everything a join actor needs:
+
+- the layer's flat CSR vertex arrays (for exact PIP refinement),
+- ``cand``   CSR: cell -> polygons whose shape intersects the cell (the exact
+  CPU grid index of the reference, ``CPUJoin/GridIndexF.cpp:60-155``),
+- ``cover``  CSR: cell -> polygons whose rasterization covers the cell center
+  (the GL fill rule; multi-valued, preserving the reference's multi-cover
+  raster semantics, SURVEY.md §2.7.4),
+- ``border`` mask: any polygon outline cell, dilated by 1 cell (the 3×3
+  ``isBorder`` test of ``shaders/hybrid.glsl:174-185`` /
+  ``HybridJoin::drawOutline``),
+- per-(border-cell, poly) area fractions, built lazily for error bounds.
+
+The bundle is a plain dict of numpy arrays: built once on the driver (pure
+function of (layer, grid) — cacheable), shipped once via ``ray.put``, pinned
+per actor in ``__init__``.  CSR lookup over sparse cell keys uses
+``np.searchsorted`` on the sorted unique cell-id array, so batch lookups stay
+fully vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..geom.cells import Grid
+from ..geom.polyio import PolygonLayer
+from ..geom.projection import accuracy_to_cell_size
+from ..geom.rasterize import area_fraction_inside, classify_polygon_cells, dilate_cells
+
+
+def _pairs_to_csr(cells: np.ndarray, polys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(cell, poly) pairs -> (sorted unique cells, indptr, poly_ids)."""
+    if len(cells) == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.zeros(1, dtype=np.int64),
+            np.empty(0, dtype=np.int32),
+        )
+    order = np.lexsort((polys, cells))
+    cells = cells[order]
+    polys = polys[order]
+    ucells, counts = np.unique(cells, return_counts=True)
+    indptr = np.concatenate(([0], np.cumsum(counts)))
+    return ucells, indptr.astype(np.int64), polys.astype(np.int32)
+
+
+class CsrLookup:
+    """Sparse cell -> polygon-list map with vectorized batch expansion."""
+
+    __slots__ = ("keys", "indptr", "values")
+
+    def __init__(self, keys: np.ndarray, indptr: np.ndarray, values: np.ndarray):
+        self.keys = keys
+        self.indptr = indptr
+        self.values = values
+
+    def expand(self, lin: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """For query cells ``lin`` (one per point) return candidate pairs
+        ``(point_idx, poly_id)`` — fully vectorized."""
+        if len(lin) == 0 or len(self.keys) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+        pos = np.searchsorted(self.keys, lin)
+        pos_c = np.clip(pos, 0, len(self.keys) - 1)
+        hit = self.keys[pos_c] == lin
+        starts = self.indptr[pos_c]
+        counts = np.where(hit, self.indptr[pos_c + 1] - starts, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+        point_idx = np.repeat(np.arange(len(lin), dtype=np.int64), counts)
+        # offsets within each point's candidate run
+        run_ends = np.cumsum(counts)
+        run_starts = run_ends - counts
+        within = np.arange(total, dtype=np.int64) - np.repeat(run_starts, counts)
+        val_idx = np.repeat(starts, counts) + within
+        return point_idx, self.values[val_idx]
+
+
+class PolygonBundle:
+    """Immutable broadcastable join state for one (layer, grid)."""
+
+    def __init__(self, layer: PolygonLayer, grid: Grid, build_area_fractions: bool = False):
+        self.layer_name = layer.name
+        self.grid = grid
+        self.npolys = layer.npolys
+        self.verts = np.ascontiguousarray(layer.verts)
+        self.ring_offsets = np.ascontiguousarray(layer.ring_offsets)
+        self.poly_ring_offsets = np.ascontiguousarray(layer.poly_ring_offsets)
+
+        cand_cells, cand_polys = [], []
+        cover_cells, cover_polys = [], []
+        outline_cells_all = []
+        for p in range(layer.npolys):
+            ro = layer.rings_of(p)
+            outline, cover, _full = classify_polygon_cells(self.verts, ro, grid)
+            # exact candidate set = every cell the polygon intersects:
+            # boundary cells plus center-covered cells (a non-outline covered
+            # cell is fully inside).
+            cand = np.union1d(outline, cover)
+            cand_cells.append(cand)
+            cand_polys.append(np.full(len(cand), p, dtype=np.int32))
+            cover_cells.append(cover)
+            cover_polys.append(np.full(len(cover), p, dtype=np.int32))
+            outline_cells_all.append(outline)
+
+        self.cand = CsrLookup(
+            *_pairs_to_csr(
+                np.concatenate(cand_cells) if cand_cells else np.empty(0, np.int64),
+                np.concatenate(cand_polys) if cand_polys else np.empty(0, np.int32),
+            )
+        )
+        self.cover = CsrLookup(
+            *_pairs_to_csr(
+                np.concatenate(cover_cells) if cover_cells else np.empty(0, np.int64),
+                np.concatenate(cover_polys) if cover_polys else np.empty(0, np.int32),
+            )
+        )
+        outline_all = (
+            np.unique(np.concatenate(outline_cells_all))
+            if outline_cells_all
+            else np.empty(0, dtype=np.int64)
+        )
+        # border = outline dilated by one cell (3×3 neighborhood), sorted
+        self.border_cells = dilate_cells(outline_all, grid, r=1)
+        self._outline_all = outline_all
+        self._area_frac: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        if build_area_fractions:
+            self.build_area_fractions()
+
+    # ---- border membership (sorted-array membership, vectorized) ----
+    def is_border(self, lin: np.ndarray) -> np.ndarray:
+        if len(self.border_cells) == 0:
+            return np.zeros(len(lin), dtype=bool)
+        pos = np.searchsorted(self.border_cells, lin)
+        pos_c = np.clip(pos, 0, len(self.border_cells) - 1)
+        return self.border_cells[pos_c] == lin
+
+    def build_area_fractions(self, subsamples: int = 8) -> None:
+        """Per polygon: its outline cells + area fraction inside (for J4)."""
+        from ..geom.polyio import PolygonLayer as _PL  # noqa: F401 (doc aid)
+
+        for p in range(self.npolys):
+            ro = self.ring_offsets[self.poly_ring_offsets[p] : self.poly_ring_offsets[p + 1] + 1]
+            outline, _cover, _full = classify_polygon_cells(self.verts, ro, self.grid)
+            frac = area_fraction_inside(self.verts, ro, self.grid, outline, subsamples=subsamples)
+            self._area_frac[p] = (outline, frac)
+
+    @property
+    def area_fractions(self) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+        if not self._area_frac and self.npolys:
+            self.build_area_fractions()
+        return self._area_frac
+
+    def rings_of(self, poly_id: int) -> np.ndarray:
+        r0 = self.poly_ring_offsets[poly_id]
+        r1 = self.poly_ring_offsets[poly_id + 1]
+        return self.ring_offsets[r0 : r1 + 1]
+
+
+_BUNDLE_CACHE: dict[tuple, PolygonBundle] = {}
+
+
+def build_bundle(
+    layer: PolygonLayer,
+    accuracy_m: float | None = None,
+    cell_size: float | None = None,
+    max_cells_per_dim: int = 4096,
+    build_area_fractions: bool = False,
+) -> PolygonBundle:
+    """Build (or fetch cached) the bundle for a layer at a raster resolution.
+
+    ``accuracy_m`` follows the reference's ε contract: cell size =
+    (ε/√2)/groundRes (``GLFunction.cpp:26-30``).  The canvas covers the layer
+    bbox, capped at ``max_cells_per_dim`` per side (the analogue of
+    MAX_FBO_SIZE 8192, ``join/GLFunction.hpp:14`` — instead of tiling passes we
+    coarsen, since our error contract only needs the *requested* cell size when
+    it is achievable).
+    """
+    xmin, ymin, xmax, ymax = layer.bounds
+    if cell_size is None:
+        if accuracy_m is None:
+            raise ValueError("pass accuracy_m or cell_size")
+        cell_size = accuracy_to_cell_size(accuracy_m)
+    w = max(xmax - xmin, ymax - ymin)
+    min_cell = w / max_cells_per_dim
+    cell_size = max(float(cell_size), float(min_cell))
+    key = (layer.content_hash(), round(cell_size, 12), build_area_fractions)
+    b = _BUNDLE_CACHE.get(key)
+    if b is None:
+        grid = Grid.from_bounds(xmin, ymin, xmax, ymax, cell_size)
+        b = PolygonBundle(layer, grid, build_area_fractions=build_area_fractions)
+        _BUNDLE_CACHE[key] = b
+    return b
