@@ -71,6 +71,8 @@ class PolygonLayer:
 
     @property
     def bounds(self) -> tuple[float, float, float, float]:
+        if self.npolys == 0:
+            return (0.0, 0.0, 1.0, 1.0)
         m = self.mbrs
         return (
             float(m[:, 0].min()),

@@ -1,0 +1,60 @@
+"""Per-cell histograms / canvas aggregation (A3: the canvas as data).
+
+The reference's canvas is a dense per-cell ``(count, sum)`` accumulator
+(``RasterJoin/join/RasterJoin.cpp:51-78``).  Here it is a two-stage
+aggregation: a vectorized per-batch ``np.bincount`` partial (one row per
+touched cell per batch) followed by a small ``groupby("cell_id").sum`` over
+the partials — the canonical partial→final split (SURVEY.md §2.5 A3) that
+avoids shuffling raw rows and neutralizes hot-cell skew (a hot cell collapses
+to one partial row per batch regardless of its point count).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data.aggregate import Sum
+
+from ..geom.cells import Grid, encode_cells
+
+
+def cell_histogram_grid(points_ds, grid: Grid, value_col: str | None = None, sort: bool = True):
+    """Counts (and optional sums) per local-grid cell (linearized ids)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        lin, valid = grid.locate_linear(x, y)
+        lin = lin[valid]
+        cells, counts = np.unique(lin, return_counts=True)
+        cols = {"cell_id": cells, "n": counts.astype(np.int64)}
+        if value_col is not None:
+            v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)[valid]
+            order = np.argsort(lin, kind="stable")
+            sums = np.add.reduceat(v[order], np.concatenate(([0], np.cumsum(counts)[:-1])))
+            cols["val_sum"] = sums
+        return pa.table(cols)
+
+    partials = points_ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum("n", alias_name="n")]
+    if value_col is not None:
+        aggs.append(Sum("val_sum", alias_name="val_sum"))
+    out = partials.groupby("cell_id").aggregate(*aggs)
+    return out.sort("cell_id") if sort else out
+
+
+def cell_histogram_global(points_ds, res: int, x_col: str = "x", y_col: str = "y", sort: bool = True):
+    """Counts per global hierarchical cell id at resolution ``res`` (M7/T5
+    analogue — the engine's tile-assignment histogram)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = encode_cells(x, y, res)
+        cells, counts = np.unique(ids, return_counts=True)
+        return pa.table({"cell_id": cells, "n": counts.astype(np.int64)})
+
+    out = points_ds.map_batches(partial, batch_format="pyarrow").groupby("cell_id").aggregate(
+        Sum("n", alias_name="n")
+    )
+    return out.sort("cell_id") if sort else out

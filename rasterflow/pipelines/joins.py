@@ -1,0 +1,369 @@
+"""Spatial point-in-polygon joins fused with per-polygon aggregation.
+
+Ray-Data-native re-expression of the reference's four join strategies
+(SURVEY.md §2.4) as **actor-pool map_batches stages emitting per-batch partial
+aggregates**, followed by a tiny ``groupby("poly_id")`` reduce:
+
+- ``raster``  (J1, ``join/RasterJoin.cpp:196-260``): approximate with bounded
+  error ε — a point contributes to every polygon whose rasterization covers
+  its cell (multi-cover, SURVEY §2.7.4); error ≤ cell diagonal = ε.
+- ``index``   (J2, ``join/IndexJoin.cpp:52-166``): exact — per-cell candidate
+  lists + even-odd PIP refinement.  The accuracy oracle.
+- ``hybrid``  (J3, ``join/HybridJoin.cpp:339-391``): exact — cover-list fast
+  path on non-border cells, PIP refinement only on border cells.
+- ``bounds``  (J4, ``join/RasterJoinBounds.cpp:306-397``): raster + guaranteed
+  and estimated error bounds from per-outline-cell counters.
+
+Scale notes (100 TB design): the polygon bundle is broadcast once via
+``ray.put`` and pinned per actor in ``__init__`` (the GL-context analogue); the
+per-batch partial collapses each batch to ≤ npolys rows, so the only shuffle is
+the final groupby over (batches × touched polys) tiny partials — there is no
+global cell_id exchange and hot (skewed) cells cost nothing beyond their local
+batch.  The reference's manual multi-pass GPU buffering (``noPtPasses``,
+``GLFunction.cpp:330-337``) is replaced by streaming-executor backpressure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data.aggregate import Sum
+
+from ..geom.pip import pip_pairs
+from ..state.bundle import PolygonBundle, build_bundle
+
+_STRATEGIES = ("raster", "index", "hybrid")
+
+
+def _get_bundle(bundle_or_ref) -> PolygonBundle:
+    if isinstance(bundle_or_ref, ray.ObjectRef):
+        return ray.get(bundle_or_ref)
+    return bundle_or_ref
+
+
+class SpatialJoinAgg:
+    """Actor-pool stage: point batch -> per-batch partial per-polygon aggregates.
+
+    Emits ``(poly_id, count [, sum])`` rows for polygons touched by the batch.
+    """
+
+    def __init__(self, bundle, how: str = "hybrid", value_col: str | None = None, fixed_point: bool = False):
+        if how not in _STRATEGIES:
+            raise ValueError(f"how must be one of {_STRATEGIES}")
+        self.b = _get_bundle(bundle)
+        self.how = how
+        self.value_col = value_col
+        self.fixed_point = fixed_point
+
+    def _match_pairs(self, x, y, lin) -> tuple[np.ndarray, np.ndarray]:
+        """(point_idx, poly_id) matched pairs under the strategy's semantics."""
+        b = self.b
+        if self.how == "raster":
+            return b.cover.expand(lin)
+        if self.how == "index":
+            pts, pl = b.cand.expand(lin)
+            m = pip_pairs(x, y, pts, pl, b.verts, b.ring_offsets, b.poly_ring_offsets)
+            return pts[m], pl[m]
+        # hybrid: exact, border cells refined, interior via cover lookup
+        is_b = b.is_border(lin)
+        idx_border = np.flatnonzero(is_b)
+        idx_int = np.flatnonzero(~is_b)
+        pts_i, pl_i = b.cover.expand(lin[idx_int])
+        pts_b, pl_b = b.cand.expand(lin[idx_border])
+        m = pip_pairs(x[idx_border], y[idx_border], pts_b, pl_b, b.verts, b.ring_offsets, b.poly_ring_offsets)
+        return (
+            np.concatenate([idx_int[pts_i], idx_border[pts_b[m]]]),
+            np.concatenate([pl_i, pl_b[m]]),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b = self.b
+        x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        lin, valid = b.grid.locate_linear(x, y)
+        if not valid.all():
+            x, y, lin = x[valid], y[valid], lin[valid]
+        pts, pl = self._match_pairs(x, y, lin)
+        counts = np.bincount(pl, minlength=b.npolys).astype(np.int64)
+        cols: dict[str, np.ndarray] = {}
+        touched = np.flatnonzero(counts)
+        cols["poly_id"] = touched.astype(np.int32)
+        cols["count"] = counts[touched]
+        if self.value_col is not None:
+            v = batch.column(self.value_col).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            if not valid.all():
+                v = v[valid]
+            if self.fixed_point:
+                # conformance plane: the reference's fixed-point AVG encoding
+                # (shaders/points.vert:152-155, decode main.cpp:206-208):
+                # hi = trunc(v)/100 int-div, lo = (v - 100*hi)*10 truncated.
+                hi = np.trunc(v).astype(np.int64) // 100
+                lo = ((v - 100.0 * hi) * 10.0).astype(np.int64)
+                sh = np.bincount(pl, weights=hi[pts].astype(np.float64), minlength=b.npolys)
+                sl = np.bincount(pl, weights=lo[pts].astype(np.float64), minlength=b.npolys)
+                cols["sum_hi"] = sh[touched].astype(np.int64)
+                cols["sum_lo"] = sl[touched].astype(np.int64)
+            else:
+                s = np.bincount(pl, weights=v[pts], minlength=b.npolys)
+                cols["sum"] = s[touched]
+        return pa.table(cols)
+
+
+class SpatialJoinRows:
+    """Actor-pool stage materializing the join output rows ``(id, poly_id)``
+    (the reference never materializes pairs — BASELINE.json requires it)."""
+
+    def __init__(self, bundle, how: str = "index", id_col: str = "url", keep_cols: tuple[str, ...] = ()):
+        if how not in _STRATEGIES:
+            raise ValueError(f"how must be one of {_STRATEGIES}")
+        self.b = _get_bundle(bundle)
+        self.how = how
+        self.id_col = id_col
+        self.keep_cols = keep_cols
+        self._agg = SpatialJoinAgg.__new__(SpatialJoinAgg)
+        self._agg.b = self.b
+        self._agg.how = how
+        self._agg.value_col = None
+        self._agg.fixed_point = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b = self.b
+        x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        lin, valid = b.grid.locate_linear(x, y)
+        vidx = np.flatnonzero(valid)
+        x, y, lin = x[vidx], y[vidx], lin[vidx]
+        pts, pl = self._agg._match_pairs(x, y, lin)
+        src = vidx[pts]
+        cols = {self.id_col: batch.column(self.id_col).take(pa.array(src))}
+        cols["poly_id"] = pa.array(pl.astype(np.int32))
+        for c in self.keep_cols:
+            cols[c] = batch.column(c).take(pa.array(src))
+        return pa.table(cols)
+
+
+class RasterBoundsAgg:
+    """J4: raster partials + error-bound counters per polygon.
+
+    Per batch emits ``(poly_id, count, fp_all, fn_all, fp_est, fn_est)``;
+    after the groupby reduce, guaranteed bounds are
+    ``[count - fp_all, count + fn_all]`` and estimated bounds
+    ``[count - fp_est, count + fn_est]`` — uncertainty only arises in cells
+    crossed by the polygon's own outline (``shaders/line-bound.frag:219-260``).
+    """
+
+    def __init__(self, bundle):
+        b = _get_bundle(bundle)
+        self.b = b
+        # flat (cell * npolys + poly) -> area fraction over outline cells
+        keys, fracs = [], []
+        for p, (cells, frac) in b.area_fractions.items():
+            keys.append(cells * np.int64(b.npolys) + p)
+            fracs.append(frac)
+        if keys:
+            k = np.concatenate(keys)
+            f = np.concatenate(fracs)
+            order = np.argsort(k)
+            self.outline_keys = k[order]
+            self.outline_frac = f[order]
+        else:
+            self.outline_keys = np.empty(0, dtype=np.int64)
+            self.outline_frac = np.empty(0, dtype=np.float64)
+        # sorted cover membership keys for assigned tests
+        ck = []
+        cov = b.cover
+        for i in range(len(cov.keys)):
+            cell = cov.keys[i]
+            for v in cov.values[cov.indptr[i] : cov.indptr[i + 1]]:
+                ck.append(cell * b.npolys + v)
+        self.cover_keys = np.sort(np.asarray(ck, dtype=np.int64))
+
+    def _member(self, sorted_keys: np.ndarray, q: np.ndarray) -> np.ndarray:
+        if len(sorted_keys) == 0:
+            return np.zeros(len(q), dtype=bool)
+        pos = np.clip(np.searchsorted(sorted_keys, q), 0, len(sorted_keys) - 1)
+        return sorted_keys[pos] == q
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b = self.b
+        x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        lin, valid = b.grid.locate_linear(x, y)
+        x, y, lin = x[valid], y[valid], lin[valid]
+        # raster counts
+        _, pl_cov = b.cover.expand(lin)
+        counts = np.bincount(pl_cov, minlength=b.npolys).astype(np.int64)
+        # uncertainty counters over the polygon's own outline cells
+        pts, pl = b.cand.expand(lin)
+        key = lin[pts] * np.int64(b.npolys) + pl
+        on_outline = self._member(self.outline_keys, key)
+        keyo = key[on_outline]
+        plo = pl[on_outline]
+        assigned = self._member(self.cover_keys, keyo)
+        pos = np.clip(np.searchsorted(self.outline_keys, keyo), 0, max(0, len(self.outline_keys) - 1))
+        frac = self.outline_frac[pos] if len(self.outline_keys) else np.zeros(0)
+        fp_all = np.bincount(plo[assigned], minlength=b.npolys).astype(np.int64)
+        fn_all = np.bincount(plo[~assigned], minlength=b.npolys).astype(np.int64)
+        fp_est = np.bincount(plo[assigned], weights=(1.0 - frac[assigned]), minlength=b.npolys)
+        fn_est = np.bincount(plo[~assigned], weights=frac[~assigned], minlength=b.npolys)
+        touched = np.flatnonzero(counts | fp_all | fn_all)
+        return pa.table(
+            {
+                "poly_id": touched.astype(np.int32),
+                "count": counts[touched],
+                "fp_all": fp_all[touched],
+                "fn_all": fn_all[touched],
+                "fp_est": fp_est[touched],
+                "fn_est": fn_est[touched],
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# public pipeline entry points
+# ---------------------------------------------------------------------------
+
+
+def _bundle_ref(layer_or_bundle, accuracy_m, cell_size, max_cover_cells, area_fractions=False):
+    if isinstance(layer_or_bundle, (PolygonBundle, ray.ObjectRef)):
+        b = layer_or_bundle
+    else:
+        b = build_bundle(
+            layer_or_bundle,
+            accuracy_m=accuracy_m,
+            cell_size=cell_size,
+            max_cover_cells=max_cover_cells,
+            build_area_fractions=area_fractions,
+        )
+    if isinstance(b, PolygonBundle) and ray.is_initialized():
+        return ray.put(b)
+    return b
+
+
+def aggregate_by_polygon(
+    points_ds,
+    layer_or_bundle,
+    how: str = "hybrid",
+    value_col: str | None = None,
+    agg: str = "count",
+    accuracy_m: float = 100.0,
+    cell_size: float | None = None,
+    max_cover_cells: int = 32_000_000,
+    fixed_point: bool = False,
+    concurrency=(1, 8),
+    batch_size: int = 65536,
+    sort: bool = True,
+):
+    """Per-polygon COUNT / AVG / SUM of points under a join strategy.
+
+    Returns a Dataset with columns ``poly_id, count`` plus ``sum``/``avg``
+    when ``value_col`` is given (column names stable for the oracle compare).
+    """
+    if how not in _STRATEGIES:
+        raise ValueError(f"how must be one of {_STRATEGIES}, got {how!r}")
+    ref = _bundle_ref(layer_or_bundle, accuracy_m, cell_size, max_cover_cells)
+    kwargs = dict(fn_constructor_kwargs=dict(bundle=ref, how=how, value_col=value_col, fixed_point=fixed_point))
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    partials = points_ds.map_batches(
+        SpatialJoinAgg, batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kwargs
+    )
+    aggs = [Sum("count", alias_name="count")]
+    if value_col is not None:
+        if fixed_point:
+            aggs += [Sum("sum_hi", alias_name="sum_hi"), Sum("sum_lo", alias_name="sum_lo")]
+        else:
+            aggs += [Sum("sum", alias_name="sum")]
+    out = partials.groupby("poly_id").aggregate(*aggs)
+
+    if value_col is not None and agg == "avg":
+
+        def add_avg(t: pa.Table) -> pa.Table:
+            c = t.column("count").to_numpy(zero_copy_only=False).astype(np.float64)
+            if fixed_point:
+                hi = t.column("sum_hi").to_numpy(zero_copy_only=False).astype(np.float64)
+                lo = t.column("sum_lo").to_numpy(zero_copy_only=False).astype(np.float64)
+                val = hi * 100.0 + lo / 10.0  # decode, main.cpp:206-208
+            else:
+                val = t.column("sum").to_numpy(zero_copy_only=False)
+            avg = np.where(c > 0, val / np.maximum(c, 1.0), 0.0)
+            return pa.table(
+                {"poly_id": t.column("poly_id"), "count": t.column("count"), "avg": pa.array(avg)}
+            )
+
+        out = out.map_batches(add_avg, batch_format="pyarrow")
+    if sort:
+        out = out.sort("poly_id")
+    return out
+
+
+def spatial_join(
+    points_ds,
+    layer_or_bundle,
+    how: str = "index",
+    id_col: str = "url",
+    keep_cols: tuple[str, ...] = (),
+    accuracy_m: float = 100.0,
+    cell_size: float | None = None,
+    max_cover_cells: int = 32_000_000,
+    concurrency=(1, 8),
+    batch_size: int = 65536,
+):
+    """Materialized join rows ``(id_col, poly_id [, keep_cols...])``."""
+    if how not in _STRATEGIES:
+        raise ValueError(f"how must be one of {_STRATEGIES}, got {how!r}")
+    ref = _bundle_ref(layer_or_bundle, accuracy_m, cell_size, max_cover_cells)
+    kwargs = dict(
+        fn_constructor_kwargs=dict(bundle=ref, how=how, id_col=id_col, keep_cols=keep_cols)
+    )
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return points_ds.map_batches(
+        SpatialJoinRows, batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kwargs
+    )
+
+
+def aggregate_with_bounds(
+    points_ds,
+    layer_or_bundle,
+    accuracy_m: float = 100.0,
+    cell_size: float | None = None,
+    max_cover_cells: int = 32_000_000,
+    concurrency=(1, 8),
+    batch_size: int = 65536,
+):
+    """J4: raster aggregate + guaranteed/estimated error bounds.
+
+    Output: ``poly_id, agg, lb_guar, ub_guar, lb_est, ub_est`` (the S7 CSV
+    schema, ``RasterJoin/main.cpp:178-193``).
+    """
+    ref = _bundle_ref(layer_or_bundle, accuracy_m, cell_size, max_cover_cells, area_fractions=True)
+    kwargs = dict(fn_constructor_kwargs=dict(bundle=ref))
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    partials = points_ds.map_batches(
+        RasterBoundsAgg, batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kwargs
+    )
+    red = partials.groupby("poly_id").aggregate(
+        Sum("count", alias_name="count"),
+        Sum("fp_all", alias_name="fp_all"),
+        Sum("fn_all", alias_name="fn_all"),
+        Sum("fp_est", alias_name="fp_est"),
+        Sum("fn_est", alias_name="fn_est"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t.column("count").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "poly_id": t.column("poly_id"),
+                "agg": t.column("count"),
+                "lb_guar": pa.array(c - t.column("fp_all").to_numpy(zero_copy_only=False)),
+                "ub_guar": pa.array(c + t.column("fn_all").to_numpy(zero_copy_only=False)),
+                "lb_est": pa.array(c - t.column("fp_est").to_numpy(zero_copy_only=False)),
+                "ub_est": pa.array(c + t.column("fn_est").to_numpy(zero_copy_only=False)),
+            }
+        )
+
+    return red.map_batches(finish, batch_format="pyarrow").sort("poly_id")

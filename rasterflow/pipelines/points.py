@@ -1,0 +1,132 @@
+"""Oracle-plane point derivation: driver testdata tables -> spatial points.
+
+The driver's correctness gate compares Ray pipelines against DuckDB SQL over
+the same parquet tables (``__ray_entry__.py``).  SQL cannot reproduce the
+engine's Web-Mercator trig bit-for-bit, so the oracle-facing spatial queries
+run in the raw **lat/lon plane**: points are geocoded from ``doc_id`` with the
+same pure integer-hash arithmetic as the pages fixture
+(:mod:`rasterflow.sources.fixtures`), polygons are defined in lat/lon, and the
+PIP/knn/cell arithmetic uses identical float64 expression shapes on both sides
+so results hash-match.  The Mercator plane is exercised by the in-repo pytest
+oracles instead (tests/test_joins.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom.polyio import PolygonLayer, rect_layer
+from ..sources.fixtures import CLUSTER_HALF, CLUSTER_LAT, CLUSTER_LON, geo_from_id
+
+
+def add_geo(batch: pa.Table) -> pa.Table:
+    """documents batch -> + (x=lon, y=lat) columns from doc_id hash."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    lat, lon = geo_from_id(ids)
+    return batch.append_column("x", pa.array(lon)).append_column("y", pa.array(lat))
+
+
+def documents_points(sf_dir: str, columns: tuple[str, ...] = ("doc_id", "n_chars", "lang")):
+    """Dataset of oracle-plane points derived from the documents table.
+
+    Columns are pruned at the read (SURVEY.md 'prune at the read')."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return ds.map_batches(add_geo, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Oracle polygon layers (lat/lon plane, hard-coded floats so the same literals
+# appear in the generated SQL)
+# ---------------------------------------------------------------------------
+
+# Rectangles: one around each hot-spot cluster + two background boxes.
+ORACLE_RECTS = [
+    # (xmin=lon_min, ymin=lat_min, xmax=lon_max, ymax=lat_max)
+    (-74.35, 40.35, -73.65, 41.05),   # NYC cluster
+    (-118.60, 33.70, -117.90, 34.40), # LA cluster
+    (-87.98, 41.53, -87.28, 42.23),   # Chicago cluster
+    (-110.0, 30.0, -95.0, 45.0),      # big background box
+    (-124.0, 25.0, -120.0, 49.0),     # west strip
+]
+
+# Irregular polygons (lon, lat rings) for the parity-SQL exact-PIP oracle.
+ORACLE_POLYS = [
+    [(-74.3, 40.4), (-73.7, 40.45), (-73.75, 41.0), (-74.2, 40.9)],          # NYC quad
+    [(-118.5, 33.8), (-117.95, 34.0), (-118.1, 34.35), (-118.45, 34.3)],     # LA quad
+    [(-88.0, 41.6), (-87.3, 41.7), (-87.5, 42.2), (-87.9, 42.1), (-88.05, 41.9)],  # Chicago pentagon
+    [(-105.0, 32.0), (-95.0, 33.5), (-97.0, 43.0), (-107.0, 41.0)],          # big background quad
+]
+
+
+def oracle_rect_layer() -> PolygonLayer:
+    return rect_layer("oracle_rects", np.asarray(ORACLE_RECTS, dtype=np.float64))
+
+
+def oracle_poly_layer() -> PolygonLayer:
+    return PolygonLayer.from_rings(
+        "oracle_polys",
+        [[np.asarray(p, dtype=np.float64)] for p in ORACLE_POLYS],
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL fragments shared by the oracle queries
+# ---------------------------------------------------------------------------
+
+# geocode CTE: bit-identical to fixtures.geo_from_id (pure int/float64 ops)
+GEO_CTE = """
+geo AS (
+  SELECT doc_id, n_chars, lang,
+    CASE WHEN h1 % 100 < 80 THEN
+      (CASE h2 % 3 WHEN 0 THEN 40.7 WHEN 1 THEN 34.05 ELSE 41.88 END)
+        + ((((h1 // 256) % 1048576) / 1048576.0) - 0.5) * 0.7
+    ELSE 24.4 + 24.9 * (((h1 // 256) % 1048576) / 1048576.0) END AS lat,
+    CASE WHEN h1 % 100 < 80 THEN
+      (CASE h2 % 3 WHEN 0 THEN -74.0 WHEN 1 THEN -118.25 ELSE -87.63 END)
+        + ((((h2 // 256) % 1048576) / 1048576.0) - 0.5) * 0.7
+    ELSE -124.8 + 57.9 * (((h2 // 256) % 1048576) / 1048576.0) END AS lon
+  FROM (
+    SELECT doc_id, n_chars, lang,
+           (doc_id * 2654435761) % 4294967296 AS h1,
+           (doc_id * 2246822519 + 3266489917) % 4294967296 AS h2
+    FROM documents
+  )
+)
+"""
+
+
+def rects_values_sql() -> str:
+    rows = ",\n    ".join(
+        f"({i}, {xmin!r}, {ymin!r}, {xmax!r}, {ymax!r})"
+        for i, (xmin, ymin, xmax, ymax) in enumerate(ORACLE_RECTS)
+    )
+    return f"rects(poly_id, xmin, ymin, xmax, ymax) AS (VALUES\n    {rows}\n)"
+
+
+def poly_edges_values_sql() -> str:
+    """Edges of ORACLE_POLYS in the engine's PIP iteration order/orientation
+    (i from 0..n-1, j = previous), so the float expressions match exactly."""
+    rows = []
+    for pid, ring in enumerate(ORACLE_POLYS):
+        n = len(ring)
+        j = n - 1
+        for i in range(n):
+            vix, viy = ring[i]
+            vjx, vjy = ring[j]
+            rows.append(f"({pid}, {vix!r}, {viy!r}, {vjx!r}, {vjy!r})")
+            j = i
+    return "edges(poly_id, vix, viy, vjx, vjy) AS (VALUES\n    " + ",\n    ".join(rows) + "\n)"
+
+
+# the PIP crossing condition with the same expression shape as geom/pip.py
+PIP_JOIN_SQL = """
+  SELECT g.doc_id, e.poly_id, g.n_chars
+  FROM geo g JOIN edges e
+    ON ((e.viy > g.lat) <> (e.vjy > g.lat))
+   AND (g.lon < (e.vjx - e.vix) * (g.lat - e.viy) / (e.vjy - e.viy) + e.vix)
+  GROUP BY g.doc_id, e.poly_id, g.n_chars
+  HAVING (count(*) % 2) = 1
+"""

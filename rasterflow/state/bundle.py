@@ -166,26 +166,30 @@ def build_bundle(
     layer: PolygonLayer,
     accuracy_m: float | None = None,
     cell_size: float | None = None,
-    max_cells_per_dim: int = 4096,
+    max_cover_cells: int = 32_000_000,
     build_area_fractions: bool = False,
 ) -> PolygonBundle:
     """Build (or fetch cached) the bundle for a layer at a raster resolution.
 
     ``accuracy_m`` follows the reference's ε contract: cell size =
-    (ε/√2)/groundRes (``GLFunction.cpp:26-30``).  The canvas covers the layer
-    bbox, capped at ``max_cells_per_dim`` per side (the analogue of
-    MAX_FBO_SIZE 8192, ``join/GLFunction.hpp:14`` — instead of tiling passes we
-    coarsen, since our error contract only needs the *requested* cell size when
-    it is achievable).
+    (ε/√2)/groundRes (``GLFunction.cpp:26-30``).  Unlike the reference's dense
+    FBO canvas (MAX_FBO_SIZE 8192 with tiled passes,
+    ``RasterJoin.cpp:56-68``), our cell structures are *sparse* — memory scales
+    with cells the polygons actually touch, not with canvas dimensions — so the
+    resolution cap is on the estimated total covered cells
+    (Σ polygon-MBR area / cell²), bounded by ``max_cover_cells``.
     """
     xmin, ymin, xmax, ymax = layer.bounds
     if cell_size is None:
         if accuracy_m is None:
             raise ValueError("pass accuracy_m or cell_size")
         cell_size = accuracy_to_cell_size(accuracy_m)
-    w = max(xmax - xmin, ymax - ymin)
-    min_cell = w / max_cells_per_dim
-    cell_size = max(float(cell_size), float(min_cell))
+    m = layer.mbrs
+    total_area = float(((m[:, 2] - m[:, 0]) * (m[:, 3] - m[:, 1])).sum())
+    min_cell_cover = (total_area / max_cover_cells) ** 0.5 if total_area > 0 else 0.0
+    # linearization safety: keep nx, ny < 2^24 so lin * npolys stays in int64
+    min_cell_dim = max(xmax - xmin, ymax - ymin) / float(1 << 24)
+    cell_size = max(float(cell_size), min_cell_cover, min_cell_dim)
     key = (layer.content_hash(), round(cell_size, 12), build_area_fractions)
     b = _BUNDLE_CACHE.get(key)
     if b is None:
