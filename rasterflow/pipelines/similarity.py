@@ -1,0 +1,275 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+- :func:`cosine_topk` — exact brute-force top-k: per-batch numpy matmul of
+  the (zero-copy) embedding block against a broadcast, pre-normalized query
+  matrix; per-batch partial top-k; tiny per-query merge.  The baseline.
+- :func:`cosine_topk_ivf` — the scale path: deterministic k-means-lite
+  centroids (sampled + a few Lloyd iterations on the driver), per-batch
+  cluster assignment, and probing only the ``nprobe`` closest clusters per
+  query.  Approximate; recall measured in tests against the brute baseline.
+- :func:`embedding_neardup_pairs` — near-duplicate pairs (cosine ≥ τ) via
+  random-hyperplane LSH blocking + exact verification inside buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data.aggregate import Max
+
+
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """Embedding column -> (n, d) float matrix; handles list<float>,
+    fixed_size_list, and Ray's Arrow tensor extension, zero-copy where the
+    layout allows."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.ExtensionArray):  # ray.data tensor extension
+        m = np.asarray(arr.to_numpy(zero_copy_only=False))
+        return np.ascontiguousarray(m)
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+        return np.asarray(arr.values.to_numpy(zero_copy_only=False)).reshape(-1, dim)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offsets[1] - offsets[0])
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    return flat.reshape(-1, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64, copy=False)
+    n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    return m / np.maximum(n, 1e-30)
+
+
+def cosine_topk(
+    emb_ds,
+    query_vecs: np.ndarray,
+    k: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Exact cosine top-k per query.  Output (query_id, id, score), sorted by
+    (query_id, -score, id); ties break by id."""
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = _normalize(_emb_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        scores = e @ qn.T  # (n, Q)
+        qcol, icol, scol = [], [], []
+        for qi in range(qn.shape[0]):
+            s = scores[:, qi]
+            idx = np.argpartition(-s, min(k, len(s) - 1))[:k] if len(s) > k else np.arange(len(s))
+            qcol.append(np.full(len(idx), qi, dtype=np.int32))
+            icol.append(ids[idx])
+            scol.append(s[idx])
+        return pa.table(
+            {
+                "query_id": np.concatenate(qcol),
+                id_col: np.concatenate(icol),
+                "score": np.concatenate(scol),
+            }
+        )
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas").sort(
+        ["query_id", id_col]
+    )
+
+
+def kmeans_lite(sample: np.ndarray, nlist: int, iters: int = 5, seed: int = 0) -> np.ndarray:
+    """Deterministic small k-means on a sample (driver-side, numpy only)."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    idx = rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def cosine_topk_ivf(
+    emb_ds,
+    query_vecs: np.ndarray,
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+):
+    """IVF-style approximate top-k: probe only the nprobe closest centroids.
+
+    Centroids come from a deterministic limit-sample of the dataset; each
+    batch scores only its rows assigned to probed clusters."""
+    sample_tbl = emb_ds.limit(sample_size).to_pandas()
+    sample = np.stack(sample_tbl[emb_col].to_numpy())
+    cent = kmeans_lite(sample, nlist)
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    cent_ref = ray.put(cent) if ray.is_initialized() else cent
+    probes_ref = ray.put(probes) if ray.is_initialized() else probes
+
+    class IvfPartial:
+        def __init__(self):
+            self.cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+            self.probes = ray.get(probes_ref) if isinstance(probes_ref, ray.ObjectRef) else probes_ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            e = _normalize(_emb_matrix(batch, emb_col))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            assign = (e @ self.cent.T).argmax(axis=1)
+            qcol, icol, scol = [], [], []
+            for qi in range(qn.shape[0]):
+                m = np.isin(assign, self.probes[qi])
+                if not m.any():
+                    continue
+                s = e[m] @ qn[qi]
+                sub_ids = ids[m]
+                idx = np.argpartition(-s, min(k, len(s) - 1))[:k] if len(s) > k else np.arange(len(s))
+                qcol.append(np.full(len(idx), qi, dtype=np.int32))
+                icol.append(sub_ids[idx])
+                scol.append(s[idx])
+            if not qcol:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int32()),
+                        id_col: pa.array([], type=pa.int64()),
+                        "score": pa.array([], type=pa.float64()),
+                    }
+                )
+            return pa.table(
+                {"query_id": np.concatenate(qcol), id_col: np.concatenate(icol), "score": np.concatenate(scol)}
+            )
+
+    partials = emb_ds.map_batches(IvfPartial, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas").sort(
+        ["query_id", id_col]
+    )
+
+
+def embedding_neardup_brute(
+    emb_ds,
+    all_vecs: np.ndarray,
+    all_ids: np.ndarray,
+    threshold: float,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Exact cosine near-dup pairs: each batch scores its rows against the
+    broadcast full matrix (``ray.put`` once, gathered per task) — the
+    broadcast-small-side join pattern.  Output (id_a < id_b, cos)."""
+    vn = _normalize(np.asarray(all_vecs, dtype=np.float64))
+    ref_v = ray.put(vn) if ray.is_initialized() else vn
+    ref_i = ray.put(np.asarray(all_ids)) if ray.is_initialized() else np.asarray(all_ids)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vs = ray.get(ref_v) if isinstance(ref_v, ray.ObjectRef) else ref_v
+        ids_all = ray.get(ref_i) if isinstance(ref_i, ray.ObjectRef) else ref_i
+        e = _normalize(_emb_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sim = e @ vs.T  # (n, N)
+        ii, jj = np.nonzero(sim >= threshold)
+        a = ids[ii]
+        b = ids_all[jj]
+        keep = a < b
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep]),
+                "id_b": pa.array(b[keep]),
+                "cos": pa.array(sim[ii[keep], jj[keep]]),
+            }
+        )
+
+    return emb_ds.map_batches(partial, batch_format="pyarrow").sort(["id_a", "id_b"])
+
+
+def embedding_neardup_pairs(
+    emb_ds,
+    threshold: float = 0.95,
+    nbits: int = 16,
+    bands: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int = 256,
+    seed: int = 99,
+):
+    """Cosine near-duplicate pairs via random-hyperplane LSH + exact verify.
+
+    ``bands`` bands of ``nbits`` hyperplane sign bits each; a pair lands in
+    the same bucket for a band with prob (1 - θ/π)^nbits.  Exact cosine is
+    verified inside each bucket; pairs deduped across bands via groupby-max.
+    """
+    rng = np.random.default_rng(seed)
+
+    def make_stage():
+        class HyperplaneLSH:
+            def __init__(self):
+                # dim discovered lazily at first batch
+                self.planes = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                e = _normalize(_emb_matrix(batch, emb_col))
+                if self.planes is None:
+                    r = np.random.default_rng(seed)
+                    self.planes = r.standard_normal((e.shape[1], nbits * bands))
+                ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+                bits = (e @ self.planes) > 0  # (n, nbits*bands)
+                n = len(ids)
+                band_col = np.repeat(np.arange(bands, dtype=np.int32), n)
+                doc_idx = np.tile(np.arange(n), bands)
+                bh = np.empty(bands * n, dtype=np.int64)
+                w = (1 << np.arange(nbits, dtype=np.int64))
+                for bnd in range(bands):
+                    seg = bits[:, bnd * nbits : (bnd + 1) * nbits].astype(np.int64)
+                    bh[bnd * n : (bnd + 1) * n] = seg @ w
+                vecs = [e[i].tobytes() for i in doc_idx]
+                return pa.table(
+                    {
+                        "band": band_col,
+                        "band_hash": bh,
+                        id_col: pa.array(ids[doc_idx]),
+                        "vec": pa.array(vecs, type=pa.binary()),
+                    }
+                )
+
+        return HyperplaneLSH
+
+    sigs = emb_ds.map_batches(make_stage(), batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).drop_duplicates(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
+        vecs = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
+        sim = vecs @ vecs.T
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sim[i, j] >= threshold:
+                    rows.append((ids[i], ids[j], float(sim[i, j])))
+        if not rows:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cos"])
+
+    pairs = sigs.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cos", alias_name="cos")).sort(["id_a", "id_b"])

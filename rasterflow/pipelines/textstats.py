@@ -1,0 +1,152 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All vectorized Arrow/RE2 kernels in stateless ``map_batches`` tasks except
+language-ID (regex set compiled once per actor).  Column names are stable so
+oracle SQL can alias to match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_FNV = np.uint64(1099511628211)
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "es": ("el", "la", "de", "que", "y", "en", "los"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une"),
+}
+
+
+def token_count(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_tok, n_ws_tok): BPE-ish regex token count + whitespace count."""
+
+    def f(b: pa.Table) -> pa.Table:
+        t = b.column(text_col)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                # whitespace tokens
+                "n_tok": pc.cast(pc.count_substring_regex(t, r"\S+"), pa.int64()),
+                # GPT-2-style coarse pieces: word / number / punct runs
+                "n_bpe": pc.cast(
+                    pc.count_substring_regex(t, r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def quality_score(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Heuristic quality features + combined score.
+
+    Columns: n_chars_q, n_tok, punct_ratio, stop_ratio, mean_tok_len, score.
+    score = stop_ratio-weighted length signal in [0, 1] — deterministic
+    float64 per-row expression.
+    """
+    stop_re = r"\b(" + "|".join(STOPWORDS["en"]) + r")\b"
+
+    def f(b: pa.Table) -> pa.Table:
+        t = b.column(text_col)
+        nch = pc.cast(pc.utf8_length(t), pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+        ntok = pc.cast(pc.count_substring_regex(t, r"\S+"), pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+        npunct = pc.cast(pc.count_substring_regex(t, r"[.,;:!?]"), pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+        nstop = pc.cast(pc.count_substring_regex(t, stop_re), pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+        ntok_s = np.maximum(ntok, 1.0)
+        nch_s = np.maximum(nch, 1.0)
+        punct_ratio = npunct / nch_s
+        stop_ratio = nstop / ntok_s
+        mean_tok_len = nch / ntok_s
+        score = np.minimum(1.0, ntok / 64.0) * 0.5 + np.minimum(stop_ratio * 4.0, 1.0) * 0.3 + np.minimum(
+            1.0, 1.0 - punct_ratio * 4.0
+        ) * 0.2
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "n_chars_q": pa.array(nch.astype(np.int64)),
+                "n_tok": pa.array(ntok.astype(np.int64)),
+                "punct_ratio": pa.array(punct_ratio),
+                "stop_ratio": pa.array(stop_ratio),
+                "mean_tok_len": pa.array(mean_tok_len),
+                "score": pa.array(score),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class LangIdStage:
+    """n-gram/stopword-profile language id over {en, es, de, fr}.
+
+    Stopword regexes are built once per actor; scoring = per-language match
+    counts normalized by token count; argmax with deterministic tie-break by
+    language-code order.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.langs = sorted(STOPWORDS)
+        self.regexes = {
+            lang: r"\b(" + "|".join(words) + r")\b" for lang, words in STOPWORDS.items()
+        }
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        t = b.column(self.text_col)
+        lowered = pc.utf8_lower(t)
+        counts = np.stack(
+            [
+                pc.cast(pc.count_substring_regex(lowered, self.regexes[lang]), pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                for lang in self.langs
+            ],
+            axis=1,
+        )
+        best = counts.argmax(axis=1)
+        pred = np.asarray(self.langs, dtype=object)[best]
+        conf = counts.max(axis=1) / np.maximum(counts.sum(axis=1), 1.0)
+        return pa.table(
+            {
+                self.id_col: b.column(self.id_col),
+                "lang_pred": pa.array(pred.tolist(), type=pa.string()),
+                "lang_conf": pa.array(conf),
+            }
+        )
+
+
+def lang_id(ds, text_col: str = "text", id_col: str = "doc_id", concurrency=(1, 8)):
+    return ds.map_batches(
+        LangIdStage,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """64-bit rolling polynomial fingerprint of the utf-8 bytes (mod 2^64)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        out = np.empty(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            bb = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if len(bb) == 0:
+                out[i] = np.uint64(14695981039346656037)
+                continue
+            n = len(bb)
+            pw = np.full(n, _FNV, dtype=np.uint64)
+            pw[0] = np.uint64(1)
+            pw = np.cumprod(pw)  # pw[j] = P^j (wraparound mod 2^64)
+            # Horner-equivalent: offset*P^n + Σ b_j * P^(n-1-j)
+            out[i] = np.uint64(14695981039346656037) * (pw[-1] * _FNV) + (bb * pw[::-1]).sum(dtype=np.uint64)
+        return pa.table({id_col: b.column(id_col), "fp": pa.array(out.astype(np.int64))})
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,182 @@
+"""Tests for dedup, text analysis, similarity, multimodal operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rasterflow.pipelines.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from rasterflow.pipelines.multimodal import decode_images, sample_audio_frames
+from rasterflow.pipelines.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    embedding_neardup_pairs,
+)
+from rasterflow.pipelines.textstats import fingerprint, lang_id, quality_score, token_count
+
+
+def make_docs(ray_session):
+    import ray.data
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "the quick brown fox jumps over the lazy cat",  # near dup of 0
+        "completely different content about spark and ray pipelines",
+        "el rapido zorro marron salta sobre el perro perezoso y la casa",
+        "der schnelle braune fuchs springt uber den faulen hund und das ist gut",
+        "le renard brun rapide saute par dessus le chien paresseux et les autres",
+        "short",
+    ]
+    return ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})), texts
+
+
+def test_exact_dedup(ray_session):
+    ds, texts = make_docs(ray_session)
+    out = exact_dedup(ds).to_pandas()
+    # doc 1 deduped into doc 0
+    assert 1 not in set(out["doc_id"])
+    assert out[out["doc_id"] == 0]["n"].iloc[0] == 2
+    assert len(out) == len(texts) - 1
+
+
+def test_minhash_lsh_finds_near_dup(ray_session):
+    ds, _ = make_docs(ray_session)
+    out = minhash_lsh_pairs(ds, threshold=0.4, concurrency=2).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in pairs  # exact dup → est_jaccard 1.0
+    assert out[(out["id_a"] == 0) & (out["id_b"] == 1)]["est_jaccard"].iloc[0] == 1.0
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert (3, 4) not in pairs
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    ds, texts = make_docs(ray_session)
+    out = ngram_jaccard_pairs(ds, threshold=0.3, concurrency=2).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in pairs
+    row = out[(out["id_a"] == 0) & (out["id_b"] == 1)]
+    assert row["jaccard"].iloc[0] == 1.0
+    # verify one reported jaccard against a hand computation
+    def grams(t):
+        tok = t.split()
+        return {tuple(tok[i : i + 3]) for i in range(max(1, len(tok) - 2))}
+
+    if (0, 2) in pairs:
+        j = out[(out["id_a"] == 0) & (out["id_b"] == 2)]["jaccard"].iloc[0]
+        g0, g2 = grams(texts[0]), grams(texts[2])
+        assert abs(j - len(g0 & g2) / len(g0 | g2)) < 1e-12
+
+
+def test_simhash_pairs(ray_session):
+    ds, _ = make_docs(ray_session)
+    out = simhash_pairs(ds, max_hamming=3, concurrency=2).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in pairs
+    assert out[(out["id_a"] == 0) & (out["id_b"] == 1)]["hamming"].iloc[0] == 0
+
+
+def test_token_count_and_quality(ray_session):
+    ds, texts = make_docs(ray_session)
+    tc = token_count(ds).to_pandas().sort_values("doc_id")
+    assert list(tc["n_tok"]) == [len(t.split()) for t in texts]
+    q = quality_score(ds).to_pandas().sort_values("doc_id")
+    assert (q["score"] >= 0).all() and (q["score"] <= 1.0).all()
+    assert q["n_chars_q"].iloc[0] == len(texts[0])
+
+
+def test_lang_id(ray_session):
+    ds, _ = make_docs(ray_session)
+    out = lang_id(ds, concurrency=2).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].iloc[0] == "en"
+    assert out["lang_pred"].iloc[4] == "es"
+    assert out["lang_pred"].iloc[5] == "de"
+    assert out["lang_pred"].iloc[6] == "fr"
+
+
+def test_fingerprint_deterministic(ray_session):
+    ds, _ = make_docs(ray_session)
+    a = fingerprint(ds).to_pandas().sort_values("doc_id")
+    b = fingerprint(ds).to_pandas().sort_values("doc_id")
+    assert list(a["fp"]) == list(b["fp"])
+    assert a["fp"].iloc[0] == a["fp"].iloc[1]  # same text → same fp
+    assert a["fp"].iloc[0] != a["fp"].iloc[3]
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 16
+    base = rng.standard_normal((n, d))
+    base[50] = base[10] + rng.standard_normal(d) * 0.01  # near dup pair (10, 50)
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": [v.astype(np.float32) for v in base]})
+    return ray.data.from_pandas(df), base
+
+
+def brute_topk(base, q, k):
+    def norm(m):
+        return m / np.maximum(np.sqrt((m * m).sum(axis=1, keepdims=True)), 1e-30)
+
+    s = norm(base.astype(np.float64)) @ norm(q.astype(np.float64)).T
+    out = []
+    for qi in range(q.shape[0]):
+        order = np.lexsort((np.arange(len(base)), -s[:, qi]))[:k]
+        out.append(set(order.tolist()))
+    return out
+
+
+def test_cosine_topk_matches_brute(emb):
+    ds, base = emb
+    q = base[:3]
+    got = cosine_topk(ds, q, 5).to_pandas()
+    exp = brute_topk(base, q, 5)
+    for qi in range(3):
+        ids = set(got[got["query_id"] == qi]["vec_id"])
+        assert ids == exp[qi]
+        # self is its own nearest neighbour
+        assert qi in ids
+
+
+def test_cosine_topk_ivf_recall(emb):
+    ds, base = emb
+    q = base[:4]
+    got = cosine_topk_ivf(ds, q, 5, nlist=8, nprobe=4).to_pandas()
+    exp = brute_topk(base, q, 5)
+    recall = np.mean(
+        [len(set(got[got["query_id"] == qi]["vec_id"]) & exp[qi]) / 5 for qi in range(4)]
+    )
+    assert recall >= 0.8
+
+
+def test_embedding_neardup(emb):
+    ds, base = emb
+    out = embedding_neardup_pairs(ds, threshold=0.95).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (10, 50) in pairs
+
+
+def test_multimodal_stub_stages(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    payloads = [rng.integers(0, 256, size=rng.integers(64, 2048)).astype(np.uint8).tobytes() for _ in range(20)]
+    df = pd.DataFrame({"url": [f"u{i}" for i in range(20)], "image": payloads, "audio": payloads})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    img = decode_images(ds, concurrency=2).to_pandas()
+    assert set(img.columns) == {"url", "width", "height", "mean_luma", "feature"}
+    assert len(img) == 20
+    assert all(len(f) == 8 for f in img["feature"])
+    # determinism across runs
+    img2 = decode_images(ds, concurrency=2).to_pandas()
+    pd.testing.assert_frame_equal(
+        img.sort_values("url").reset_index(drop=True), img2.sort_values("url").reset_index(drop=True)
+    )
+    au = sample_audio_frames(ds, concurrency=2).to_pandas()
+    assert all(len(f) == 16 for f in au["frames"])
