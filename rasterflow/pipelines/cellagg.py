@@ -35,7 +35,9 @@ def cell_histogram_grid(points_ds, grid: Grid, value_col: str | None = None, sor
             cols["val_sum"] = sums
         return pa.table(cols)
 
-    partials = points_ds.map_batches(partial, batch_format="pyarrow")
+    from ..util import coalesce_small
+
+    partials = coalesce_small(points_ds.map_batches(partial, batch_format="pyarrow"), n=16)
     aggs = [Sum("n", alias_name="n")]
     if value_col is not None:
         aggs.append(Sum("val_sum", alias_name="val_sum"))
@@ -54,7 +56,9 @@ def cell_histogram_global(points_ds, res: int, x_col: str = "x", y_col: str = "y
         cells, counts = np.unique(ids, return_counts=True)
         return pa.table({"cell_id": cells, "n": counts.astype(np.int64)})
 
-    out = points_ds.map_batches(partial, batch_format="pyarrow").groupby("cell_id").aggregate(
-        Sum("n", alias_name="n")
-    )
+    from ..util import coalesce_small
+
+    out = coalesce_small(
+        points_ds.map_batches(partial, batch_format="pyarrow"), n=16
+    ).groupby("cell_id").aggregate(Sum("n", alias_name="n"))
     return out.sort("cell_id") if sort else out

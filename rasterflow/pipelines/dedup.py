@@ -32,6 +32,8 @@ import pandas as pd
 import pyarrow as pa
 from ray.data.aggregate import Max, Min, Sum
 
+from ..util import coalesce_small
+
 MERSENNE61 = (1 << 61) - 1
 _FNV = np.uint64(1099511628211)
 
@@ -61,7 +63,7 @@ def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id"):
         return pa.table({"content_hash": g["h"].to_numpy(), id_col: g["id"].to_numpy(), "n": g["n"].to_numpy().astype(np.int64)})
 
     red = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby("content_hash")
         .aggregate(Min(id_col, alias_name=id_col), Sum("n", alias_name="n"))
     )
@@ -143,6 +145,42 @@ class MinHashSignatures:
         )
 
 
+NUM_SUPER_BUCKETS = 64
+
+
+def add_super_bucket(t: pa.Table) -> pa.Table:
+    """Coarse shuffle key over (band, band_hash): whole buckets land in one
+    super-bucket, so the Ray groupby handles ~NUM_SUPER_BUCKETS groups and the
+    per-bucket work runs as one vectorized pandas groupby per group (avoids
+    Ray's per-group dispatch overhead on thousands of tiny LSH buckets)."""
+    import pyarrow.compute as pc
+
+    bh = t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    bd = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+    sb = ((bh * _FNV + bd) % np.uint64(NUM_SUPER_BUCKETS)).astype(np.int32)
+    return t.append_column("sb", pa.array(sb))
+
+
+def _grouped_pairs(sigs_ds, per_bucket_fn, empty_df_fn):
+    """groupby super-bucket, then pandas-groupby true buckets inside."""
+    withsb = coalesce_small(sigs_ds.map_batches(add_super_bucket, batch_format="pyarrow"))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        # singleton buckets can't produce pairs — drop them vectorized before
+        # paying any per-bucket pandas overhead (they are ~all of the buckets)
+        g = g[g.duplicated(subset=["band", "band_hash"], keep=False)]
+        if len(g) == 0:
+            return empty_df_fn()
+        outs = [per_bucket_fn(sub) for _, sub in g.groupby(["band", "band_hash"], sort=False)]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else empty_df_fn()
+
+    out = withsb.groupby("sb").map_groups(run, batch_format="pandas")
+    # map_groups emits one (tiny) block per group; coalesce so the downstream
+    # pair-dedupe groupby schedules a handful of tasks, not one per bucket
+    return out.repartition(4)
+
+
 def _pairs_from_bucket(g: pd.DataFrame, id_col: str, num_perm: int, max_bucket: int):
     g = g.sort_values(id_col).drop_duplicates(id_col)
     truncated = len(g) > max_bucket
@@ -185,7 +223,13 @@ def minhash_lsh_pairs(
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return _pairs_from_bucket(g, id_col, num_perm, max_bucket)
 
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    def empty():
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "est_jaccard": pd.Series(dtype="float64"), "truncated": pd.Series(dtype="bool")}
+        )
+
+    pairs = _grouped_pairs(sigs, bucket_pairs, empty)
     dedup = pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -250,7 +294,10 @@ def ngram_jaccard_pairs(
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")})
         return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(bucket_exact, batch_format="pandas")
+    def empty_j():
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")})
+
+    pairs = _grouped_pairs(banded, bucket_exact, empty_j)
     return (
         pairs.groupby(["id_a", "id_b"]).aggregate(Max("jaccard", alias_name="jaccard")).sort(["id_a", "id_b"])
     )
@@ -337,7 +384,10 @@ def simhash_pairs(
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
         return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    def empty_h():
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
+
+    pairs = _grouped_pairs(sigs, bucket_pairs, empty_h)
     return (
         pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming")).sort(["id_a", "id_b"])
     )

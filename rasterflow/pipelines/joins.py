@@ -32,6 +32,7 @@ from ray.data.aggregate import Sum
 
 from ..geom.pip import pip_pairs
 from ..state.bundle import PolygonBundle, build_bundle
+from ..util import coalesce_small
 
 _STRATEGIES = ("raster", "index", "hybrid")
 
@@ -269,6 +270,7 @@ def aggregate_by_polygon(
     partials = points_ds.map_batches(
         SpatialJoinAgg, batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kwargs
     )
+    partials = coalesce_small(partials)
     aggs = [Sum("count", alias_name="count")]
     if value_col is not None:
         if fixed_point:
@@ -345,7 +347,7 @@ def aggregate_with_bounds(
     partials = points_ds.map_batches(
         RasterBoundsAgg, batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kwargs
     )
-    red = partials.groupby("poly_id").aggregate(
+    red = coalesce_small(partials).groupby("poly_id").aggregate(
         Sum("count", alias_name="count"),
         Sum("fp_all", alias_name="fp_all"),
         Sum("fn_all", alias_name="fn_all"),

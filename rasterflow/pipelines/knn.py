@@ -69,7 +69,9 @@ def knn_brute(points_ds, queries_xy: np.ndarray, k: int, id_col: str = "doc_id")
         qi, ii, dd = _topk_partial(q[:, 0], q[:, 1], x, y, ids, k)
         return pa.table({"query_id": qi, id_col: ii, "dist": dd})
 
-    partials = points_ds.map_batches(partial, batch_format="pyarrow")
+    from ..util import coalesce_small
+
+    partials = coalesce_small(points_ds.map_batches(partial, batch_format="pyarrow"))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["dist", id_col]).head(k)

@@ -75,7 +75,9 @@ def cosine_topk(
             }
         )
 
-    partials = emb_ds.map_batches(partial, batch_format="pyarrow")
+    from ..util import coalesce_small
+
+    partials = coalesce_small(emb_ds.map_batches(partial, batch_format="pyarrow"))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
@@ -156,7 +158,11 @@ def cosine_topk_ivf(
                 {"query_id": np.concatenate(qcol), id_col: np.concatenate(icol), "score": np.concatenate(scol)}
             )
 
-    partials = emb_ds.map_batches(IvfPartial, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    from ..util import coalesce_small
+
+    partials = coalesce_small(
+        emb_ds.map_batches(IvfPartial, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["score", id_col], ascending=[False, True]).head(k)
@@ -271,5 +277,10 @@ def embedding_neardup_pairs(
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
         return pd.DataFrame(rows, columns=["id_a", "id_b", "cos"])
 
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    from .dedup import _grouped_pairs
+
+    def empty_c():
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
+
+    pairs = _grouped_pairs(sigs, bucket_pairs, empty_c)
     return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cos", alias_name="cos")).sort(["id_a", "id_b"])

@@ -118,7 +118,7 @@ def pages_batch(ids: np.ndarray) -> pa.Table:
     return pa.table(
         {
             "url": pa.array(urls, type=pa.string()),
-            "warc_ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+            "warc_ts": pa.array(ts * 1_000_000, type=pa.int64()).cast(pa.timestamp("us")),
             "html": pa.array(htmls, type=pa.binary()),
             "text": pa.array(texts, type=pa.string()),
             "lang": pa.array(langs, type=pa.string()),

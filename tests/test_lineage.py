@@ -1,0 +1,100 @@
+"""Resume semantics: crashed runs skip verified partitions, redo the rest."""
+
+import json
+
+import numpy as np
+import pytest
+
+from rasterflow.state.lineage import partition_files, read_manifest, run_resumable
+
+
+def build_fn_factory(log):
+    import ray.data
+
+    def build(spec):
+        log.append(spec)
+        start, stop = spec
+        return ray.data.range(stop - start).map_batches(
+            lambda b: {"v": b["id"] + start}, batch_format="numpy"
+        )
+
+    return build
+
+
+def test_run_and_resume(ray_session, tmp_path):
+    parts = [(f"{i}", (i * 10, (i + 1) * 10)) for i in range(4)]
+    log: list = []
+    out = run_resumable(parts, build_fn_factory(log), tmp_path / "o")
+    assert out["ran"] == ["0", "1", "2", "3"] and out["rows"] == 40
+    # resume: nothing re-runs
+    log2: list = []
+    out2 = run_resumable(parts, build_fn_factory(log2), tmp_path / "o")
+    assert out2["skipped"] == ["0", "1", "2", "3"] and log2 == []
+    assert out2["rows"] == 40
+    m = read_manifest(tmp_path / "o")
+    assert set(m) == {"0", "1", "2", "3"}
+    assert all(e["rows"] == 10 and e["wall_s"] >= 0 for e in m.values())
+
+
+def test_resume_after_crash(ray_session, tmp_path):
+    parts = [(f"{i}", (i * 10, (i + 1) * 10)) for i in range(4)]
+
+    calls = {"n": 0}
+    import ray.data
+
+    def flaky(spec):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated crash")
+        start, stop = spec
+        return ray.data.range(stop - start)
+
+    with pytest.raises(RuntimeError):
+        run_resumable(parts, flaky, tmp_path / "o")
+    # two partitions committed
+    m = read_manifest(tmp_path / "o")
+    assert set(m) == {"0", "1"}
+
+    def ok(spec):
+        start, stop = spec
+        return ray.data.range(stop - start)
+
+    out = run_resumable(parts, ok, tmp_path / "o")
+    assert out["skipped"] == ["0", "1"]
+    assert out["ran"] == ["2", "3"]
+
+
+def test_corrupt_output_reruns(ray_session, tmp_path):
+    parts = [("0", (0, 10))]
+    import ray.data
+
+    def ok(spec):
+        return ray.data.range(10)
+
+    run_resumable(parts, ok, tmp_path / "o")
+    # corrupt: truncate one output file
+    pdir = tmp_path / "o" / "part-0"
+    f = next(p for p in pdir.iterdir() if p.is_file())
+    f.write_bytes(b"junk")
+    out = run_resumable(parts, ok, tmp_path / "o")
+    assert out["ran"] == ["0"]
+
+
+def test_torn_manifest_line_ignored(ray_session, tmp_path):
+    parts = [("0", (0, 10))]
+    import ray.data
+
+    run_resumable(parts, lambda s: ray.data.range(10), tmp_path / "o")
+    mp = tmp_path / "o" / "_manifest.jsonl"
+    with mp.open("a") as fh:
+        fh.write('{"partition_id": "1", "rows":')  # torn line
+    m = read_manifest(tmp_path / "o")
+    assert set(m) == {"0"}
+
+
+def test_partition_files_deterministic():
+    paths = [f"/x/f{i}.parquet" for i in range(7)]
+    a = partition_files(list(reversed(paths)), 3)
+    b = partition_files(paths, 3)
+    assert a == b
+    assert [pid for pid, _ in a] == ["00000", "00001", "00002"]
