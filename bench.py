@@ -77,8 +77,8 @@ def bench_headline() -> tuple[float, int]:
         layer,
         how="hybrid",
         accuracy_m=50.0,
-        concurrency=(2, max(4, NUM_CPUS // 2)),
-        batch_size=65536,
+        concurrency=(2, NUM_CPUS),
+        batch_size=32768,
         sort=True,
     )
     n_polys = len(out.to_pandas())

@@ -35,13 +35,13 @@ def cell_histogram_grid(points_ds, grid: Grid, value_col: str | None = None, sor
             cols["val_sum"] = sums
         return pa.table(cols)
 
-    from ..util import coalesce_small
+    from ..util import coalesce_small, grouped_aggregate
 
     partials = coalesce_small(points_ds.map_batches(partial, batch_format="pyarrow"), n=16)
-    aggs = [Sum("n", alias_name="n")]
+    aggs = {"n": ("n", "sum")}
     if value_col is not None:
-        aggs.append(Sum("val_sum", alias_name="val_sum"))
-    out = partials.groupby("cell_id").aggregate(*aggs)
+        aggs["val_sum"] = ("val_sum", "sum")
+    out = grouped_aggregate(partials, "cell_id", aggs)
     return out.sort("cell_id") if sort else out
 
 
@@ -56,9 +56,11 @@ def cell_histogram_global(points_ds, res: int, x_col: str = "x", y_col: str = "y
         cells, counts = np.unique(ids, return_counts=True)
         return pa.table({"cell_id": cells, "n": counts.astype(np.int64)})
 
-    from ..util import coalesce_small
+    from ..util import coalesce_small, grouped_aggregate
 
-    out = coalesce_small(
-        points_ds.map_batches(partial, batch_format="pyarrow"), n=16
-    ).groupby("cell_id").aggregate(Sum("n", alias_name="n"))
+    out = grouped_aggregate(
+        coalesce_small(points_ds.map_batches(partial, batch_format="pyarrow"), n=16),
+        "cell_id",
+        {"n": ("n", "sum")},
+    )
     return out.sort("cell_id") if sort else out

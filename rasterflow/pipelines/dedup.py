@@ -32,7 +32,7 @@ import pandas as pd
 import pyarrow as pa
 from ray.data.aggregate import Max, Min, Sum
 
-from ..util import coalesce_small
+from ..util import coalesce_small, grouped_aggregate
 
 MERSENNE61 = (1 << 61) - 1
 _FNV = np.uint64(1099511628211)
@@ -62,10 +62,10 @@ def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id"):
         g = df.groupby("h", sort=False).agg(id=("id", "min"), n=("id", "size")).reset_index()
         return pa.table({"content_hash": g["h"].to_numpy(), id_col: g["id"].to_numpy(), "n": g["n"].to_numpy().astype(np.int64)})
 
-    red = (
-        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"))
-        .groupby("content_hash")
-        .aggregate(Min(id_col, alias_name=id_col), Sum("n", alias_name="n"))
+    red = grouped_aggregate(
+        coalesce_small(ds.map_batches(partial, batch_format="pyarrow")),
+        "content_hash",
+        {id_col: (id_col, "min"), "n": ("n", "sum")},
     )
     return red.map_batches(lambda t: t.select([id_col, "n"]), batch_format="pyarrow").sort(id_col)
 
@@ -230,7 +230,7 @@ def minhash_lsh_pairs(
         )
 
     pairs = _grouped_pairs(sigs, bucket_pairs, empty)
-    dedup = pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    dedup = grouped_aggregate(pairs, ["id_a", "id_b"], {"est_jaccard": ("est_jaccard", "max")}, num_partitions=16)
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -298,9 +298,9 @@ def ngram_jaccard_pairs(
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")})
 
     pairs = _grouped_pairs(banded, bucket_exact, empty_j)
-    return (
-        pairs.groupby(["id_a", "id_b"]).aggregate(Max("jaccard", alias_name="jaccard")).sort(["id_a", "id_b"])
-    )
+    return grouped_aggregate(
+        pairs, ["id_a", "id_b"], {"jaccard": ("jaccard", "max")}, num_partitions=16
+    ).sort(["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------------------
@@ -388,6 +388,6 @@ def simhash_pairs(
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
 
     pairs = _grouped_pairs(sigs, bucket_pairs, empty_h)
-    return (
-        pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming")).sort(["id_a", "id_b"])
-    )
+    return grouped_aggregate(
+        pairs, ["id_a", "id_b"], {"hamming": ("hamming", "min")}, num_partitions=16
+    ).sort(["id_a", "id_b"])

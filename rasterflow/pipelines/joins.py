@@ -32,7 +32,7 @@ from ray.data.aggregate import Sum
 
 from ..geom.pip import pip_pairs
 from ..state.bundle import PolygonBundle, build_bundle
-from ..util import coalesce_small
+from ..util import coalesce_small, grouped_aggregate
 
 _STRATEGIES = ("raster", "index", "hybrid")
 
@@ -271,13 +271,14 @@ def aggregate_by_polygon(
         SpatialJoinAgg, batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kwargs
     )
     partials = coalesce_small(partials)
-    aggs = [Sum("count", alias_name="count")]
+    aggs = {"count": ("count", "sum")}
     if value_col is not None:
         if fixed_point:
-            aggs += [Sum("sum_hi", alias_name="sum_hi"), Sum("sum_lo", alias_name="sum_lo")]
+            aggs["sum_hi"] = ("sum_hi", "sum")
+            aggs["sum_lo"] = ("sum_lo", "sum")
         else:
-            aggs += [Sum("sum", alias_name="sum")]
-    out = partials.groupby("poly_id").aggregate(*aggs)
+            aggs["sum"] = ("sum", "sum")
+    out = grouped_aggregate(partials, "poly_id", aggs)
 
     if value_col is not None and agg == "avg":
 
@@ -347,12 +348,16 @@ def aggregate_with_bounds(
     partials = points_ds.map_batches(
         RasterBoundsAgg, batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kwargs
     )
-    red = coalesce_small(partials).groupby("poly_id").aggregate(
-        Sum("count", alias_name="count"),
-        Sum("fp_all", alias_name="fp_all"),
-        Sum("fn_all", alias_name="fn_all"),
-        Sum("fp_est", alias_name="fp_est"),
-        Sum("fn_est", alias_name="fn_est"),
+    red = grouped_aggregate(
+        coalesce_small(partials),
+        "poly_id",
+        {
+            "count": ("count", "sum"),
+            "fp_all": ("fp_all", "sum"),
+            "fn_all": ("fn_all", "sum"),
+            "fp_est": ("fp_est", "sum"),
+            "fn_est": ("fn_est", "sum"),
+        },
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -277,10 +277,13 @@ def embedding_neardup_pairs(
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
         return pd.DataFrame(rows, columns=["id_a", "id_b", "cos"])
 
+    from ..util import grouped_aggregate
     from .dedup import _grouped_pairs
 
     def empty_c():
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
 
     pairs = _grouped_pairs(sigs, bucket_pairs, empty_c)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cos", alias_name="cos")).sort(["id_a", "id_b"])
+    return grouped_aggregate(
+        pairs, ["id_a", "id_b"], {"cos": ("cos", "max")}, num_partitions=16
+    ).sort(["id_a", "id_b"])

