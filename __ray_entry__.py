@@ -308,8 +308,62 @@ def _q_fingerprint(sf_dir: str):
     return fingerprint(_docs(sf_dir)).sort("doc_id")
 
 
+def _q_window_agg(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.windows import tumbling_window_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return tumbling_window_agg(ds, ts_col="ts", size_s=3600, count_distinct="user_id")
+
+
+def _q_sessionize(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.windows import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return sessionize(ds, ts_col="ts", key="user_id", gap_s=1800)
+
+
+def _q_top_users(sf_dir: str):
+    import ray.data
+
+    from rasterflow.util import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    agg = grouped_aggregate(ds, "user_id", {"n": ("user_id", "size")})
+    return agg.sort(["n", "user_id"], descending=[True, False]).limit(10)
+
+
+BOX = (-80.0, 38.0, -70.0, 43.0)  # lon/lat box literals shared with SQL
+
+
+def _q_count_in_box(sf_dir: str):
+    from rasterflow.pipelines.ingest import count_in_box
+
+    n = count_in_box(documents_points(sf_dir, columns=("doc_id",)), BOX[0], BOX[1], BOX[2], BOX[3])
+    return pa.table({"n": pa.array([n], type=pa.int64())})
+
+
+RADIUS_Q = (-74.0, 40.7, 0.5)  # qx, qy, r literals shared with SQL
+
+
+def _q_radius_search(sf_dir: str):
+    from rasterflow.pipelines.ingest import radius_search
+
+    qx, qy, r = RADIUS_Q
+    out = radius_search(documents_points(sf_dir, columns=("doc_id",)), qx, qy, r, id_col="doc_id")
+    return out.sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "window_agg": _q_window_agg,
+        "sessionize": _q_sessionize,
+        "top_users": _q_top_users,
+        "count_in_box": _q_count_in_box,
+        "radius_search": _q_radius_search,
         "knn_brute": _q_knn_brute,
         "knn_cell_ring": _q_knn_cell_ring,
         "embed_topk": _q_embed_topk,
@@ -378,7 +432,50 @@ FROM r WHERE rn <= {KNN_K} ORDER BY query_id, dist, doc_id
 
 def oracle_sql() -> dict[str, str]:
     nx = ORACLE_GRID.nx
+    qx, qy, r = RADIUS_Q
     return {
+        "window_agg": """
+SELECT (epoch_us(ts) // 1000000) // 3600 AS "window",
+       count(*) AS n, count(DISTINCT user_id) AS nd_user_id
+FROM events GROUP BY "window" ORDER BY "window"
+""",
+        "sessionize": """
+WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events),
+s AS (
+  SELECT user_id, sec,
+         CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+                   OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+c AS (
+  SELECT user_id, sec,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY sec
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+)
+SELECT user_id, min(sec) AS session_start, max(sec) AS session_end,
+       count(*) AS n_events
+FROM c GROUP BY user_id, sess ORDER BY user_id, session_start
+""",
+        "top_users": """
+SELECT user_id, count(*) AS n FROM events
+GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+""",
+        "count_in_box": f"""
+WITH {GEO_CTE.strip()}
+SELECT count(*) AS n FROM geo
+WHERE lon >= {BOX[0]!r} AND lon <= {BOX[2]!r} AND lat >= {BOX[1]!r} AND lat <= {BOX[3]!r}
+""",
+        "radius_search": f"""
+WITH {GEO_CTE.strip()}
+SELECT doc_id, lon AS x, lat AS y,
+       sqrt((lon - ({qx!r})) * (lon - ({qx!r})) + (lat - {qy!r}) * (lat - {qy!r})) AS dist
+FROM geo
+WHERE ((lon - ({qx!r})) / {r!r}) * ((lon - ({qx!r})) / {r!r})
+    + ((lat - {qy!r}) / {r!r}) * ((lat - {qy!r}) / {r!r}) < 1.0
+ORDER BY doc_id
+""",
         "knn_brute": _knn_sql(),
         "knn_cell_ring": _knn_sql(),
         "embed_topk": """

@@ -39,7 +39,7 @@ def sf_of(path: str) -> float:
 
 
 SF = sf_of(SF_DIR)
-N_PAGES = max(10_000, int(PAGES_PER_SF * SF))
+N_PAGES = int(os.environ.get("GRAFT_N_PAGES", "0")) or max(10_000, int(PAGES_PER_SF * SF))
 PAGES_CACHE = f"/tmp/rasterflow_pages_{N_PAGES}"
 
 
@@ -133,7 +133,7 @@ def run_once() -> dict:
     ctx.enable_progress_bars = False
     try:
         headline_sec, n_polys = bench_headline()
-        queries = bench_queries()
+        queries = {} if os.environ.get("GRAFT_HEADLINE_ONLY") else bench_queries()
     finally:
         ray.shutdown()
     return {
@@ -150,8 +150,14 @@ def run_once() -> dict:
 
 
 def run_scaling() -> dict:
+    # the scaling measurement needs a compute-dominated run: fixed costs
+    # (actor-pool startup, bundle broadcast, all-to-all latency ~4 s) are
+    # cluster-size-independent and would otherwise dominate the ratio
+    scaling_pages = os.environ.get("GRAFT_SCALING_PAGES", "16000000")
+
     def sub(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_N_PAGES=scaling_pages,
+                   GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
         ).stdout
@@ -173,7 +179,7 @@ def run_scaling() -> dict:
         "docs_per_s_8cpu": thr_lo,
         "docs_per_s_32cpu": thr_hi,
         "sf": SF,
-        "n_pages": N_PAGES,
+        "n_pages": int(scaling_pages),
     }
 
 
