@@ -1,0 +1,144 @@
+"""Cluster job entry point — submit with ``ray job submit``:
+
+    ray job submit --working-dir . -- python scripts/run_job.py \
+        --pipeline hybrid --input /data/pages --layer layers/neigh.txt \
+        --out /data/out/run1 --accuracy-m 50 --partition-size 64
+
+Runs the flagship pipeline (pages parquet -> extract -> geocode -> spatial
+aggregate) **resumably**: the input file list is split into deterministic
+partitions, each written as ``out/part-<id>/`` with a per-partition lineage
+manifest (see ``rasterflow/state/lineage.py``); re-submitting the same job
+skips finished partitions.  Per-polygon partials from all partitions are
+combined by a final reduce over the partition outputs.
+
+On a real multi-node cluster this script is identical — ``ray.init()``
+connects to the running cluster instead of local mode (RAY_ADDRESS).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline", choices=["raster", "index", "hybrid", "bounds", "ingest"], default="hybrid")
+    ap.add_argument("--input", required=True, help="pages parquet file/dir (or glob)")
+    ap.add_argument("--layer", help="polygon layer text file (reference format); default: neigh-like fixture")
+    ap.add_argument("--layer-project", action="store_true", help="layer vertices are lat/lon; project to world coords")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--accuracy-m", type=float, default=100.0)
+    ap.add_argument("--value-col", default=None)
+    ap.add_argument("--agg", choices=["count", "avg"], default="count")
+    ap.add_argument("--geocoder", choices=["text", "url"], default="text")
+    ap.add_argument("--partition-size", type=int, default=64, help="input files per resumable partition")
+    ap.add_argument("--concurrency", type=int, default=0, help="join actor pool size (0 = cpus)")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    from rasterflow.geom.polyio import read_polygons_text
+    from rasterflow.pipelines.ingest import ingest_points
+    from rasterflow.pipelines.joins import aggregate_by_polygon, aggregate_with_bounds
+    from rasterflow.sources.fixtures import neigh_like_layer
+    from rasterflow.stages.extract import extract_text
+    from rasterflow.stages.geocode import PreparePoints
+    from rasterflow.state.lineage import partition_files, read_manifest, run_resumable
+
+    paths = sorted(glob.glob(os.path.join(args.input, "*.parquet"))) or sorted(glob.glob(args.input))
+    if not paths:
+        print(f"no parquet inputs under {args.input}", file=sys.stderr)
+        return 2
+    ncpu = args.concurrency or int(ray.cluster_resources().get("CPU", 8))
+
+    if args.pipeline == "ingest":
+        parts = partition_files(paths, args.partition_size)
+        res = run_resumable(
+            parts,
+            lambda files: _points_ds(files, args, extract_text, PreparePoints),
+            args.out,
+        )
+        print(json.dumps(res | {"manifest": str(os.path.join(args.out, "_manifest.jsonl"))}))
+        return 0
+
+    layer = (
+        read_polygons_text(args.layer, name=os.path.basename(args.layer), project=args.layer_project)
+        if args.layer
+        else neigh_like_layer(260, seed=42)
+    )
+
+    def build(files):
+        pts = _points_ds(files, args, extract_text, PreparePoints)
+        if args.pipeline == "bounds":
+            return aggregate_with_bounds(pts, layer, accuracy_m=args.accuracy_m, concurrency=(2, ncpu))
+        # partitions keep raw (count, sum) partials; avg is computed in the
+        # final combine so partition outputs stay mergeable
+        return aggregate_by_polygon(
+            pts,
+            layer,
+            how=args.pipeline,
+            value_col=args.value_col,
+            agg="sum",
+            accuracy_m=args.accuracy_m,
+            concurrency=(2, ncpu),
+            sort=False,
+        )
+
+    parts = partition_files(paths, args.partition_size)
+    res = run_resumable(parts, build, args.out)
+
+    # final combine across partition outputs (small: npolys rows each)
+    import pandas as pd
+
+    frames = []
+    for pid, _ in parts:
+        frames.append(ray.data.read_parquet(os.path.join(args.out, f"part-{pid}")).to_pandas())
+    allp = pd.concat(frames, ignore_index=True)
+    if args.pipeline == "bounds":
+        agg_cols = {c: "sum" for c in allp.columns if c != "poly_id"}
+    else:
+        agg_cols = {"count": "sum"}
+        if "sum" in allp.columns:
+            agg_cols["sum"] = "sum"
+    final = allp.groupby("poly_id", as_index=False).agg(agg_cols).sort_values("poly_id")
+    if args.value_col and args.agg == "avg" and args.pipeline != "bounds":
+        final["avg"] = final["sum"] / final["count"].clip(lower=1)
+    final_path = os.path.join(args.out, "final.parquet")
+    final.to_parquet(final_path, index=False)
+    print(
+        json.dumps(
+            {
+                "ran": res["ran"],
+                "skipped": res["skipped"],
+                "rows_out": len(final),
+                "final": final_path,
+                "manifest_entries": len(read_manifest(args.out)),
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def _points_ds(files, args, extract_text, PreparePoints):
+    import ray.data
+
+    ds = ray.data.read_parquet(files)
+    ds = ds.map_batches(extract_text, batch_format="pyarrow")
+    return ds.map_batches(
+        PreparePoints(geocoder=args.geocoder, text_col="text2"), batch_format="pyarrow"
+    )
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
