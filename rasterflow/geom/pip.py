@@ -39,18 +39,29 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray, dtype=None)
     inside = np.zeros(px.shape, dtype=bool)
     if n < 3:
         return inside
-    j = n - 1
-    for i in range(n):
-        vix, viy = ring[i, 0], ring[i, 1]
-        vjx, vjy = ring[j, 0], ring[j, 1]
-        cond = (viy > py) != (vjy > py)
-        if np.any(cond):
-            # guard the division; rows where cond is False never use the value
-            denom = vjy - viy
-            with np.errstate(divide="ignore", invalid="ignore"):
-                xint = (vjx - vix) * (py - viy) / denom + vix
-            inside ^= cond & (px < xint)
-        j = i
+    # broadcast edges × points: vi = ring[i], vj = ring[i-1] (same iteration
+    # order/orientation as the reference's loop).  Divide-by-zero edges
+    # (viy == vjy) have cond False, so the garbage xint rows are masked out;
+    # errors are pre-silenced once (cheaper than a context manager per edge).
+    vi = ring
+    vj = np.roll(ring, 1, axis=0)
+    vix = vi[:, 0:1]
+    viy = vi[:, 1:2]
+    vjx = vj[:, 0:1]
+    vjy = vj[:, 1:2]
+    old = np.seterr(divide="ignore", invalid="ignore")
+    try:
+        max_elems = 4_000_000
+        step = max(1, max_elems // max(1, n))
+        for s in range(0, len(px), step):
+            pxs = px[s : s + step][None, :]
+            pys = py[s : s + step][None, :]
+            cond = (viy > pys) != (vjy > pys)
+            xint = (vjx - vix) * (pys - viy) / (vjy - viy) + vix
+            hits = cond & (pxs < xint)
+            inside[s : s + step] = (hits.sum(axis=0) & 1).astype(bool)
+    finally:
+        np.seterr(**old)
     return inside
 
 

@@ -57,21 +57,44 @@ class SpatialJoinAgg:
         self.value_col = value_col
         self.fixed_point = fixed_point
 
+    @staticmethod
+    def _expand(indptr: np.ndarray, values: np.ndarray, idx: np.ndarray, hit: np.ndarray):
+        """CSR expansion given pre-located unified-cell positions."""
+        starts = indptr[idx]
+        counts = np.where(hit, indptr[idx + 1] - starts, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+        point_idx = np.repeat(np.arange(len(idx), dtype=np.int64), counts)
+        run_ends = np.cumsum(counts)
+        run_starts = run_ends - counts
+        within = np.arange(total, dtype=np.int64) - np.repeat(run_starts, counts)
+        val_idx = np.repeat(starts, counts) + within
+        return point_idx, values[val_idx]
+
     def _match_pairs(self, x, y, lin) -> tuple[np.ndarray, np.ndarray]:
-        """(point_idx, poly_id) matched pairs under the strategy's semantics."""
+        """(point_idx, poly_id) matched pairs under the strategy's semantics.
+
+        One binary search on the unified cell table serves candidate lists,
+        cover lists and the border flag."""
         b = self.b
+        if len(b.ucells) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+        pos = np.searchsorted(b.ucells, lin)
+        idx = np.minimum(pos, len(b.ucells) - 1)
+        hit = b.ucells[idx] == lin
         if self.how == "raster":
-            return b.cover.expand(lin)
+            return self._expand(b.ucover_indptr, b.ucover_vals, idx, hit)
         if self.how == "index":
-            pts, pl = b.cand.expand(lin)
+            pts, pl = self._expand(b.ucand_indptr, b.ucand_vals, idx, hit)
             m = pip_pairs(x, y, pts, pl, b.verts, b.ring_offsets, b.poly_ring_offsets)
             return pts[m], pl[m]
-        # hybrid: exact, border cells refined, interior via cover lookup
-        is_b = b.is_border(lin)
+        # hybrid: exact — cover fast path off-border, PIP refinement on border
+        is_b = hit & b.uborder[idx]
         idx_border = np.flatnonzero(is_b)
         idx_int = np.flatnonzero(~is_b)
-        pts_i, pl_i = b.cover.expand(lin[idx_int])
-        pts_b, pl_b = b.cand.expand(lin[idx_border])
+        pts_i, pl_i = self._expand(b.ucover_indptr, b.ucover_vals, idx[idx_int], hit[idx_int])
+        pts_b, pl_b = self._expand(b.ucand_indptr, b.ucand_vals, idx[idx_border], hit[idx_border])
         m = pip_pairs(x[idx_border], y[idx_border], pts_b, pl_b, b.verts, b.ring_offsets, b.poly_ring_offsets)
         return (
             np.concatenate([idx_int[pts_i], idx_border[pts_b[m]]]),
@@ -252,7 +275,8 @@ def aggregate_by_polygon(
     cell_size: float | None = None,
     max_cover_cells: int = 32_000_000,
     fixed_point: bool = False,
-    concurrency=(1, 8),
+    compute: str = "tasks",
+    concurrency=None,
     batch_size: int = 65536,
     sort: bool = True,
 ):
@@ -264,12 +288,23 @@ def aggregate_by_polygon(
     if how not in _STRATEGIES:
         raise ValueError(f"how must be one of {_STRATEGIES}, got {how!r}")
     ref = _bundle_ref(layer_or_bundle, accuracy_m, cell_size, max_cover_cells)
-    kwargs = dict(fn_constructor_kwargs=dict(bundle=ref, how=how, value_col=value_col, fixed_point=fixed_point))
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-    partials = points_ds.map_batches(
-        SpatialJoinAgg, batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kwargs
-    )
+    if compute == "tasks":
+        # stateless tasks + broadcast bundle: the per-task ray.get is a
+        # zero-copy plasma view, and Ray's task pool outruns actor-pool
+        # dispatch ~2x for this stage (measured; actors remain available for
+        # states that are genuinely expensive to materialize per task)
+        def fn(batch: pa.Table) -> pa.Table:
+            return SpatialJoinAgg(ref, how=how, value_col=value_col, fixed_point=fixed_point)(batch)
+
+        partials = points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+    else:
+        kwargs = dict(
+            fn_constructor_kwargs=dict(bundle=ref, how=how, value_col=value_col, fixed_point=fixed_point),
+            concurrency=concurrency if concurrency is not None else (1, 8),
+        )
+        partials = points_ds.map_batches(
+            SpatialJoinAgg, batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kwargs
+        )
     partials = coalesce_small(partials)
     aggs = {"count": ("count", "sum")}
     if value_col is not None:
@@ -310,18 +345,23 @@ def spatial_join(
     accuracy_m: float = 100.0,
     cell_size: float | None = None,
     max_cover_cells: int = 32_000_000,
-    concurrency=(1, 8),
+    compute: str = "tasks",
+    concurrency=None,
     batch_size: int = 65536,
 ):
     """Materialized join rows ``(id_col, poly_id [, keep_cols...])``."""
     if how not in _STRATEGIES:
         raise ValueError(f"how must be one of {_STRATEGIES}, got {how!r}")
     ref = _bundle_ref(layer_or_bundle, accuracy_m, cell_size, max_cover_cells)
+    if compute == "tasks":
+        def fn(batch: pa.Table) -> pa.Table:
+            return SpatialJoinRows(ref, how=how, id_col=id_col, keep_cols=keep_cols)(batch)
+
+        return points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
     kwargs = dict(
-        fn_constructor_kwargs=dict(bundle=ref, how=how, id_col=id_col, keep_cols=keep_cols)
+        fn_constructor_kwargs=dict(bundle=ref, how=how, id_col=id_col, keep_cols=keep_cols),
+        concurrency=concurrency if concurrency is not None else (1, 8),
     )
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
     return points_ds.map_batches(
         SpatialJoinRows, batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kwargs
     )
@@ -333,7 +373,8 @@ def aggregate_with_bounds(
     accuracy_m: float = 100.0,
     cell_size: float | None = None,
     max_cover_cells: int = 32_000_000,
-    concurrency=(1, 8),
+    compute: str = "tasks",
+    concurrency=None,
     batch_size: int = 65536,
 ):
     """J4: raster aggregate + guaranteed/estimated error bounds.
@@ -342,12 +383,19 @@ def aggregate_with_bounds(
     schema, ``RasterJoin/main.cpp:178-193``).
     """
     ref = _bundle_ref(layer_or_bundle, accuracy_m, cell_size, max_cover_cells, area_fractions=True)
-    kwargs = dict(fn_constructor_kwargs=dict(bundle=ref))
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-    partials = points_ds.map_batches(
-        RasterBoundsAgg, batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kwargs
-    )
+    if compute == "tasks":
+        def fn(batch: pa.Table) -> pa.Table:
+            return RasterBoundsAgg(ref)(batch)
+
+        partials = points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+    else:
+        kwargs = dict(
+            fn_constructor_kwargs=dict(bundle=ref),
+            concurrency=concurrency if concurrency is not None else (1, 8),
+        )
+        partials = points_ds.map_batches(
+            RasterBoundsAgg, batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kwargs
+        )
     red = grouped_aggregate(
         coalesce_small(partials),
         "poly_id",

@@ -125,6 +125,25 @@ class PolygonBundle:
         # border = outline dilated by one cell (3×3 neighborhood), sorted
         self.border_cells = dilate_cells(outline_all, grid, r=1)
         self._outline_all = outline_all
+
+        # unified cell table: ONE searchsorted per batch serves candidate
+        # lists, cover lists and the border flag (3x fewer binary searches in
+        # the join hot path)
+        cells = np.union1d(self.cand.keys, self.border_cells)
+        self.ucells = cells
+
+        def _align(csr: CsrLookup):
+            indptr = np.zeros(len(cells) + 1, dtype=np.int64)
+            pos = np.searchsorted(cells, csr.keys)
+            indptr[pos + 1] = np.diff(csr.indptr)
+            np.cumsum(indptr, out=indptr)
+            return indptr, csr.values
+
+        self.ucand_indptr, self.ucand_vals = _align(self.cand)
+        self.ucover_indptr, self.ucover_vals = _align(self.cover)
+        self.uborder = np.zeros(len(cells), dtype=bool)
+        if len(self.border_cells):
+            self.uborder[np.searchsorted(cells, self.border_cells)] = True
         self._area_frac: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         if build_area_fractions:
             self.build_area_fractions()
@@ -212,7 +231,7 @@ _DISK_CACHE_DIR = "/tmp/rasterflow_bundles"
 def _cache_path(key) -> "str":
     import os
 
-    name = f"bundle_{key[0]}_{key[1]}_{int(key[2])}.pkl"
+    name = f"bundle_v2_{key[0]}_{key[1]}_{int(key[2])}.pkl"
     return os.path.join(_DISK_CACHE_DIR, name)
 
 
