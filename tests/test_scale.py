@@ -1,0 +1,61 @@
+"""Skew and scale-behavior tests (single-node evidence for SCALE.md claims)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rasterflow.geom.cells import Grid
+from rasterflow.pipelines.cellagg import cell_histogram_grid
+from rasterflow.pipelines.joins import aggregate_by_polygon
+from rasterflow.sources.fixtures import tiny2_layer
+from rasterflow.util import grouped_aggregate
+
+
+def test_hot_cell_histogram(ray_session):
+    """90% of points in ONE cell: partials stay bounded, counts exact."""
+    import ray.data
+
+    rng = np.random.default_rng(1)
+    n = 200_000
+    hot = rng.random(n) < 0.9
+    x = np.where(hot, 0.5, rng.uniform(0, 100, n))
+    y = np.where(hot, 0.5, rng.uniform(0, 100, n))
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y})).repartition(16)
+    grid = Grid(0.0, 0.0, 1.0, 100, 100)
+    out = cell_histogram_grid(ds, grid).to_pandas()
+    # exact totals despite the hot key
+    assert out["n"].sum() == n
+    assert out.set_index("cell_id").loc[0, "n"] == ((x < 1) & (y < 1)).sum()
+
+
+def test_hot_key_grouped_aggregate(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(2)
+    n = 300_000
+    keys = np.where(rng.random(n) < 0.95, 7, rng.integers(0, 1000, n))
+    df = pd.DataFrame({"k": keys, "v": np.ones(n, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(16)
+    out = grouped_aggregate(ds, "k", {"n": ("v", "sum")}).to_pandas()
+    assert out[out["k"] == 7]["n"].iloc[0] == (keys == 7).sum()
+    assert out["n"].sum() == n
+
+
+def test_join_partials_bounded_with_hot_cell(ray_session):
+    """All points inside one polygon cell: join still exact, partial rows per
+    batch ≤ npolys (the salting argument of SCALE.md §2)."""
+    import ray.data
+
+    layer = tiny2_layer()
+    n = 100_000
+    pts = pa.table(
+        {
+            "url": [f"u{i}" for i in range(n)],
+            "x": np.full(n, 5.15),
+            "y": np.full(n, 5.15),
+        }
+    )
+    ds = ray.data.from_arrow(pts).repartition(8)
+    out = aggregate_by_polygon(ds, layer, how="hybrid", cell_size=0.01).to_pandas()
+    assert dict(zip(out["poly_id"], out["count"])) == {0: n}
