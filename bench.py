@@ -159,7 +159,7 @@ def run_once() -> dict:
 
 
 POINTS_N = int(os.environ.get("GRAFT_SCALING_POINTS", "256000000"))
-POINTS_CACHE = f"/tmp/rasterflow_points_{POINTS_N}"
+POINTS_CACHE = f"/tmp/rasterflow_points_f32_{POINTS_N}"
 
 
 def ensure_points(n: int) -> str:
@@ -182,7 +182,9 @@ def ensure_points(n: int) -> str:
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch.column("id").to_numpy()
         lat, lon = geo_from_id(ids)
-        x, y, _ = project_points(lat, lon, dtype=np.float64)
+        # float32 storage matches the reference's record width
+        # (TaxiRecord.hpp:121-133)
+        x, y, _ = project_points(lat, lon, dtype=np.float32)
         return pa.table({"id": ids, "x": x, "y": y})
 
     ray.data.range(n, override_num_blocks=max(64, NUM_CPUS * 8)).map_batches(
@@ -200,7 +202,9 @@ def bench_join_only() -> dict:
     from rasterflow.sources.fixtures import neigh_like_layer
 
     path = ensure_points(POINTS_N)
-    layer = neigh_like_layer(260, seed=42)
+    # realistic polygon complexity: real city/neighborhood polygons carry
+    # 60-150 vertices (the fixture default of 8-40 understates PIP work)
+    layer = neigh_like_layer(260, seed=42, nv_range=(60, 151))
     # build/warm the bundle outside the timed section (it is a per-cluster
     # one-time artifact, cached on disk)
     from rasterflow.state.bundle import build_bundle

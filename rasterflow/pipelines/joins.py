@@ -279,6 +279,7 @@ def aggregate_by_polygon(
     concurrency=None,
     batch_size: int = 65536,
     sort: bool = True,
+    reduce: str = "driver",
 ):
     """Per-polygon COUNT / AVG / SUM of points under a join strategy.
 
@@ -305,15 +306,35 @@ def aggregate_by_polygon(
         partials = points_ds.map_batches(
             SpatialJoinAgg, batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kwargs
         )
-    partials = coalesce_small(partials)
-    aggs = {"count": ("count", "sum")}
+    sum_cols = ["count"]
     if value_col is not None:
-        if fixed_point:
-            aggs["sum_hi"] = ("sum_hi", "sum")
-            aggs["sum_lo"] = ("sum_lo", "sum")
-        else:
-            aggs["sum"] = ("sum", "sum")
-    out = grouped_aggregate(partials, "poly_id", aggs)
+        sum_cols += ["sum_hi", "sum_lo"] if fixed_point else ["sum"]
+    if reduce == "driver":
+        # per-polygon partials are ≤ npolys rows per block — collect and
+        # reduce on the driver (the reference's GPU->host readback step).
+        # Keeps the Ray DAG to read+join only: the streaming executor splits
+        # the CPU budget across operators, so a long reduce chain starves the
+        # join stage at low CPU counts (measured 161s -> 27s at 8 CPUs).
+        # For npolys × blocks beyond driver memory, pass reduce="distributed".
+        import pandas as pd
+
+        pdf = partials.to_pandas()
+        if len(pdf) == 0:
+            pdf = pd.DataFrame({c: pd.Series(dtype="int64") for c in ["poly_id", *sum_cols]})
+        red = pdf.groupby("poly_id", as_index=False)[sum_cols].sum()
+        if value_col is not None and agg == "avg":
+            c = red["count"].to_numpy().astype(np.float64)
+            if fixed_point:
+                val = red["sum_hi"].to_numpy() * 100.0 + red["sum_lo"].to_numpy() / 10.0
+            else:
+                val = red["sum"].to_numpy()
+            red = red[["poly_id", "count"]].assign(avg=np.where(c > 0, val / np.maximum(c, 1.0), 0.0))
+        if sort:
+            red = red.sort_values("poly_id").reset_index(drop=True)
+        import ray.data
+
+        return ray.data.from_pandas(red)
+    out = grouped_aggregate(partials, "poly_id", {c: (c, "sum") for c in sum_cols})
 
     if value_col is not None and agg == "avg":
 
@@ -396,29 +417,23 @@ def aggregate_with_bounds(
         partials = points_ds.map_batches(
             RasterBoundsAgg, batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kwargs
         )
-    red = grouped_aggregate(
-        coalesce_small(partials),
-        "poly_id",
+    import pandas as pd
+    import ray.data
+
+    cols = ["count", "fp_all", "fn_all", "fp_est", "fn_est"]
+    pdf = partials.to_pandas()
+    if len(pdf) == 0:
+        pdf = pd.DataFrame({c: pd.Series(dtype="float64") for c in ["poly_id", *cols]})
+    red = pdf.groupby("poly_id", as_index=False)[cols].sum()
+    c = red["count"].to_numpy().astype(np.float64)
+    out = pd.DataFrame(
         {
-            "count": ("count", "sum"),
-            "fp_all": ("fp_all", "sum"),
-            "fn_all": ("fn_all", "sum"),
-            "fp_est": ("fp_est", "sum"),
-            "fn_est": ("fn_est", "sum"),
-        },
-    )
-
-    def finish(t: pa.Table) -> pa.Table:
-        c = t.column("count").to_numpy(zero_copy_only=False).astype(np.float64)
-        return pa.table(
-            {
-                "poly_id": t.column("poly_id"),
-                "agg": t.column("count"),
-                "lb_guar": pa.array(c - t.column("fp_all").to_numpy(zero_copy_only=False)),
-                "ub_guar": pa.array(c + t.column("fn_all").to_numpy(zero_copy_only=False)),
-                "lb_est": pa.array(c - t.column("fp_est").to_numpy(zero_copy_only=False)),
-                "ub_est": pa.array(c + t.column("fn_est").to_numpy(zero_copy_only=False)),
-            }
-        )
-
-    return red.map_batches(finish, batch_format="pyarrow").sort("poly_id")
+            "poly_id": red["poly_id"],
+            "agg": red["count"],
+            "lb_guar": c - red["fp_all"].to_numpy(),
+            "ub_guar": c + red["fn_all"].to_numpy(),
+            "lb_est": c - red["fp_est"].to_numpy(),
+            "ub_est": c + red["fn_est"].to_numpy(),
+        }
+    ).sort_values("poly_id").reset_index(drop=True)
+    return ray.data.from_pandas(out)

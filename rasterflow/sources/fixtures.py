@@ -177,7 +177,7 @@ def _star_ring(rng: np.random.Generator, cx: float, cy: float, rmin: float, rmax
     return np.stack([cx + np.cos(ang) * rad, cy + np.sin(ang) * rad], axis=1)
 
 
-def neigh_like_layer(n: int = 260, seed: int = 42, project: bool = True):
+def neigh_like_layer(n: int = 260, seed: int = 42, project: bool = True, nv_range: tuple[int, int] = (8, 41)):
     """~260 random star polygons over the hot-spot clusters (lat/lon plane),
     mirroring the NYC-neighborhoods workload; optionally projected to world
     coords."""
@@ -190,7 +190,7 @@ def neigh_like_layer(n: int = 260, seed: int = 42, project: bool = True):
         c = k % 3
         cy = CLUSTER_LAT[c] + rng.uniform(-CLUSTER_HALF, CLUSTER_HALF)
         cx = CLUSTER_LON[c] + rng.uniform(-CLUSTER_HALF, CLUSTER_HALF)
-        nv = int(rng.integers(8, 41))
+        nv = int(rng.integers(*nv_range))
         r = rng.uniform(0.01, 0.06)
         ring = _star_ring(rng, cx, cy, 0.3 * r, r, nv)  # (lon, lat) order = (x, y)
         polys.append([ring])
