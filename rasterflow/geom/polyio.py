@@ -192,6 +192,62 @@ def read_catalog(path: str | Path, project: bool = False) -> dict[str, PolygonLa
     return out
 
 
+def read_geojson(path_or_obj, name: str = "layer", project: bool = False) -> PolygonLayer:
+    """GeoJSON convenience loader (FeatureCollection / Feature / [Multi]Polygon).
+
+    GeoJSON coordinates are (lon, lat).  With ``project=True`` vertices are
+    projected to centered world coords (polygons with any vertex outside the
+    US bbox are dropped, matching the text loader); otherwise the layer stays
+    in the raw (x=lon, y=lat) plane.  MultiPolygon parts become additional
+    rings of one polygon id — even-odd semantics handle disjoint parts.
+    Polygon ids are positional (feature order), as everywhere else.
+    """
+    import json
+
+    if isinstance(path_or_obj, (str, Path)):
+        obj = json.loads(Path(path_or_obj).read_text())
+    elif isinstance(path_or_obj, dict):
+        obj = path_or_obj
+    else:
+        obj = json.load(path_or_obj)
+
+    def geoms(o):
+        t = o.get("type")
+        if t == "FeatureCollection":
+            for f in o.get("features", []):
+                yield f.get("geometry") or {}
+        elif t == "Feature":
+            yield o.get("geometry") or {}
+        else:
+            yield o
+
+    polygons: list[list[np.ndarray]] = []
+    for g in geoms(obj):
+        t = g.get("type")
+        if t == "Polygon":
+            parts = [g.get("coordinates", [])]
+        elif t == "MultiPolygon":
+            parts = g.get("coordinates", [])
+        else:
+            continue
+        rings = []
+        dropped = False
+        for part in parts:
+            for ring_coords in part:
+                ring = np.asarray(ring_coords, dtype=np.float64).reshape(-1, 2)
+                if project:
+                    x, y, ok = project_points(ring[:, 1], ring[:, 0])
+                    if not np.all(ok):
+                        dropped = True
+                    ring = np.stack([x, y], axis=1)
+                ring = _dedupe_ring(ring)
+                if len(ring) >= 3:
+                    rings.append(ring)
+        if rings and not dropped:
+            polygons.append(rings)
+    return PolygonLayer.from_rings(name, polygons)
+
+
 def rect_layer(name: str, rects: np.ndarray) -> PolygonLayer:
     """Convenience: axis-aligned rectangles (N,4) (xmin,ymin,xmax,ymax) -> layer.
 
