@@ -45,6 +45,34 @@ def cell_histogram_grid(points_ds, grid: Grid, value_col: str | None = None, sor
     return out.sort("cell_id") if sort else out
 
 
+def rollup_histogram(hist_ds, parent_res: int, sort: bool = True):
+    """Roll a global-cell histogram up to a coarser resolution.
+
+    Pure bit-shift parent derivation (M7 hierarchy) + re-aggregation — no
+    re-scan of the points."""
+    from ..geom.cells import parent_cells
+    from ..util import grouped_aggregate
+
+    def to_parent(b: pa.Table) -> pa.Table:
+        p = parent_cells(b.column("cell_id").to_numpy(zero_copy_only=False), parent_res)
+        return pa.table({"cell_id": pa.array(p), "n": b.column("n")})
+
+    out = grouped_aggregate(
+        hist_ds.map_batches(to_parent, batch_format="pyarrow"), "cell_id", {"n": ("n", "sum")}
+    )
+    return out.sort("cell_id") if sort else out
+
+
+def aggregate_catalog(points_ds, catalog: dict, how: str = "hybrid", **kwargs):
+    """Per-polygon aggregates for every layer of a catalog (the analogue of
+    the reference's polygon-collection switching, ``DataHandler::
+    setPolygonQuery``).  Returns {name: Dataset}; bundles are cached so
+    repeated calls are cheap."""
+    from .joins import aggregate_by_polygon
+
+    return {name: aggregate_by_polygon(points_ds, layer, how=how, **kwargs) for name, layer in catalog.items()}
+
+
 def cell_histogram_global(points_ds, res: int, x_col: str = "x", y_col: str = "y", sort: bool = True):
     """Counts per global hierarchical cell id at resolution ``res`` (M7/T5
     analogue — the engine's tile-assignment histogram)."""

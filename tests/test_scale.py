@@ -59,3 +59,40 @@ def test_join_partials_bounded_with_hot_cell(ray_session):
     ds = ray.data.from_arrow(pts).repartition(8)
     out = aggregate_by_polygon(ds, layer, how="hybrid", cell_size=0.01).to_pandas()
     assert dict(zip(out["poly_id"], out["count"])) == {0: n}
+
+
+def test_rollup_histogram(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.cellagg import cell_histogram_global, rollup_histogram
+    from rasterflow.geom.cells import encode_cells
+    from rasterflow.sources.fixtures import geo_from_id
+    from rasterflow.geom.projection import project_points
+
+    ids = np.arange(20000)
+    lat, lon = geo_from_id(ids)
+    x, y, _ = project_points(lat, lon)
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y})).repartition(4)
+    fine = cell_histogram_global(ds, res=12)
+    coarse_direct = cell_histogram_global(ds, res=8).to_pandas()
+    rolled = rollup_histogram(fine, 8).to_pandas()
+    m = rolled.merge(coarse_direct, on="cell_id", suffixes=("_r", "_d"))
+    assert len(m) == len(coarse_direct) == len(rolled)
+    assert (m["n_r"] == m["n_d"]).all()
+
+
+def test_aggregate_catalog(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.cellagg import aggregate_catalog
+    from rasterflow.sources.fixtures import tiny2_layer
+    from rasterflow.geom.polyio import rect_layer
+
+    pts = pa.table({"x": np.array([5.15, 5.0, 5.0]), "y": np.array([5.15, 5.0, 5.0])})
+    ds = ray.data.from_arrow(pts)
+    catalog = {"tiny2": tiny2_layer(), "one": rect_layer("one", np.array([[4.0, 4.0, 6.0, 6.0]]))}
+    out = aggregate_catalog(ds, catalog, how="index", cell_size=0.05)
+    t2 = out["tiny2"].to_pandas()
+    assert dict(zip(t2["poly_id"], t2["count"])) == {0: 1, 1: 2}
+    one = out["one"].to_pandas()
+    assert dict(zip(one["poly_id"], one["count"])) == {0: 3}
