@@ -160,3 +160,45 @@ def test_geo_from_id_in_bbox():
     lat, lon = geo_from_id(np.arange(100000))
     assert (lat >= 24.396308).all() and (lat <= 49.384358).all()
     assert (lon >= -124.848974).all() and (lon <= -66.885444).all()
+
+
+def test_holes_layer_through_joins(ray_session):
+    import ray.data
+
+    from rasterflow.sources.fixtures import holes_layer
+
+    layer = holes_layer()  # 10x10 square with a 3..7 hole
+    rng = np.random.default_rng(8)
+    x = rng.uniform(-1, 11, 5000)
+    y = rng.uniform(-1, 11, 5000)
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y}))
+    expect = int(points_in_polygon(x, y, layer.verts, layer.rings_of(0)).sum())
+    # sanity: the hole actually excludes points
+    in_hole = ((x > 3) & (x < 7) & (y > 3) & (y < 7)).sum()
+    assert in_hole > 0
+    for how in ("index", "hybrid"):
+        out = aggregate_by_polygon(ds, layer, how=how, cell_size=0.2).to_pandas()
+        assert dict(zip(out["poly_id"], out["count"])) == {0: expect}, how
+
+
+def test_degenerate_polygons(ray_session):
+    import ray.data
+
+    from rasterflow.geom.polyio import PolygonLayer
+
+    # collinear vertices + duplicated vertex + a sliver
+    p1 = np.array([[0, 0], [1, 0], [2, 0], [2, 2], [2, 2], [0, 2]], dtype=float)
+    sliver = np.array([[5, 5], [6, 5], [5.5, 5.0000001]], dtype=float)
+    layer = PolygonLayer.from_rings("degen", [[p1], [sliver]])
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-1, 7, 4000)
+    y = rng.uniform(-1, 7, 4000)
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y}))
+    exp = {
+        p: int(points_in_polygon(x, y, layer.verts, layer.rings_of(p)).sum())
+        for p in range(2)
+    }
+    for how in ("index", "hybrid"):
+        out = aggregate_by_polygon(ds, layer, how=how, cell_size=0.1).to_pandas()
+        got = dict(zip(out["poly_id"], out["count"]))
+        assert {p: got.get(p, 0) for p in range(2)} == exp, how
