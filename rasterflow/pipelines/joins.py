@@ -80,9 +80,7 @@ class SpatialJoinAgg:
         b = self.b
         if len(b.ucells) == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
-        pos = np.searchsorted(b.ucells, lin)
-        idx = np.minimum(pos, len(b.ucells) - 1)
-        hit = b.ucells[idx] == lin
+        idx, hit = b.locate_ucells(lin)
         if self.how == "raster":
             return self._expand(b.ucover_indptr, b.ucover_vals, idx, hit)
         if self.how == "index":

@@ -148,6 +148,27 @@ class PolygonBundle:
         if build_area_fractions:
             self.build_area_fractions()
 
+    def locate_ucells(self, lin: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(idx, hit) positions of query cells in the unified table.
+
+        Hash lookup (pandas khash Int64Index, built lazily once per process —
+        excluded from pickle) — ~10x faster than binary search over millions
+        of keys for random queries."""
+        index = self.__dict__.get("_ucell_index")
+        if index is None:
+            import pandas as pd
+
+            index = pd.Index(self.ucells)
+            self.__dict__["_ucell_index"] = index
+        pos = index.get_indexer(lin)
+        hit = pos >= 0
+        return np.where(hit, pos, 0), hit
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state.pop("_ucell_index", None)
+        return state
+
     # ---- border membership (sorted-array membership, vectorized) ----
     def is_border(self, lin: np.ndarray) -> np.ndarray:
         if len(self.border_cells) == 0:
