@@ -84,6 +84,42 @@ def points_in_polygon(
     return inside
 
 
+def _pip_pairs_edge_parallel(
+    px, py, pair_point, pair_poly, verts, ring_offsets, poly_ring_offsets
+) -> np.ndarray:
+    """Pair-parallel PIP for SINGLE-RING polygons: one vectorized pass per
+    edge ordinal across all pairs (padded ordinals degenerate to zero-length
+    edges, which the crossing condition ignores).  Wins when a batch touches
+    many distinct small polygons, where per-polygon grouping would pay Python
+    overhead per polygon."""
+    ring_idx = poly_ring_offsets[pair_poly]
+    starts = ring_offsets[ring_idx]
+    nv = ring_offsets[ring_idx + 1] - starts
+    tx = px[pair_point]
+    ty = py[pair_point]
+    inside = np.zeros(len(pair_point), dtype=bool)
+    if len(nv) == 0:
+        return inside
+    max_nv = int(nv.max())
+    old = np.seterr(divide="ignore", invalid="ignore")
+    try:
+        for e in range(max_nv):
+            valid = e < nv
+            i_idx = starts + np.minimum(e, nv - 1)
+            prev = np.where(e == 0, nv - 1, e - 1)
+            j_idx = np.where(valid, starts + prev, i_idx)  # padded -> vi == vj
+            vix = verts[i_idx, 0]
+            viy = verts[i_idx, 1]
+            vjx = verts[j_idx, 0]
+            vjy = verts[j_idx, 1]
+            cond = (viy > ty) != (vjy > ty)
+            xint = (vjx - vix) * (ty - viy) / (vjy - viy) + vix
+            inside ^= cond & (tx < xint)
+    finally:
+        np.seterr(**old)
+    return inside
+
+
 def pip_pairs(
     px: np.ndarray,
     py: np.ndarray,
@@ -96,15 +132,41 @@ def pip_pairs(
 ) -> np.ndarray:
     """Evaluate PIP for (point, polygon) candidate pairs.
 
-    Groups the pairs by polygon id and runs the vectorized kernel once per
-    distinct polygon present in the batch — the numpy analogue of the
-    reference's per-point candidate-list walk (``shaders/index.glsl:186-249``).
+    Two regimes (the numpy analogue of the reference's per-point
+    candidate-list walk, ``shaders/index.glsl:186-249``):
+
+    - few distinct polygons: group pairs by polygon, run the edge-broadcast
+      kernel once per polygon (amortizes over many points per polygon);
+    - many distinct single-ring polygons: pair-parallel edge-ordinal sweep
+      (no per-polygon Python overhead).  Multi-ring polygons always take the
+      grouped path.
 
     Returns a boolean mask aligned with the pair arrays.
     """
     out = np.zeros(len(pair_point), dtype=bool)
     if len(pair_point) == 0:
         return out
+    if dtype is None and len(pair_point) > 0:
+        nrings_all = np.diff(poly_ring_offsets)
+        if (nrings_all.max() if len(nrings_all) else 1) == 1:
+            # cheap distinct-poly estimate via bincount threshold
+            if len(np.unique(pair_poly)) > 96:
+                return _pip_pairs_edge_parallel(
+                    px, py, pair_point, pair_poly, verts, ring_offsets, poly_ring_offsets
+                )
+        else:
+            single = nrings_all[pair_poly] == 1
+            if single.any() and len(np.unique(pair_poly[single])) > 96:
+                out[single] = _pip_pairs_edge_parallel(
+                    px, py, pair_point[single], pair_poly[single], verts, ring_offsets, poly_ring_offsets
+                )
+                multi = ~single
+                if multi.any():
+                    out[multi] = pip_pairs(
+                        px, py, pair_point[multi], pair_poly[multi], verts,
+                        ring_offsets, poly_ring_offsets, dtype=dtype,
+                    )
+                return out
     order = np.argsort(pair_poly, kind="stable")
     sp = pair_poly[order]
     spt = pair_point[order]

@@ -81,7 +81,7 @@ class CsrLookup:
 class PolygonBundle:
     """Immutable broadcastable join state for one (layer, grid)."""
 
-    def __init__(self, layer: PolygonLayer, grid: Grid, build_area_fractions: bool = False):
+    def __init__(self, layer: PolygonLayer, grid: Grid, build_area_fractions: bool = False, pairs=None):
         self.layer_name = layer.name
         self.grid = grid
         self.npolys = layer.npolys
@@ -89,21 +89,9 @@ class PolygonBundle:
         self.ring_offsets = np.ascontiguousarray(layer.ring_offsets)
         self.poly_ring_offsets = np.ascontiguousarray(layer.poly_ring_offsets)
 
-        cand_cells, cand_polys = [], []
-        cover_cells, cover_polys = [], []
-        outline_cells_all = []
-        for p in range(layer.npolys):
-            ro = layer.rings_of(p)
-            outline, cover, _full = classify_polygon_cells(self.verts, ro, grid)
-            # exact candidate set = every cell the polygon intersects:
-            # boundary cells plus center-covered cells (a non-outline covered
-            # cell is fully inside).
-            cand = np.union1d(outline, cover)
-            cand_cells.append(cand)
-            cand_polys.append(np.full(len(cand), p, dtype=np.int32))
-            cover_cells.append(cover)
-            cover_polys.append(np.full(len(cover), p, dtype=np.int32))
-            outline_cells_all.append(outline)
+        if pairs is None:
+            pairs = classify_layer_pairs(layer, grid, range(layer.npolys))
+        cand_cells, cand_polys, cover_cells, cover_polys, outline_cells_all = pairs
 
         self.cand = CsrLookup(
             *_pairs_to_csr(
@@ -119,7 +107,7 @@ class PolygonBundle:
         )
         outline_all = (
             np.unique(np.concatenate(outline_cells_all))
-            if outline_cells_all
+            if len(outline_cells_all)
             else np.empty(0, dtype=np.int64)
         )
         # border = outline dilated by one cell (3×3 neighborhood), sorted
@@ -199,6 +187,54 @@ class PolygonBundle:
         return self.ring_offsets[r0 : r1 + 1]
 
 
+def classify_layer_pairs(layer: PolygonLayer, grid: Grid, poly_ids):
+    """Classify a set of polygons to (cand, cover, outline) pair lists.
+
+    Pure function of (layer slice, grid) — the unit of parallelism for
+    distributed bundle builds."""
+    cand_cells, cand_polys = [], []
+    cover_cells, cover_polys = [], []
+    outline_cells_all = []
+    verts = layer.verts
+    for p in poly_ids:
+        ro = layer.rings_of(p)
+        outline, cover, _full = classify_polygon_cells(verts, ro, grid)
+        # exact candidate set = every cell the polygon intersects: boundary
+        # cells plus center-covered cells (non-outline covered = fully inside)
+        cand = np.union1d(outline, cover)
+        cand_cells.append(cand)
+        cand_polys.append(np.full(len(cand), p, dtype=np.int32))
+        cover_cells.append(cover)
+        cover_polys.append(np.full(len(cover), p, dtype=np.int32))
+        outline_cells_all.append(outline)
+    return cand_cells, cand_polys, cover_cells, cover_polys, outline_cells_all
+
+
+def _parallel_pairs(layer: PolygonLayer, grid: Grid, chunk: int = 256):
+    """Distribute the per-polygon classification across Ray tasks (the index
+    build is embarrassingly parallel; the reference builds its GPU index on
+    device, ``GLFunction::createPolyIndex``)."""
+    import ray
+
+    @ray.remote
+    def work(layer_ref, ids):
+        return classify_layer_pairs(layer_ref, grid, ids)
+
+    layer_ref = ray.put(layer)
+    futures = [
+        work.remote(layer_ref, list(range(s, min(s + chunk, layer.npolys))))
+        for s in range(0, layer.npolys, chunk)
+    ]
+    cand_cells, cand_polys, cover_cells, cover_polys, outline = [], [], [], [], []
+    for res in ray.get(futures):
+        cand_cells += res[0]
+        cand_polys += res[1]
+        cover_cells += res[2]
+        cover_polys += res[3]
+        outline += res[4]
+    return cand_cells, cand_polys, cover_cells, cover_polys, outline
+
+
 _BUNDLE_CACHE: dict[tuple, PolygonBundle] = {}
 
 
@@ -235,8 +271,13 @@ def build_bundle(
     if b is None:
         b = _load_disk_cache(key)
     if b is None:
+        import ray
+
         grid = Grid.from_bounds(xmin, ymin, xmax, ymax, cell_size)
-        b = PolygonBundle(layer, grid, build_area_fractions=build_area_fractions)
+        pairs = None
+        if ray.is_initialized() and layer.npolys >= 512:
+            pairs = _parallel_pairs(layer, grid)
+        b = PolygonBundle(layer, grid, build_area_fractions=build_area_fractions, pairs=pairs)
         _save_disk_cache(key, b)
     _BUNDLE_CACHE[key] = b
     return b

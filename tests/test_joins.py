@@ -202,3 +202,25 @@ def test_degenerate_polygons(ray_session):
         out = aggregate_by_polygon(ds, layer, how=how, cell_size=0.1).to_pandas()
         got = dict(zip(out["poly_id"], out["count"]))
         assert {p: got.get(p, 0) for p in range(2)} == exp, how
+
+
+def test_many_small_polys_edge_parallel_path(ray_session):
+    # >96 distinct polys per batch triggers the pair-parallel PIP kernel;
+    # compare against brute force
+    import ray.data
+
+    from rasterflow.sources.fixtures import synthetic_layer
+
+    layer = synthetic_layer(1024, project=True)
+    ds = pages_dataset(3000, override_num_blocks=2)
+    pts = prepare_points(ds, geocoder="url", dtype=np.float64)
+    tbl = pts.to_pandas()
+    got = aggregate_by_polygon(pts, layer, how="index", accuracy_m=300.0).to_pandas()
+    x = tbl["x"].to_numpy(); y = tbl["y"].to_numpy()
+    dense = np.zeros(layer.npolys)
+    dense[got["poly_id"].to_numpy()] = got["count"].to_numpy()
+    # verify the 40 densest + 20 random polys against brute PIP
+    check = list(np.argsort(-dense)[:40]) + list(np.random.default_rng(0).integers(0, 1024, 20))
+    for p in check:
+        expect = points_in_polygon(x, y, layer.verts, layer.rings_of(int(p))).sum()
+        assert dense[int(p)] == expect, p
