@@ -224,3 +224,13 @@ def test_many_small_polys_edge_parallel_path(ray_session):
     for p in check:
         expect = points_in_polygon(x, y, layer.verts, layer.rings_of(int(p))).sum()
         assert dense[int(p)] == expect, p
+
+
+def test_actor_pool_compute_path(points_and_layer):
+    # compute="actors" must give identical results to the default task path
+    pts, layer, tbl = points_and_layer
+    oracle = brute_counts(tbl, layer)
+    got = aggregate_by_polygon(
+        pts, layer, how="hybrid", accuracy_m=100.0, compute="actors", concurrency=2
+    ).to_pandas()
+    np.testing.assert_array_equal(to_dense(got, layer.npolys), oracle)
