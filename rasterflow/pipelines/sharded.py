@@ -65,6 +65,8 @@ def build_tile_bundles(
                 tid = (tile_res << 58) | (ix << 29) | iy
                 tile_assign.setdefault(tid, []).append(p)
 
+    gx0, gy0 = float(layer.bounds[0]), float(layer.bounds[1])
+
     @ray.remote
     def build_one(layer_ref, poly_ids, cs):
         sub_polys = []
@@ -76,11 +78,15 @@ def build_tile_bundles(
             sub_polys.append(rings)
         sub = PolygonLayer(f"{layer_ref.name}-tile", *_pack(sub_polys))
         xmin, ymin, xmax, ymax = sub.bounds
-        w = max(xmax - xmin, ymax - ymin)
         total_area = float(((sub.mbrs[:, 2] - sub.mbrs[:, 0]) * (sub.mbrs[:, 3] - sub.mbrs[:, 1])).sum())
         min_cell = (total_area / max_cover_cells_per_tile) ** 0.5 if total_area > 0 else 0.0
-        cs2 = max(cs, min_cell, w / float(1 << 24))
-        grid = Grid.from_bounds(xmin, ymin, xmax, ymax, cs2)
+        cs2 = max(cs, min_cell)
+        # snap the tile canvas to the GLOBAL cell lattice anchored at the
+        # layer origin, so raster cell boundaries (and hence cover lists)
+        # are identical to the unsharded canvas when cs2 == cs
+        sx0 = gx0 + np.floor((xmin - gx0) / cs2) * cs2
+        sy0 = gy0 + np.floor((ymin - gy0) / cs2) * cs2
+        grid = Grid.from_bounds(sx0, sy0, xmax, ymax, cs2)
         return PolygonBundle(sub, grid), np.asarray(poly_ids, dtype=np.int32)
 
     layer_ref = ray.put(layer)

@@ -35,6 +35,14 @@ def test_sharded_equals_unsharded(fix, how):
         )
 
 
+def test_sharded_raster_equals_unsharded_raster(fix):
+    # tile canvases snap to the global lattice -> identical cover semantics
+    pts, layer = fix
+    base = aggregate_by_polygon(pts, layer, how="raster", accuracy_m=100.0).to_pandas()
+    sh = aggregate_by_polygon_sharded(pts, layer, tile_res=7, how="raster", accuracy_m=100.0).to_pandas()
+    np.testing.assert_array_equal(to_dense(sh, layer.npolys), to_dense(base, layer.npolys))
+
+
 def test_sharded_raster_within_epsilon(fix):
     pts, layer = fix
     exact = aggregate_by_polygon(pts, layer, how="index").to_pandas()
