@@ -180,3 +180,30 @@ def test_multimodal_stub_stages(ray_session):
     )
     au = sample_audio_frames(ds, concurrency=2).to_pandas()
     assert all(len(f) == 16 for f in au["frames"])
+
+
+def test_minhash_recall_on_injected_neardups(ray_session):
+    """2000 fixture texts + 150 injected near-duplicates: MinHash-LSH must
+    recover most injected pairs and report estimated jaccard near truth."""
+    import ray.data
+
+    from rasterflow.sources.fixtures import pages_batch
+
+    base = pages_batch(np.arange(2000)).to_pandas()[["text"]]
+    texts = list(base["text"])
+    ids = list(range(2000))
+    rng = np.random.default_rng(17)
+    injected = []
+    for k, src_id in enumerate(rng.choice(2000, 150, replace=False)):
+        toks = texts[src_id].split()
+        # perturb ~5% of tokens
+        for _ in range(max(1, len(toks) // 20)):
+            toks[int(rng.integers(0, len(toks)))] = "zzz"
+        texts.append(" ".join(toks))
+        ids.append(10000 + k)
+        injected.append((int(src_id), 10000 + k))
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts})).repartition(8)
+    out = minhash_lsh_pairs(ds, threshold=0.5, concurrency=2).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    found = sum(1 for p in injected if p in pairs)
+    assert found / len(injected) >= 0.85, f"recall {found}/{len(injected)}"
