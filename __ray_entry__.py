@@ -62,12 +62,10 @@ def _q_agg_rect_index(sf_dir: str):
 
 
 def _q_agg_rect_raster(sf_dir: str):
-    # rectangles + fine cells: raster stays approximate in general, but the
-    # oracle compare needs exactness — so use the exact-equivalent hybrid on
-    # the same raster canvas… no: this entry is the *raster* operator; its
-    # oracle holds because every rect edge is far (>cell) from any point's
-    # cell boundary at this density? Not guaranteed — keep raster rows-only
-    # by omitting it from oracle_sql (driver records rows-only).
+    # the raster operator is approximate by design (error bounded by the
+    # cell diagonal), so it has no SQL oracle — the driver records a
+    # rows-only check; its accuracy is verified against the exact join in
+    # tests/test_joins.py (ε-sweep) and tests/test_golden.py.
     return aggregate_by_polygon(
         documents_points(sf_dir), oracle_rect_layer(), how="raster", cell_size=0.01, concurrency=2
     )
