@@ -148,15 +148,24 @@ def pip_pairs(
         return out
     if dtype is None and len(pair_point) > 0:
         nrings_all = np.diff(poly_ring_offsets)
-        if (nrings_all.max() if len(nrings_all) else 1) == 1:
-            # cheap distinct-poly estimate via bincount threshold
-            if len(np.unique(pair_poly)) > 96:
-                return _pip_pairs_edge_parallel(
-                    px, py, pair_point, pair_poly, verts, ring_offsets, poly_ring_offsets
-                )
-        else:
-            single = nrings_all[pair_poly] == 1
-            if single.any() and len(np.unique(pair_poly[single])) > 96:
+        all_single = (nrings_all.max() if len(nrings_all) else 1) == 1
+        single = None if all_single else (nrings_all[pair_poly] == 1)
+        sel_poly = pair_poly if all_single else pair_poly[single]
+        if len(sel_poly):
+            # cost model: grouped pays per-distinct-poly Python overhead
+            # (~2000 element-ops equivalent) plus the true edge work
+            # Σ nv_p per pair; edge-parallel pays max(nv) passes over every
+            # pair.  Pick the cheaper.
+            ring_idx = poly_ring_offsets[sel_poly]
+            nv_pairs = ring_offsets[ring_idx + 1] - ring_offsets[ring_idx]
+            distinct = len(np.unique(sel_poly))
+            cost_grouped = int(nv_pairs.sum()) + distinct * 2000
+            cost_par = int(nv_pairs.max()) * len(sel_poly)
+            if cost_par < cost_grouped:
+                if all_single:
+                    return _pip_pairs_edge_parallel(
+                        px, py, pair_point, pair_poly, verts, ring_offsets, poly_ring_offsets
+                    )
                 out[single] = _pip_pairs_edge_parallel(
                     px, py, pair_point[single], pair_poly[single], verts, ring_offsets, poly_ring_offsets
                 )
