@@ -36,6 +36,28 @@ from ..util import coalesce_small, grouped_aggregate
 
 _STRATEGIES = ("raster", "index", "hybrid")
 
+# §2.8 extension surface: new join techniques plug in by name — the analogue
+# of registering a GLFunction subclass in GLHandler::initFunctions
+# (join/GLHandler.cpp:157-186).  A strategy is a SpatialJoinAgg subclass
+# overriding _match_pairs.
+_CUSTOM_STRATEGIES: dict[str, type] = {}
+
+
+def register_strategy(name: str, cls: type) -> None:
+    """Register a custom join strategy (SpatialJoinAgg subclass) under a
+    name usable as ``how=`` in the public entry points."""
+    if name in _STRATEGIES:
+        raise ValueError(f"{name!r} is a built-in strategy")
+    _CUSTOM_STRATEGIES[name] = cls
+
+
+def _strategy_ok(how: str) -> bool:
+    return how in _STRATEGIES or how in _CUSTOM_STRATEGIES
+
+
+def _agg_cls(how: str) -> type:
+    return _CUSTOM_STRATEGIES.get(how, SpatialJoinAgg)
+
 
 def _get_bundle(bundle_or_ref) -> PolygonBundle:
     if isinstance(bundle_or_ref, ray.ObjectRef):
@@ -50,7 +72,7 @@ class SpatialJoinAgg:
     """
 
     def __init__(self, bundle, how: str = "hybrid", value_col: str | None = None, fixed_point: bool = False):
-        if how not in _STRATEGIES:
+        if how not in _STRATEGIES and type(self) is SpatialJoinAgg:
             raise ValueError(f"how must be one of {_STRATEGIES}")
         self.b = _get_bundle(bundle)
         self.how = how
@@ -284,8 +306,9 @@ def aggregate_by_polygon(
     Returns a Dataset with columns ``poly_id, count`` plus ``sum``/``avg``
     when ``value_col`` is given (column names stable for the oracle compare).
     """
-    if how not in _STRATEGIES:
-        raise ValueError(f"how must be one of {_STRATEGIES}, got {how!r}")
+    if not _strategy_ok(how):
+        raise ValueError(f"how must be one of {_STRATEGIES} or a registered strategy, got {how!r}")
+    cls = _agg_cls(how)
     ref = _bundle_ref(layer_or_bundle, accuracy_m, cell_size, max_cover_cells)
     if compute == "tasks":
         # stateless tasks + broadcast bundle: the per-task ray.get is a
@@ -293,7 +316,7 @@ def aggregate_by_polygon(
         # dispatch ~2x for this stage (measured; actors remain available for
         # states that are genuinely expensive to materialize per task)
         def fn(batch: pa.Table) -> pa.Table:
-            return SpatialJoinAgg(ref, how=how, value_col=value_col, fixed_point=fixed_point)(batch)
+            return cls(ref, how=how, value_col=value_col, fixed_point=fixed_point)(batch)
 
         partials = points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
     else:

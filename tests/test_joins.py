@@ -234,3 +234,27 @@ def test_actor_pool_compute_path(points_and_layer):
         pts, layer, how="hybrid", accuracy_m=100.0, compute="actors", concurrency=2
     ).to_pandas()
     np.testing.assert_array_equal(to_dense(got, layer.npolys), oracle)
+
+
+def test_custom_strategy_registration(points_and_layer):
+    """SURVEY §2.8: a new join technique plugs in by name (GLFunction analogue)."""
+    from rasterflow.pipelines.joins import SpatialJoinAgg, register_strategy
+
+    class BboxOnlyJoin(SpatialJoinAgg):
+        """Counts candidate pairs without PIP refinement (an upper bound)."""
+
+        def __init__(self, bundle, how="bbox", value_col=None, fixed_point=False):
+            super().__init__(bundle, how="index", value_col=value_col, fixed_point=fixed_point)
+
+        def _match_pairs(self, x, y, lin):
+            b = self.b
+            idx, hit = b.locate_ucells(lin)
+            return self._expand(b.ucand_indptr, b.ucand_vals, idx, hit)
+
+    register_strategy("bbox", BboxOnlyJoin)
+    pts, layer, tbl = points_and_layer
+    upper = aggregate_by_polygon(pts, layer, how="bbox", accuracy_m=200.0).to_pandas()
+    exact = aggregate_by_polygon(pts, layer, how="index", accuracy_m=200.0).to_pandas()
+    u = to_dense(upper, layer.npolys)
+    e = to_dense(exact, layer.npolys)
+    assert (u >= e).all() and u.sum() > e.sum()
