@@ -355,8 +355,17 @@ def _q_radius_search(sf_dir: str):
     return out.sort("doc_id")
 
 
+def _q_bounds_agg(sf_dir: str):
+    from rasterflow.pipelines.joins import aggregate_with_bounds
+
+    return aggregate_with_bounds(
+        documents_points(sf_dir), oracle_poly_layer(), cell_size=0.1
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "bounds_agg": _q_bounds_agg,
         "window_agg": _q_window_agg,
         "sessionize": _q_sessionize,
         "top_users": _q_top_users,
@@ -496,6 +505,22 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 ORDER BY id_a, id_b
+""",
+        "lang_id": """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht|ein)\\b')) AS DOUBLE) AS cd,
+         CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b')) AS DOUBLE) AS ce,
+         CAST(len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|en|los)\\b')) AS DOUBLE) AS cs,
+         CAST(len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|est|une)\\b')) AS DOUBLE) AS cf
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN cd >= ce AND cd >= cs AND cd >= cf THEN 'de'
+            WHEN ce >= cs AND ce >= cf THEN 'en'
+            WHEN cs >= cf THEN 'es' ELSE 'fr' END AS lang_pred,
+       GREATEST(cd, ce, cs, cf) / GREATEST(cd + ce + cs + cf, 1.0) AS lang_conf
+FROM c ORDER BY doc_id
 """,
         "dedup_exact_text": """
 SELECT min(doc_id) AS doc_id, count(*) AS n
