@@ -96,3 +96,44 @@ def test_aggregate_catalog(ray_session):
     assert dict(zip(t2["poly_id"], t2["count"])) == {0: 1, 1: 2}
     one = out["one"].to_pandas()
     assert dict(zip(one["poly_id"], one["count"])) == {0: 3}
+
+
+def test_pipeline_survives_task_failures(ray_session, tmp_path):
+    """A crashed worker mid-pipeline is retried by Ray and the aggregate
+    stays exact (SURVEY §4: stragglers/retries are free with idempotent
+    partials)."""
+    import ray.data
+
+    from rasterflow.sources.fixtures import tiny2_layer
+    from rasterflow.state.bundle import build_bundle
+    from rasterflow.pipelines.joins import SpatialJoinAgg
+    from rasterflow.util import grouped_aggregate
+
+    flag = tmp_path / "failed_once"
+    bundle = build_bundle(tiny2_layer(), cell_size=0.05)
+    import ray as _ray
+
+    ref = _ray.put(bundle)
+    flag_path = str(flag)
+
+    def flaky(batch):
+        import os
+
+        if not os.path.exists(flag_path):
+            try:
+                fd = os.open(flag_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                # simulate a node/worker crash (Ray retries system failures;
+                # user exceptions are surfaced, not retried)
+                os._exit(1)
+            except FileExistsError:
+                pass
+        return SpatialJoinAgg(ref, "hybrid")(batch)
+
+    n = 30000
+    pts = pa.table({"x": np.full(n, 5.15), "y": np.full(n, 5.15)})
+    ds = ray.data.from_arrow(pts).repartition(6)
+    partials = ds.map_batches(flaky, batch_format="pyarrow")
+    out = grouped_aggregate(partials, "poly_id", {"count": ("count", "sum")}).to_pandas()
+    assert flag.exists()  # the failure really happened
+    assert dict(zip(out["poly_id"], out["count"])) == {0: n}
