@@ -83,7 +83,14 @@ def bench_headline() -> tuple[float, int]:
     )
     n_polys = len(out.to_pandas())
     dt = time.perf_counter() - t0
-    return dt, n_polys
+    try:
+        from rasterflow.metrics import stage_metrics
+        from rasterflow.pipelines import joins as _joins
+
+        stages = stage_metrics(_joins.LAST_STATS or out)
+    except Exception:  # noqa: BLE001 - metrics are best-effort
+        stages = []
+    return dt, n_polys, stages
 
 
 def bench_queries() -> dict[str, float]:
@@ -141,7 +148,7 @@ def run_once() -> dict:
                     "unit": "sec", "pts_per_s": res["pts_per_s"],
                     "join_sec": res["join_sec"], "num_cpus": NUM_CPUS,
                     "n_points": POINTS_N, "n_polys_out": res["n_polys_out"]}
-        headline_sec, n_polys = bench_headline()
+        headline_sec, n_polys, stages = bench_headline()
         queries = {} if os.environ.get("GRAFT_HEADLINE_ONLY") else bench_queries()
     finally:
         ray.shutdown()
@@ -155,6 +162,7 @@ def run_once() -> dict:
         "n_pages": N_PAGES,
         "n_polys_out": n_polys,
         "headline_docs_per_s": round(N_PAGES / headline_sec, 1),
+        "headline_stages": stages,
     }
 
 

@@ -36,6 +36,11 @@ from ..util import coalesce_small, grouped_aggregate
 
 _STRATEGIES = ("raster", "index", "hybrid")
 
+#: stats text of the most recent driver-reduced join pipeline (the reduce
+#: consumes the partials internally, so callers can't reach ds.stats();
+#: bench/metrics read this instead)
+LAST_STATS: str = ""
+
 # §2.8 extension surface: new join techniques plug in by name — the analogue
 # of registering a GLFunction subclass in GLHandler::initFunctions
 # (join/GLHandler.cpp:157-186).  A strategy is a SpatialJoinAgg subclass
@@ -340,6 +345,11 @@ def aggregate_by_polygon(
         import pandas as pd
 
         pdf = partials.to_pandas()
+        global LAST_STATS
+        try:
+            LAST_STATS = partials.stats()
+        except Exception:  # noqa: BLE001
+            LAST_STATS = ""
         if len(pdf) == 0:
             pdf = pd.DataFrame({c: pd.Series(dtype="int64") for c in ["poly_id", *sum_cols]})
         red = pdf.groupby("poly_id", as_index=False)[sum_cols].sum()

@@ -137,3 +137,15 @@ def test_pipeline_survives_task_failures(ray_session, tmp_path):
     out = grouped_aggregate(partials, "poly_id", {"count": ("count", "sum")}).to_pandas()
     assert flag.exists()  # the failure really happened
     assert dict(zip(out["poly_id"], out["count"])) == {0: n}
+
+
+def test_stage_metrics_parse(ray_session):
+    import ray.data
+
+    from rasterflow.metrics import stage_metrics
+
+    ds = ray.data.range(10000).map_batches(lambda b: b, batch_format="pyarrow")
+    ds.to_pandas()
+    m = stage_metrics(ds)
+    assert len(m) >= 1
+    assert all("operator" in e and "wall_s" in e for e in m)
