@@ -28,7 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pipeline", choices=["raster", "index", "hybrid", "bounds", "ingest"], default="hybrid")
+    ap.add_argument(
+        "--pipeline",
+        choices=["raster", "index", "hybrid", "bounds", "ingest", "rows"],
+        default="hybrid",
+    )
     ap.add_argument("--input", required=True, help="pages parquet file/dir (or glob)")
     ap.add_argument("--layer", help="polygon layer text file (reference format); default: neigh-like fixture")
     ap.add_argument("--layer-project", action="store_true", help="layer vertices are lat/lon; project to world coords")
@@ -76,6 +80,20 @@ def main() -> int:
         if args.layer
         else neigh_like_layer(260, seed=42)
     )
+
+    if args.pipeline == "rows":
+        # materialized join rows (url, poly_id): partitions are final output,
+        # no combine step
+        from rasterflow.pipelines.joins import spatial_join
+
+        def build_rows(files):
+            pts = _points_ds(files, args, extract_text, PreparePoints)
+            return spatial_join(pts, layer, how="index", id_col="url", accuracy_m=args.accuracy_m)
+
+        parts = partition_files(paths, args.partition_size)
+        res = run_resumable(parts, build_rows, args.out)
+        print(json.dumps(res | {"manifest": os.path.join(args.out, "_manifest.jsonl")}))
+        return 0
 
     def build(files):
         pts = _points_ds(files, args, extract_text, PreparePoints)
