@@ -67,7 +67,9 @@ def bench_headline() -> tuple[float, int]:
     path = ensure_pages(N_PAGES)
     layer = neigh_like_layer(260, seed=42)
     t0 = time.perf_counter()
-    ds = ray.data.read_parquet(path)
+    # prune at the read: the fixture carries a golden `text` copy of the html
+    # content — reading it would double the scanned bytes for no reason
+    ds = ray.data.read_parquet(path, columns=["url", "warc_ts", "html", "lang"])
     ds = ds.map_batches(extract_text, batch_format="pyarrow")
     pts = ds.map_batches(
         PreparePoints(geocoder="text", text_col="text2"), batch_format="pyarrow"

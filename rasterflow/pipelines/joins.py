@@ -32,7 +32,7 @@ from ray.data.aggregate import Sum
 
 from ..geom.pip import pip_pairs
 from ..state.bundle import PolygonBundle, build_bundle
-from ..util import coalesce_small, grouped_aggregate
+from ..util import coalesce_small, grouped_aggregate, streaming_group_sum
 
 _STRATEGIES = ("raster", "index", "hybrid")
 
@@ -336,23 +336,20 @@ def aggregate_by_polygon(
     if value_col is not None:
         sum_cols += ["sum_hi", "sum_lo"] if fixed_point else ["sum"]
     if reduce == "driver":
-        # per-polygon partials are ≤ npolys rows per block — collect and
-        # reduce on the driver (the reference's GPU->host readback step).
-        # Keeps the Ray DAG to read+join only: the streaming executor splits
-        # the CPU budget across operators, so a long reduce chain starves the
-        # join stage at low CPU counts (measured 161s -> 27s at 8 CPUs).
-        # For npolys × blocks beyond driver memory, pass reduce="distributed".
-        import pandas as pd
-
-        pdf = partials.to_pandas()
+        # per-polygon partials are ≤ npolys rows per block — stream them to
+        # the driver and reduce into dense O(npolys) accumulators (the
+        # reference's GPU->host readback step).  Keeps the Ray DAG to
+        # read+join only: the streaming executor splits the CPU budget across
+        # operators, so a long reduce chain starves the join stage at low CPU
+        # counts (measured 161s -> 27s at 8 CPUs).  Driver memory is O(npolys)
+        # regardless of block count; reduce="distributed" remains available
+        # for layers too large even for that (10^8+ polygons).
+        int_cols = {"count"}
+        if value_col is not None and fixed_point:
+            int_cols |= {"sum_hi", "sum_lo"}
+        red, stats = streaming_group_sum(partials, "poly_id", sum_cols, int_cols=int_cols)
         global LAST_STATS
-        try:
-            LAST_STATS = partials.stats()
-        except Exception:  # noqa: BLE001
-            LAST_STATS = ""
-        if len(pdf) == 0:
-            pdf = pd.DataFrame({c: pd.Series(dtype="int64") for c in ["poly_id", *sum_cols]})
-        red = pdf.groupby("poly_id", as_index=False)[sum_cols].sum()
+        LAST_STATS = stats
         if value_col is not None and agg == "avg":
             c = red["count"].to_numpy().astype(np.float64)
             if fixed_point:
@@ -360,8 +357,7 @@ def aggregate_by_polygon(
             else:
                 val = red["sum"].to_numpy()
             red = red[["poly_id", "count"]].assign(avg=np.where(c > 0, val / np.maximum(c, 1.0), 0.0))
-        if sort:
-            red = red.sort_values("poly_id").reset_index(drop=True)
+        # streaming_group_sum emits keys in ascending order already
         import ray.data
 
         return ray.data.from_pandas(red)
@@ -452,10 +448,7 @@ def aggregate_with_bounds(
     import ray.data
 
     cols = ["count", "fp_all", "fn_all", "fp_est", "fn_est"]
-    pdf = partials.to_pandas()
-    if len(pdf) == 0:
-        pdf = pd.DataFrame({c: pd.Series(dtype="float64") for c in ["poly_id", *cols]})
-    red = pdf.groupby("poly_id", as_index=False)[cols].sum()
+    red, _ = streaming_group_sum(partials, "poly_id", cols, int_cols={"count", "fp_all", "fn_all"})
     c = red["count"].to_numpy().astype(np.float64)
     out = pd.DataFrame(
         {

@@ -151,14 +151,10 @@ def aggregate_by_polygon_sharded(
         return pa.table({"poly_id": touched.astype(np.int32), "count": counts[touched]})
 
     partials = points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
-    import pandas as pd
+    from ..util import streaming_group_sum
 
-    pdf = partials.to_pandas()
-    if len(pdf) == 0:
-        pdf = pd.DataFrame({"poly_id": pd.Series(dtype="int32"), "count": pd.Series(dtype="int64")})
-    red = pdf.groupby("poly_id", as_index=False)["count"].sum()
-    if sort:
-        red = red.sort_values("poly_id").reset_index(drop=True)
+    # streaming O(npolys) driver reduce (keys emitted in ascending order)
+    red, _ = streaming_group_sum(partials, "poly_id", ["count"], int_cols={"count"})
     from ray.data import from_pandas
 
     return from_pandas(red)

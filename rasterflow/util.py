@@ -50,6 +50,63 @@ def grouped_aggregate(
     return withpk.groupby("_pk").map_groups(reduce, batch_format="pandas")
 
 
+def streaming_group_sum(
+    ds,
+    key: str,
+    cols: list[str],
+    int_cols: set[str] | frozenset[str] = frozenset(),
+    key_dtype=np.int32,
+):
+    """Driver-side group-sum over a partials Dataset with **O(#keys) memory**.
+
+    Consumes the stream batch-by-batch (``iter_batches`` — no full
+    materialization) and reduces into dense per-key accumulators, so the
+    driver holds ``#distinct keys`` floats regardless of how many partial
+    blocks the join stage emitted.  This keeps the measured perf win of the
+    driver reduce (the streaming executor otherwise starves the map stage
+    behind a long reduce chain at low CPU counts) without the round-1 scale
+    ceiling of ``to_pandas()`` on npolys × n_batches rows.
+
+    Keys must be small non-negative ints (polygon ids).  ``int_cols`` are cast
+    back to int64 on output (counts stay exact: float64 accumulation is exact
+    below 2^53, far above any per-polygon count at 100 TB).
+
+    Returns ``(DataFrame[key, *cols] sorted by key, stats_str)``.
+    """
+    size = 0
+    accs: dict[str, np.ndarray] = {c: np.zeros(0) for c in cols}
+    present = np.zeros(0, dtype=bool)
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        pid = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        if len(pid) == 0:
+            continue
+        m = int(pid.max()) + 1
+        if m > size:
+            new = max(m, 2 * size)
+            grown = np.zeros(new, dtype=bool)
+            grown[:size] = present
+            present = grown
+            for c in cols:
+                a = np.zeros(new)
+                a[:size] = accs[c]
+                accs[c] = a
+            size = new
+        present[pid] = True
+        for c in cols:
+            v = b.column(c).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            accs[c] += np.bincount(pid, weights=v, minlength=size)
+    idx = np.flatnonzero(present)
+    data: dict[str, np.ndarray] = {key: idx.astype(key_dtype)}
+    for c in cols:
+        a = accs[c][idx]
+        data[c] = a.astype(np.int64) if c in int_cols else a
+    try:
+        stats = ds.stats()
+    except Exception:  # noqa: BLE001 - stats are best-effort
+        stats = ""
+    return pd.DataFrame(data), stats
+
+
 def coalesce_small(ds, n: int = 8):
     """Coalesce a known-small partials stream into ``n`` blocks before an
     all-to-all (groupby/sort).

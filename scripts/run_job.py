@@ -151,7 +151,8 @@ def main() -> int:
 def _points_ds(files, args, extract_text, PreparePoints):
     import ray.data
 
-    ds = ray.data.read_parquet(files)
+    # prune at the read: only the columns the extract+geocode path consumes
+    ds = ray.data.read_parquet(files, columns=["url", "warc_ts", "html", "lang"])
     ds = ds.map_batches(extract_text, batch_format="pyarrow")
     return ds.map_batches(
         PreparePoints(geocoder=args.geocoder, text_col="text2"), batch_format="pyarrow"
