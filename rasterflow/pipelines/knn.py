@@ -34,16 +34,19 @@ import ray
 
 
 def _topk_partial(qx, qy, x, y, ids, k):
-    """Per-batch top-k rows for each query; returns (query_id, id, dist)."""
+    """Per-batch top-k rows for each query; returns (query_id, id, dist).
+
+    Each partial is itself the deterministic (dist, id) top-k (boundary ties
+    resolved by id via :func:`det_topk_indices`), so the downstream per-query
+    merge composes deterministically."""
+    from ..util import det_topk_indices
+
     out_q, out_i, out_d = [], [], []
     for qi in range(len(qx)):
         dx = x - qx[qi]
         dy = y - qy[qi]
         d = np.sqrt(dx * dx + dy * dy)
-        if len(d) > k:
-            idx = np.argpartition(d, k)[:k]
-        else:
-            idx = np.arange(len(d))
+        idx = det_topk_indices(d, ids, k)
         out_q.append(np.full(len(idx), qi, dtype=np.int32))
         out_i.append(ids[idx])
         out_d.append(d[idx])
@@ -177,15 +180,71 @@ class KnnShardActor:
                     best_d = d[order]
                     best_i = self.ids[allidx][order]
                     found_all = len(allidx) >= self.n
-                # stopping rule: any cell at ring r+1 is at distance ≥ r*cell
+                # stopping rule: any cell at ring r+1 is at distance ≥ r*cell.
+                # Strict '<': at equality an unvisited point at exactly the
+                # boundary distance could still win the (dist, id) tie-break.
                 if len(best_d) >= min(k, self.n) and (
-                    len(best_d) >= k and best_d[k - 1] <= r * self.cell or found_all
+                    len(best_d) >= k and best_d[k - 1] < r * self.cell or found_all
                 ):
                     break
                 r += 1
             res_ids.append(best_i)
             res_d.append(best_d)
         return res_ids, res_d
+
+
+_CKEY_OFF = np.int64(1) << np.int64(20)
+_CKEY_MUL = np.int64(1) << np.int64(21)
+
+
+def _coarse_keys(x: np.ndarray, y: np.ndarray, route_cell: float) -> np.ndarray:
+    """Pack the (ix, iy) coarse routing cell of each point into one int64."""
+    ix = np.floor(x / route_cell).astype(np.int64)
+    iy = np.floor(y / route_cell).astype(np.int64)
+    return (ix + _CKEY_OFF) * _CKEY_MUL + (iy + _CKEY_OFF)
+
+
+def _morton(ix: np.ndarray, iy: np.ndarray, bits: int = 21) -> np.ndarray:
+    """Interleave the low ``bits`` of ix/iy (non-negative) — Z-order key so
+    contiguous key ranges are spatially compact shard regions."""
+    out = np.zeros(len(ix), dtype=np.int64)
+    for b in range(bits):
+        out |= ((ix >> b) & 1) << (2 * b)
+        out |= ((iy >> b) & 1) << (2 * b + 1)
+    return out
+
+
+def _dmin_to_cells(qx: float, qy: float, ix: np.ndarray, iy: np.ndarray, cs: float) -> float:
+    """Min Euclidean distance from a query point to any of the cell rects."""
+    if len(ix) == 0:
+        return np.inf
+    x0 = ix * cs
+    y0 = iy * cs
+    dx = np.maximum(np.maximum(x0 - qx, qx - (x0 + cs)), 0.0)
+    dy = np.maximum(np.maximum(y0 - qy, qy - (y0 + cs)), 0.0)
+    return float(np.sqrt(dx * dx + dy * dy).min())
+
+
+@ray.remote
+def _block_cell_hist(block, route_cell: float):
+    t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
+    x = t.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    y = t.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    u, c = np.unique(_coarse_keys(x, y, route_cell), return_counts=True)
+    return u, c
+
+
+@ray.remote
+def _split_block(block, cells_sorted: np.ndarray, shard_of: np.ndarray, route_cell: float, num_shards: int):
+    """Route each row of a block to its spatial shard; returns one sub-table
+    per shard (the index-build exchange — a one-time partition shuffle)."""
+    t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
+    x = t.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    y = t.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    key = _coarse_keys(x, y, route_cell)
+    pos = np.searchsorted(cells_sorted, key)
+    shard = shard_of[pos]
+    return [t.filter(pa.array(shard == s)) for s in range(num_shards)]
 
 
 def knn_cell_ring(
@@ -195,38 +254,122 @@ def knn_cell_ring(
     cell: float,
     id_col: str = "doc_id",
     num_shards: int = 4,
+    route_cell: float | None = None,
+    return_routing: bool = False,
 ):
-    """Exact kNN via sharded grid-index actors with cell-ring expansion.
+    """Exact kNN via **spatially partitioned** grid-index shard actors with
+    cell-ring expansion inside each shard and distance-pruned shard routing.
 
-    Materializes only the narrow (id, x, y) columns into the shard actors —
-    the index-build step (the analogue of the reference's persisted CPU grid
-    index, ``GridIndexF.cpp:200-275``).  Results match :func:`knn_brute`
-    exactly (same distance expression and tie-break).
+    Index build (one-time, the analogue of the reference's persisted CPU grid
+    index, ``GridIndexF.cpp:200-275``): a tiny per-block coarse-cell histogram
+    is reduced on the driver, coarse cells are Z-ordered and split into
+    ``num_shards`` contiguous (spatially compact) ranges balanced by point
+    count, and blocks are scattered to shard actors by cell ownership.
+
+    Query routing: each query first visits only its nearest shard; further
+    shards are visited only while their region's min distance to the query is
+    ≤ the current k-th best distance (inclusive — a region at exactly the
+    k-th distance could hold a tie that wins on id).  Far-apart queries touch
+    disjoint shard subsets; results match :func:`knn_brute` exactly (same
+    distance expression and (dist, id) tie-break).
+
+    ``return_routing=True`` additionally returns, per query, the list of
+    shards actually visited (for tests / diagnostics).
     """
     q = np.ascontiguousarray(np.asarray(queries_xy, dtype=np.float64))
+    nq = len(q)
+    if route_cell is None:
+        route_cell = cell * 8.0
     narrow = points_ds.select_columns([id_col, "x", "y"])
     refs = narrow.to_arrow_refs()
-    groups: list[list] = [[] for _ in range(num_shards)]
-    for i, r in enumerate(refs):
-        groups[i % num_shards].append(r)
-    actors = [
-        KnnShardActor.remote([b for b in grp], id_col, cell) if grp else None
-        for grp in groups
+
+    # --- pass 1: coarse-cell histogram (tiny partials, driver reduce) ---
+    hists = ray.get([_block_cell_hist.remote(r, route_cell) for r in refs])
+    counts: dict[int, int] = {}
+    for u, c in hists:
+        for key, n in zip(u.tolist(), c.tolist()):
+            counts[key] = counts.get(key, 0) + n
+    if not counts:
+        empty = pa.table(
+            {"query_id": pa.array([], type=pa.int32()), id_col: pa.array([], type=pa.int64()),
+             "dist": pa.array([], type=pa.float64())}
+        )
+        return (empty, [[] for _ in range(nq)]) if return_routing else empty
+    keys = np.array(sorted(counts), dtype=np.int64)
+    cnt = np.array([counts[int(kk)] for kk in keys], dtype=np.int64)
+    ix = keys // _CKEY_MUL - _CKEY_OFF
+    iy = keys % _CKEY_MUL - _CKEY_OFF
+    # Z-order the cells, then greedy contiguous split balanced by point count
+    morder = np.argsort(_morton(ix - ix.min(), iy - iy.min()), kind="stable")
+    target = cnt.sum() / num_shards
+    shard_of_sorted = np.zeros(len(keys), dtype=np.int64)
+    acc, s = 0, 0
+    for j, ci in enumerate(morder):
+        shard_of_sorted[ci] = s
+        acc += cnt[ci]
+        if acc >= target * (s + 1) and s < num_shards - 1:
+            s += 1
+    # lookup arrays aligned to ascending key order
+    shard_cells = [
+        (ix[shard_of_sorted == si], iy[shard_of_sorted == si]) for si in range(num_shards)
     ]
-    futures = [a.query.remote(q, k) for a in actors if a is not None]
-    results = ray.get(futures)
-    rows_q, rows_i, rows_d = [], [], []
-    for qi in range(len(q)):
-        all_i = np.concatenate([res[0][qi] for res in results])
-        all_d = np.concatenate([res[1][qi] for res in results])
-        order = np.lexsort((all_i, all_d))[:k]
-        rows_q.append(np.full(len(order), qi, dtype=np.int32))
-        rows_i.append(all_i[order])
-        rows_d.append(all_d[order])
-    return pa.table(
+
+    # --- pass 2: scatter blocks to shard actors by cell ownership ---
+    splits = ray.get(
+        [_split_block.remote(r, keys, shard_of_sorted, route_cell, num_shards) for r in refs]
+    )
+    actors = []
+    for si in range(num_shards):
+        parts = [sp[si] for sp in splits if len(sp[si])]
+        actors.append(KnnShardActor.remote(parts, id_col, cell) if parts else None)
+
+    # --- query: nearest shard first, then distance-pruned expansion ---
+    dmin = np.array(
+        [
+            [_dmin_to_cells(q[qi, 0], q[qi, 1], *shard_cells[si], route_cell) for si in range(num_shards)]
+            for qi in range(nq)
+        ]
+    )
+    best_i: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+    best_d: list[np.ndarray] = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+    visited: list[set[int]] = [set() for _ in range(nq)]
+    first_round = True
+    while True:
+        need: dict[int, list[int]] = {}
+        for qi in range(nq):
+            kth = best_d[qi][k - 1] if len(best_d[qi]) >= k else np.inf
+            open_shards = [
+                si
+                for si in range(num_shards)
+                if si not in visited[qi] and actors[si] is not None and dmin[qi, si] <= kth
+            ]
+            if not open_shards:
+                continue
+            if first_round:
+                open_shards = [min(open_shards, key=lambda si: dmin[qi, si])]
+            for si in open_shards:
+                need.setdefault(si, []).append(qi)
+        if not need:
+            break
+        first_round = False
+        futures = {si: actors[si].query.remote(q[idxs], k) for si, idxs in need.items()}
+        for si, idxs in need.items():
+            ids_l, d_l = ray.get(futures[si])
+            for j, qi in enumerate(idxs):
+                visited[qi].add(si)
+                all_i = np.concatenate([best_i[qi], ids_l[j]])
+                all_d = np.concatenate([best_d[qi], d_l[j]])
+                order = np.lexsort((all_i, all_d))[:k]
+                best_i[qi], best_d[qi] = all_i[order], all_d[order]
+
+    rows_q = [np.full(len(best_i[qi]), qi, dtype=np.int32) for qi in range(nq)]
+    out = pa.table(
         {
-            "query_id": np.concatenate(rows_q),
-            id_col: np.concatenate(rows_i),
-            "dist": np.concatenate(rows_d),
+            "query_id": np.concatenate(rows_q) if rows_q else np.empty(0, np.int32),
+            id_col: np.concatenate(best_i),
+            "dist": np.concatenate(best_d),
         }
     )
+    if return_routing:
+        return out, [sorted(v) for v in visited]
+    return out

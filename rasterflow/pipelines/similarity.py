@@ -57,13 +57,16 @@ def cosine_topk(
     qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
 
     def partial(batch: pa.Table) -> pa.Table:
+        from ..util import det_topk_indices
+
         e = _normalize(_emb_matrix(batch, emb_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         scores = e @ qn.T  # (n, Q)
         qcol, icol, scol = [], [], []
         for qi in range(qn.shape[0]):
             s = scores[:, qi]
-            idx = np.argpartition(-s, min(k, len(s) - 1))[:k] if len(s) > k else np.arange(len(s))
+            # deterministic (-score, id) top-k: boundary ties resolved by id
+            idx = det_topk_indices(s, ids, k, descending=True)
             qcol.append(np.full(len(idx), qi, dtype=np.int32))
             icol.append(ids[idx])
             scol.append(s[idx])
@@ -142,7 +145,9 @@ def cosine_topk_ivf(
                     continue
                 s = e[m] @ qn[qi]
                 sub_ids = ids[m]
-                idx = np.argpartition(-s, min(k, len(s) - 1))[:k] if len(s) > k else np.arange(len(s))
+                from ..util import det_topk_indices
+
+                idx = det_topk_indices(s, sub_ids, k, descending=True)
                 qcol.append(np.full(len(idx), qi, dtype=np.int32))
                 icol.append(sub_ids[idx])
                 scol.append(s[idx])

@@ -107,6 +107,28 @@ def streaming_group_sum(
     return pd.DataFrame(data), stats
 
 
+def det_topk_indices(vals: np.ndarray, ids: np.ndarray, k: int, descending: bool = False) -> np.ndarray:
+    """Indices of the deterministic top-k by ``(vals, ids)`` — vals ascending
+    (descending when ``descending=True``), ids ascending as the tie-break.
+
+    ``np.argpartition`` alone picks arbitrarily among exact ties straddling
+    the k-cut (common with duplicate coordinates in web data), which breaks
+    the documented (dist, id) determinism; this selects ALL boundary ties and
+    resolves them by id before cutting to k.
+    """
+    n = len(vals)
+    if n == 0 or k <= 0:
+        return np.empty(0, dtype=np.int64)
+    v = -vals if descending else vals
+    if n > k:
+        part = np.argpartition(v, k - 1)[:k]
+        cand = np.flatnonzero(v <= v[part].max())
+    else:
+        cand = np.arange(n)
+    order = np.lexsort((ids[cand], v[cand]))[:k]
+    return cand[order]
+
+
 def coalesce_small(ds, n: int = 8):
     """Coalesce a known-small partials stream into ``n`` blocks before an
     all-to-all (groupby/sort).
