@@ -257,7 +257,10 @@ def _docs(sf_dir: str):
 def _q_dedup_exact_text(sf_dir: str):
     from rasterflow.pipelines.dedup import exact_dedup
 
-    return exact_dedup(_docs(sf_dir))
+    # verify=True: collision-proof second pass (hash groups re-checked by
+    # actual text equality) — the oracle groups by text, so this is the
+    # exactly-matching semantics even under 64-bit hash collisions
+    return exact_dedup(_docs(sf_dir), verify=True)
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -363,9 +366,38 @@ def _q_bounds_agg(sf_dir: str):
     )
 
 
+def _q_bounds_contain(sf_dir: str):
+    """Oracle-checked bounds invariant (VERDICT r1 item 5): per polygon,
+    the exact count (Ray index join) and whether the J4 guaranteed bounds
+    contain it.  The oracle returns the exact PIP count with ``TRUE`` — any
+    bounds violation surfaces as a value mismatch."""
+    import pandas as pd
+
+    from rasterflow.pipelines.joins import aggregate_with_bounds
+
+    b = aggregate_with_bounds(
+        documents_points(sf_dir), oracle_poly_layer(), cell_size=0.1
+    ).to_pandas()
+    ex = aggregate_by_polygon(
+        documents_points(sf_dir), oracle_poly_layer(), how="index", cell_size=0.05, concurrency=2
+    ).to_pandas()
+    m = ex.merge(b, on="poly_id", how="left")
+    within = (
+        m["lb_guar"].to_numpy() <= m["count"].to_numpy()
+    ) & (m["count"].to_numpy() <= m["ub_guar"].to_numpy())
+    return pa.table(
+        {
+            "poly_id": pa.array(m["poly_id"].to_numpy().astype(np.int32)),
+            "count": pa.array(m["count"].to_numpy().astype(np.int64)),
+            "within": pa.array(within),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bounds_agg": _q_bounds_agg,
+        "bounds_contain": _q_bounds_contain,
         "window_agg": _q_window_agg,
         "sessionize": _q_sessionize,
         "top_users": _q_top_users,
@@ -525,6 +557,87 @@ FROM c ORDER BY doc_id
         "dedup_exact_text": """
 SELECT min(doc_id) AS doc_id, count(*) AS n
 FROM documents GROUP BY text ORDER BY doc_id
+""",
+        # exact prefix-filtered set-similarity join ≡ all-pairs word-3-gram
+        # Jaccard at the threshold (blocking is lossless, values are exact
+        # integer ratios — bit-identical DOUBLE division on both sides)
+        "ngram_jaccard_pairs": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok,
+         generate_subscripts(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), 1) AS pos,
+         len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ntok
+  FROM documents
+),
+grams3 AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+short AS (
+  -- docs with <3 tokens contribute the single gram of all their tokens
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS g
+  FROM toks WHERE ntok < 3 GROUP BY doc_id
+),
+gsets AS (SELECT DISTINCT doc_id, g FROM (SELECT * FROM grams3 UNION ALL SELECT * FROM short)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM gsets GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+  FROM gsets x JOIN gsets y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+ORDER BY id_a, id_b
+""",
+        # Horner fold fp = fold(fp*P + byte) seeded with the FNV offset,
+        # mod 2^64 — HUGEINT keeps every product below 2^104 so the modular
+        # arithmetic is exact; the power tables pw (P^e) and sw (OFFSET*P^e)
+        # come from two tiny recursive CTEs.  (Fixture text is ASCII, so
+        # unicode(substr(...)) == the UTF-8 byte.)
+        "fingerprint": """
+WITH RECURSIVE pw(e, v) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT e + 1, (v * 1099511628211) % 18446744073709551616::HUGEINT
+  FROM pw WHERE e < (SELECT max(length(text)) FROM documents)
+),
+sw(e, v) AS (
+  SELECT 0, CAST(14695981039346656037 AS HUGEINT)
+  UNION ALL
+  SELECT e + 1, (v * 1099511628211) % 18446744073709551616::HUGEINT
+  FROM sw WHERE e < (SELECT max(length(text)) FROM documents)
+),
+chars AS (
+  SELECT doc_id, length(text) AS n, unnest(range(1, length(text) + 1)) AS i, text
+  FROM documents
+),
+terms AS (
+  SELECT c.doc_id, c.n,
+         (CAST(unicode(substr(c.text, CAST(c.i AS INTEGER), 1)) AS HUGEINT) * pw.v)
+           % 18446744073709551616::HUGEINT AS term
+  FROM chars c JOIN pw ON pw.e = c.n - CAST(c.i AS INTEGER)
+),
+acc AS (
+  SELECT t.doc_id,
+         (sum(t.term) + any_value(sw.v)) % 18446744073709551616::HUGEINT AS fp_u
+  FROM terms t JOIN sw ON sw.e = t.n
+  GROUP BY t.doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN fp_u >= 9223372036854775808::HUGEINT
+                 THEN fp_u - 18446744073709551616::HUGEINT ELSE fp_u END AS BIGINT) AS fp
+FROM acc ORDER BY doc_id
+""",
+        "bounds_contain": f"""
+WITH {GEO_CTE.strip()},
+{poly_edges_values_sql()},
+hits AS ({PIP_JOIN_SQL.strip()})
+SELECT CAST(poly_id AS INTEGER) AS poly_id, count(*) AS "count", TRUE AS within
+FROM hits GROUP BY poly_id ORDER BY poly_id
 """,
         "quality_score": r"""
 SELECT doc_id,

@@ -121,32 +121,28 @@ class LangIdStage:
 
 
 def lang_id(ds, text_col: str = "text", id_col: str = "doc_id", concurrency=(1, 8)):
-    return ds.map_batches(
-        LangIdStage,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    from ..util import cached_stage
+
+    def f(b: pa.Table) -> pa.Table:
+        return cached_stage(LangIdStage, text_col=text_col, id_col=id_col)(b)
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """64-bit rolling polynomial fingerprint of the utf-8 bytes (mod 2^64)."""
+    """64-bit rolling polynomial fingerprint of the utf-8 bytes (mod 2^64):
+    ``fp = OFFSET * P^n + Σ b_j * P^(n-1-j)`` — equivalently a Horner fold
+    ``fp = fold(fp * P + byte)`` seeded with the FNV offset basis, which is
+    exactly what the DuckDB oracle replicates with HUGEINT arithmetic.
+
+    Fully vectorized over the batch's flat UTF-8 buffer (one prefix-hash pass
+    for ALL documents — no per-row Python loop)."""
 
     def f(b: pa.Table) -> pa.Table:
-        texts = b.column(text_col).to_pylist()
-        out = np.empty(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            bb = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            if len(bb) == 0:
-                out[i] = np.uint64(14695981039346656037)
-                continue
-            n = len(bb)
-            pw = np.full(n, _FNV, dtype=np.uint64)
-            pw[0] = np.uint64(1)
-            pw = np.cumprod(pw)  # pw[j] = P^j (wraparound mod 2^64)
-            # Horner-equivalent: offset*P^n + Σ b_j * P^(n-1-j)
-            out[i] = np.uint64(14695981039346656037) * (pw[-1] * _FNV) + (bb * pw[::-1]).sum(dtype=np.uint64)
+        from ..stages.texthash import doc_hashes, flat_utf8
+
+        data, offs = flat_utf8(b.column(text_col))
+        out = doc_hashes(data, offs)
         return pa.table({id_col: b.column(id_col), "fp": pa.array(out.astype(np.int64))})
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -129,6 +129,28 @@ def det_topk_indices(vals: np.ndarray, ids: np.ndarray, k: int, descending: bool
     return cand[order]
 
 
+_STAGE_CACHE: dict = {}
+
+
+def cached_stage(cls, **kwargs):
+    """Process-level cache for cheap-state callable stages.
+
+    Builds the stage object once per **worker process** and reuses it across
+    tasks — the amortization benefit of an actor pool without its spin-up
+    latency or scheduling overhead (round-1 measured task pools dispatching
+    ~2x faster for light stages).  Only for stages whose setup is
+    milliseconds (regex compiles, RNG-derived permutation tables); heavy
+    state (polygon bundles, models) belongs on actor pools / ray.put.
+
+    kwargs must be hashable."""
+    key = (cls.__module__, cls.__qualname__, tuple(sorted(kwargs.items())))
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        st = cls(**kwargs)
+        _STAGE_CACHE[key] = st
+    return st
+
+
 def coalesce_small(ds, n: int = 8):
     """Coalesce a known-small partials stream into ``n`` blocks before an
     all-to-all (groupby/sort).
