@@ -309,6 +309,70 @@ def _q_fingerprint(sf_dir: str):
     return fingerprint(_docs(sf_dir)).sort("doc_id")
 
 
+def _q_decode_images(sf_dir: str):
+    """Multimodal image pipeline over a deterministic binary-payload fixture
+    keyed by doc_id (decode itself is the documented stub — the Ray-side
+    plumbing, schema and determinism are what this verifies; rows-only at
+    the driver since byte-blob decode has no SQL expression)."""
+    import ray.data
+
+    from rasterflow.pipelines.multimodal import decode_images
+    from rasterflow.sources.fixtures import payload_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def addp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column("image", payload_batch(ids, nbytes=256, salt=1))
+
+    out = decode_images(
+        ds.map_batches(addp, batch_format="pyarrow"), payload_col="image", id_col="doc_id",
+        concurrency=2, decoder="fake",
+    )
+
+    def flatten_feature(t: pa.Table) -> pa.Table:
+        # driver-friendly flat schema: feature list -> f0..f7 float columns
+        feats = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("feature").to_pylist()])
+        cols = {c: t.column(c) for c in ("doc_id", "width", "height", "mean_luma")}
+        for j in range(feats.shape[1] if len(feats) else 8):
+            cols[f"f{j}"] = pa.array(feats[:, j] if len(feats) else np.empty(0))
+        return pa.table(cols)
+
+    return out.map_batches(flatten_feature, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_audio_frames(sf_dir: str):
+    """Multimodal audio frame-sampling pipeline over the same deterministic
+    payload fixture (stub decode; rows-only)."""
+    import ray.data
+
+    from rasterflow.pipelines.multimodal import sample_audio_frames
+    from rasterflow.sources.fixtures import payload_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def addp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column("audio", payload_batch(ids, nbytes=512, salt=2))
+
+    out = sample_audio_frames(
+        ds.map_batches(addp, batch_format="pyarrow"), payload_col="audio", id_col="doc_id",
+        concurrency=2,
+    )
+
+    def energy(t: pa.Table) -> pa.Table:
+        fr = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("frames").to_pylist()])
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "mean_energy": pa.array(fr.mean(axis=1) if len(fr) else np.empty(0)),
+                "peak_energy": pa.array(fr.max(axis=1) if len(fr) else np.empty(0)),
+            }
+        )
+
+    return out.map_batches(energy, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_window_agg(sf_dir: str):
     import ray.data
 
@@ -415,6 +479,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "decode_images": _q_decode_images,
+        "audio_frames": _q_audio_frames,
         "fingerprint": _q_fingerprint,
         "agg_rect_index": _q_agg_rect_index,
         "agg_rect_raster": _q_agg_rect_raster,

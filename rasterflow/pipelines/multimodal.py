@@ -24,21 +24,31 @@ def _payload_arrays(batch: pa.Table, col: str) -> list[bytes]:
 class ImageDecodeStage:
     """binary image -> (width, height, mean_luma, feature[8]).
 
-    Real decoder (PIL) is used when importable; otherwise a deterministic
-    fake derives the metadata from the payload bytes so the plumbing and
-    schemas are exercised end-to-end.
+    ``decoder="auto"`` (default) uses PIL when importable and falls back to a
+    deterministic fake otherwise, so the Ray-side plumbing and schemas are
+    exercised end-to-end either way; ``decoder="fake"`` forces the stub
+    (deterministic, what the in-container tests pin), ``decoder="pil"``
+    requires PIL.  (The round-1 version raised when PIL *was* importable —
+    installing the decoder broke the pipeline; ADVICE r1.)
     """
 
-    def __init__(self, payload_col: str = "image", id_col: str = "url", feature_dim: int = 8):
+    def __init__(
+        self, payload_col: str = "image", id_col: str = "url", feature_dim: int = 8, decoder: str = "auto"
+    ):
         self.payload_col = payload_col
         self.id_col = id_col
         self.feature_dim = feature_dim
-        try:  # pragma: no cover - not installed in this container
-            from PIL import Image  # noqa: F401
+        self._pil = None
+        if decoder not in ("auto", "fake", "pil"):
+            raise ValueError(f"decoder must be auto|fake|pil, got {decoder!r}")
+        if decoder in ("auto", "pil"):
+            try:  # pragma: no cover - PIL not installed in this container
+                from PIL import Image
 
-            self._pil = Image
-        except ImportError:
-            self._pil = None
+                self._pil = Image
+            except ImportError:
+                if decoder == "pil":
+                    raise
 
     def _decode_fake(self, b: bytes) -> tuple[int, int, float, np.ndarray]:
         """STUB decode: deterministic pure function of the bytes."""
@@ -49,13 +59,23 @@ class ImageDecodeStage:
         feat = h[: self.feature_dim * 16].reshape(self.feature_dim, -1).mean(axis=1) / 255.0
         return width, height, mean_luma, feat
 
+    def _decode_pil(self, b: bytes) -> tuple[int, int, float, np.ndarray]:  # pragma: no cover
+        """Real decode (PIL importable): grayscale stats + a coarse row-band
+        mean feature — untestable in this container but a working drop-in."""
+        import io
+
+        img = self._pil.open(io.BytesIO(b))
+        g = np.asarray(img.convert("L"), dtype=np.float64)
+        rows = np.array_split(g, self.feature_dim, axis=0)
+        feat = np.array([r.mean() / 255.0 for r in rows])
+        return img.width, img.height, float(g.mean()) / 255.0, feat
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = _payload_arrays(batch, self.payload_col)
-        if self._pil is not None:  # pragma: no cover
-            raise NotImplementedError("real PIL decode path: wire Image.open here")
+        decode = self._decode_pil if self._pil is not None else self._decode_fake
         w, hgt, luma, feats = [], [], [], []
         for b in payloads:
-            wi, hi, lu, fe = self._decode_fake(b or b"")
+            wi, hi, lu, fe = decode(b or b"")
             w.append(wi)
             hgt.append(hi)
             luma.append(lu)
@@ -101,11 +121,18 @@ class AudioFrameSampleStage:
         )
 
 
-def decode_images(ds, payload_col: str = "image", id_col: str = "url", concurrency=(1, 4), batch_size: int = 256):
+def decode_images(
+    ds,
+    payload_col: str = "image",
+    id_col: str = "url",
+    concurrency=(1, 4),
+    batch_size: int = 256,
+    decoder: str = "auto",
+):
     """Actor-pool image decode/feature stage (small batches: wide payloads)."""
     return ds.map_batches(
         ImageDecodeStage,
-        fn_constructor_kwargs=dict(payload_col=payload_col, id_col=id_col),
+        fn_constructor_kwargs=dict(payload_col=payload_col, id_col=id_col, decoder=decoder),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

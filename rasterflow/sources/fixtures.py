@@ -232,3 +232,21 @@ def holes_layer():
     outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
     inner = np.array([[3, 3], [7, 3], [7, 7], [3, 7]], dtype=float)
     return PolygonLayer.from_rings("holes", [[outer, inner]])
+
+
+def payload_batch(ids: np.ndarray, nbytes: int = 256, salt: int = 0) -> pa.Array:
+    """Deterministic opaque binary payloads per id (fake image/audio blobs
+    for the multimodal stages — no image libs in this container, FIXTURES.md).
+
+    splitmix64 counter stream keyed by (id, word index): vectorized, stable
+    across runs and parallelism.  Returns a fixed_size_binary(nbytes) array."""
+    from ..stages.texthash import mix64
+
+    ids = np.asarray(ids, dtype=np.int64).astype(np.uint64)
+    words = nbytes // 8
+    ctr = ids[:, None] * np.uint64(words * 2 + 1) + np.arange(words, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        m = mix64(ctr + np.uint64(salt) * np.uint64(0x9E3779B97F4A7C15))
+    return pa.Array.from_buffers(
+        pa.binary(nbytes), len(ids), [None, pa.py_buffer(np.ascontiguousarray(m).tobytes())]
+    )

@@ -17,15 +17,26 @@ import pyarrow.compute as pc
 
 
 def extract_text_column(html: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
-    """binary html -> extracted text (Arrow string array)."""
+    """binary html -> extracted text (Arrow string array).
+
+    Fast path (round-2): ONE ``extract_regex`` captures the body content
+    (first ``<body ...>`` to the next ``</body>``), replacing the round-1
+    prefix-strip + suffix-strip replace passes — the headline ingest is
+    RE2-bandwidth-bound, so one fewer full pass over the html bytes.  Rows
+    without a well-formed body (never in the fixture; null capture) fall
+    back to the original two replaces.  Byte-identical to round 1 for
+    documents with a single body element (the golden-pinned contract);
+    pathological nested-body inputs resolve to the first ``</body>``."""
     s = pc.cast(html, pa.large_string())
-    # drop everything up to and including the first <body ...> tag
-    s = pc.replace_substring_regex(s, r"(?s)^.*?<body[^>]*>", "", max_replacements=1)
-    # drop the last </body> and everything after it
-    s = pc.replace_substring_regex(s, r"(?s)</body>[^<]*(<[^>]*>[^<]*)*$", "", max_replacements=1)
+    ex = pc.extract_regex(s, r"(?s)<body[^>]*>(?P<t>.*?)</body>")
+    t = pc.struct_field(ex, "t")
+    if t.null_count > 0:
+        fb = pc.replace_substring_regex(s, r"(?s)^.*?<body[^>]*>", "", max_replacements=1)
+        fb = pc.replace_substring_regex(fb, r"(?s)</body>[^<]*(<[^>]*>[^<]*)*$", "", max_replacements=1)
+        t = pc.if_else(pc.is_valid(t), t, fb)
     # strip any tags left inside the body
-    s = pc.replace_substring_regex(s, r"<[^>]*>", "")
-    return pc.cast(s, pa.string())
+    t = pc.replace_substring_regex(t, r"<[^>]*>", "")
+    return pc.cast(t, pa.string())
 
 
 def extract_text(batch: pa.Table, out_col: str = "text2") -> pa.Table:

@@ -287,14 +287,44 @@ def build_bundle(
 # processes (bench subprocesses, test sessions, resumed jobs) skip the build —
 # the analogue of the reference persisting its CPU grid index to disk
 # (``CPUJoin/GridIndexF.cpp:200-275``).
-_DISK_CACHE_DIR = "/tmp/rasterflow_bundles"
+#
+# The cache unpickles its own files, so it must live in a per-user 0700
+# directory — a fixed world-writable path would let another local user plant
+# a pickle at a predictable key (ADVICE r1).  Override with
+# $RASTERFLOW_CACHE_DIR.
+
+
+def _disk_cache_dir() -> "str":
+    import os
+    import tempfile
+
+    env = os.environ.get("RASTERFLOW_CACHE_DIR")
+    if env:
+        return env
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    return os.path.join(tempfile.gettempdir(), f"rasterflow_bundles_{uid}")
 
 
 def _cache_path(key) -> "str":
     import os
 
     name = f"bundle_v2_{key[0]}_{key[1]}_{int(key[2])}.pkl"
-    return os.path.join(_DISK_CACHE_DIR, name)
+    return os.path.join(_disk_cache_dir(), name)
+
+
+def _dir_ok(path) -> bool:
+    """Refuse to unpickle from a cache dir we don't own or that others can
+    write to (defense against pre-planted pickles on shared machines)."""
+    import os
+    import stat
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        return False
+    return not st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)
 
 
 def _load_disk_cache(key):
@@ -302,7 +332,7 @@ def _load_disk_cache(key):
     import pickle
 
     path = _cache_path(key)
-    if not os.path.exists(path):
+    if not os.path.exists(path) or not _dir_ok(_disk_cache_dir()):
         return None
     try:
         with open(path, "rb") as fh:
@@ -316,8 +346,9 @@ def _save_disk_cache(key, bundle) -> None:
     import pickle
     import tempfile
 
-    os.makedirs(_DISK_CACHE_DIR, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=_DISK_CACHE_DIR, suffix=".tmp")
+    d = _disk_cache_dir()
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as fh:
             pickle.dump(bundle, fh, protocol=pickle.HIGHEST_PROTOCOL)

@@ -81,7 +81,12 @@ def run_resumable(
     total_rows = 0
     for pid, spec in partitions:
         entry = done.get(pid)
-        if entry is not None and _partition_ok(out, entry):
+        # the recorded inputs must match the current spec: partition ids are
+        # positional, so adding/removing input files shifts the grouping and
+        # a stale output built from different files must be rebuilt, not
+        # silently reused (ADVICE r1)
+        spec_rec = _spec_record(spec)
+        if entry is not None and entry.get("inputs") == spec_rec and _partition_ok(out, entry):
             skipped.append(pid)
             total_rows += entry["rows"]
             continue
@@ -102,7 +107,7 @@ def run_resumable(
         os.replace(tmp, final)
         rec = {
             "partition_id": pid,
-            "inputs": spec if _jsonable(spec) else str(spec),
+            "inputs": spec_rec,
             "rows": rows,
             "bytes": sum(f["size"] for f in files),
             "files": files,
@@ -133,6 +138,14 @@ def _jsonable(x) -> bool:
         return True
     except (TypeError, ValueError):
         return False
+
+
+def _spec_record(spec):
+    """Canonical JSON-roundtripped form of an input spec, so the recorded
+    manifest value compares equal to the in-memory spec (tuples -> lists)."""
+    if not _jsonable(spec):
+        return str(spec)
+    return json.loads(json.dumps(spec))
 
 
 def partition_files(paths: list[str], group_size: int) -> list[tuple[str, list[str]]]:
