@@ -111,9 +111,12 @@ def bench_queries() -> dict[str, float]:
         "dedup_exact_text",
         "minhash_lsh_pairs",
         "simhash_pairs",
+        "ngram_jaccard_pairs",
+        "fingerprint",
         "token_stats",
         "quality_score",
         "lang_id",
+        "decode_images",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
@@ -223,13 +226,19 @@ def bench_join_only() -> dict:
     # min over iterations — the reference's measurement protocol (min over
     # --nIter runs, GLHandler.cpp:234-236)
     iters = int(os.environ.get("GRAFT_JOIN_ITERS", "3"))
+    # GRAFT_JOIN_DTYPE=f32 selects the reference-conformant float32 kernel
+    # plane (the reference's own arithmetic width) — halves PIP memory
+    # traffic; f64 (default) is the oracle plane
+    import numpy as np
+
+    dtype = np.float32 if os.environ.get("GRAFT_JOIN_DTYPE") == "f32" else np.float64
     best = None
     n_rows = 0
     for _ in range(iters):
         t0 = time.perf_counter()
         pts = ray.data.read_parquet(path, columns=["x", "y"])
         out = aggregate_by_polygon(
-            pts, layer, how="hybrid", accuracy_m=300.0, batch_size=None, sort=False
+            pts, layer, how="hybrid", accuracy_m=300.0, batch_size=None, sort=False, dtype=dtype
         )
         n_rows = len(out.to_pandas())
         dt = time.perf_counter() - t0

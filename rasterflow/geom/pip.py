@@ -45,21 +45,32 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray, dtype=None)
     # errors are pre-silenced once (cheaper than a context manager per edge).
     vi = ring
     vj = np.roll(ring, 1, axis=0)
-    vix = vi[:, 0:1]
-    viy = vi[:, 1:2]
-    vjx = vj[:, 0:1]
+    vix = vi[:, 0:1].copy()
+    viy = vi[:, 1:2].copy()
     vjy = vj[:, 1:2]
     old = np.seterr(divide="ignore", invalid="ignore")
     try:
-        max_elems = 4_000_000
+        # per-edge slope k = (vjx-vix)/(vjy-viy), computed ONCE per edge
+        # (E divisions) instead of per point-edge pair (E×N divisions) —
+        # the oracle SQL uses the identical k-form expression so the IEEE
+        # op sequence (div, mul, add) matches bit-for-bit.  Degenerate
+        # horizontal edges give inf/nan k; cond is False there, masked out.
+        k = (vj[:, 0:1] - vix) / (vjy - viy)
+        # block the point axis so the (E, step) temporaries stay cache-sized
+        # instead of streaming 10s of MB through DRAM per ring (the measured
+        # multi-core bandwidth wall, SCALE.md §6)
+        max_elems = 500_000
         step = max(1, max_elems // max(1, n))
         for s in range(0, len(px), step):
             pxs = px[s : s + step][None, :]
             pys = py[s : s + step][None, :]
-            cond = (viy > pys) != (vjy > pys)
-            xint = (vjx - vix) * (pys - viy) / (vjy - viy) + vix
-            hits = cond & (pxs < xint)
-            inside[s : s + step] = (hits.sum(axis=0) & 1).astype(bool)
+            xint = pys - viy  # (E, N) — reused in-place below
+            xint *= k
+            xint += vix
+            cond = viy > pys
+            np.not_equal(cond, vjy > pys, out=cond)
+            cond &= pxs < xint
+            inside[s : s + step] = (cond.sum(axis=0) & 1).astype(bool)
     finally:
         np.seterr(**old)
     return inside
@@ -113,7 +124,8 @@ def _pip_pairs_edge_parallel(
             vjx = verts[j_idx, 0]
             vjy = verts[j_idx, 1]
             cond = (viy > ty) != (vjy > ty)
-            xint = (vjx - vix) * (ty - viy) / (vjy - viy) + vix
+            # same k-form op sequence as points_in_ring / the SQL oracle
+            xint = (vjx - vix) / (vjy - viy) * (ty - viy) + vix
             inside ^= cond & (tx < xint)
     finally:
         np.seterr(**old)

@@ -76,27 +76,47 @@ class SpatialJoinAgg:
     Emits ``(poly_id, count [, sum])`` rows for polygons touched by the batch.
     """
 
-    def __init__(self, bundle, how: str = "hybrid", value_col: str | None = None, fixed_point: bool = False):
+    def __init__(
+        self,
+        bundle,
+        how: str = "hybrid",
+        value_col: str | None = None,
+        fixed_point: bool = False,
+        dtype=np.float64,
+    ):
         if how not in _STRATEGIES and type(self) is SpatialJoinAgg:
             raise ValueError(f"how must be one of {_STRATEGIES}")
         self.b = _get_bundle(bundle)
         self.how = how
         self.value_col = value_col
         self.fixed_point = fixed_point
+        # float64 is the oracle plane; float32 is the reference-conformant
+        # plane (TaxiRecord.hpp:121-133 stores f32; all four reference join
+        # kernels compute f32) — halves kernel memory traffic, used by the
+        # scaling benchmark.  Cell LOCATION stays f64 either way (robust cell
+        # assignment); only the PIP refinement arithmetic narrows.
+        self.dtype = np.dtype(dtype)
 
     @staticmethod
     def _expand(indptr: np.ndarray, values: np.ndarray, idx: np.ndarray, hit: np.ndarray):
-        """CSR expansion given pre-located unified-cell positions."""
+        """CSR expansion given pre-located unified-cell positions.
+
+        int32 index arithmetic: a batch has < 2^31 rows and the bundle's
+        value arrays are bounded by max_cover_cells — expansion indices are
+        the largest arrays this stage allocates, so halving their width
+        halves the dominant non-PIP memory traffic."""
         starts = indptr[idx]
         counts = np.where(hit, indptr[idx + 1] - starts, 0)
         total = int(counts.sum())
         if total == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
-        point_idx = np.repeat(np.arange(len(idx), dtype=np.int64), counts)
+        idx_t = np.int32 if len(idx) < 2**31 else np.int64
+        val_t = np.int32 if len(values) < 2**31 else np.int64
+        point_idx = np.repeat(np.arange(len(idx), dtype=idx_t), counts)
         run_ends = np.cumsum(counts)
-        run_starts = run_ends - counts
-        within = np.arange(total, dtype=np.int64) - np.repeat(run_starts, counts)
-        val_idx = np.repeat(starts, counts) + within
+        run_starts = (run_ends - counts).astype(val_t, copy=False)
+        within = np.arange(total, dtype=val_t) - np.repeat(run_starts, counts)
+        val_idx = np.repeat(starts.astype(val_t, copy=False), counts) + within
         return point_idx, values[val_idx]
 
     def _match_pairs(self, x, y, lin) -> tuple[np.ndarray, np.ndarray]:
@@ -105,6 +125,7 @@ class SpatialJoinAgg:
         One binary search on the unified cell table serves candidate lists,
         cover lists and the border flag."""
         b = self.b
+        pip_dtype = None if self.dtype == np.float64 else self.dtype
         if len(b.ucells) == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
         idx, hit = b.locate_ucells(lin)
@@ -112,7 +133,7 @@ class SpatialJoinAgg:
             return self._expand(b.ucover_indptr, b.ucover_vals, idx, hit)
         if self.how == "index":
             pts, pl = self._expand(b.ucand_indptr, b.ucand_vals, idx, hit)
-            m = pip_pairs(x, y, pts, pl, b.verts, b.ring_offsets, b.poly_ring_offsets)
+            m = pip_pairs(x, y, pts, pl, b.verts, b.ring_offsets, b.poly_ring_offsets, dtype=pip_dtype)
             return pts[m], pl[m]
         # hybrid: exact — cover fast path off-border, PIP refinement on border
         is_b = hit & b.uborder[idx]
@@ -120,7 +141,10 @@ class SpatialJoinAgg:
         idx_int = np.flatnonzero(~is_b)
         pts_i, pl_i = self._expand(b.ucover_indptr, b.ucover_vals, idx[idx_int], hit[idx_int])
         pts_b, pl_b = self._expand(b.ucand_indptr, b.ucand_vals, idx[idx_border], hit[idx_border])
-        m = pip_pairs(x[idx_border], y[idx_border], pts_b, pl_b, b.verts, b.ring_offsets, b.poly_ring_offsets)
+        m = pip_pairs(
+            x[idx_border], y[idx_border], pts_b, pl_b, b.verts, b.ring_offsets,
+            b.poly_ring_offsets, dtype=pip_dtype,
+        )
         return (
             np.concatenate([idx_int[pts_i], idx_border[pts_b[m]]]),
             np.concatenate([pl_i, pl_b[m]]),
@@ -128,8 +152,8 @@ class SpatialJoinAgg:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         b = self.b
-        x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-        y = batch.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        x = batch.column("x").to_numpy(zero_copy_only=False).astype(self.dtype, copy=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False).astype(self.dtype, copy=False)
         lin, valid = b.grid.locate_linear(x, y)
         if not valid.all():
             x, y, lin = x[valid], y[valid], lin[valid]
@@ -163,18 +187,27 @@ class SpatialJoinRows:
     """Actor-pool stage materializing the join output rows ``(id, poly_id)``
     (the reference never materializes pairs — BASELINE.json requires it)."""
 
-    def __init__(self, bundle, how: str = "index", id_col: str = "url", keep_cols: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        bundle,
+        how: str = "index",
+        id_col: str = "url",
+        keep_cols: tuple[str, ...] = (),
+        dtype=np.float64,
+    ):
         if how not in _STRATEGIES:
             raise ValueError(f"how must be one of {_STRATEGIES}")
         self.b = _get_bundle(bundle)
         self.how = how
         self.id_col = id_col
         self.keep_cols = keep_cols
+        self.dtype = np.dtype(dtype)
         self._agg = SpatialJoinAgg.__new__(SpatialJoinAgg)
         self._agg.b = self.b
         self._agg.how = how
         self._agg.value_col = None
         self._agg.fixed_point = False
+        self._agg.dtype = self.dtype
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         b = self.b
@@ -305,6 +338,7 @@ def aggregate_by_polygon(
     batch_size: int = 65536,
     sort: bool = True,
     reduce: str = "driver",
+    dtype=np.float64,
 ):
     """Per-polygon COUNT / AVG / SUM of points under a join strategy.
 
@@ -314,6 +348,12 @@ def aggregate_by_polygon(
     if not _strategy_ok(how):
         raise ValueError(f"how must be one of {_STRATEGIES} or a registered strategy, got {how!r}")
     cls = _agg_cls(how)
+    # registered strategies predating the dtype plane keep their own default
+    import inspect
+
+    params = inspect.signature(cls.__init__).parameters
+    takes_dtype = "dtype" in params or any(p.kind == p.VAR_KEYWORD for p in params.values())
+    dtype_kw = {"dtype": dtype} if takes_dtype else {}
     ref = _bundle_ref(layer_or_bundle, accuracy_m, cell_size, max_cover_cells)
     if compute == "tasks":
         # stateless tasks + broadcast bundle: the per-task ray.get is a
@@ -321,12 +361,14 @@ def aggregate_by_polygon(
         # dispatch ~2x for this stage (measured; actors remain available for
         # states that are genuinely expensive to materialize per task)
         def fn(batch: pa.Table) -> pa.Table:
-            return cls(ref, how=how, value_col=value_col, fixed_point=fixed_point)(batch)
+            return cls(ref, how=how, value_col=value_col, fixed_point=fixed_point, **dtype_kw)(batch)
 
         partials = points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
     else:
         kwargs = dict(
-            fn_constructor_kwargs=dict(bundle=ref, how=how, value_col=value_col, fixed_point=fixed_point),
+            fn_constructor_kwargs=dict(
+                bundle=ref, how=how, value_col=value_col, fixed_point=fixed_point, **dtype_kw
+            ),
             concurrency=concurrency if concurrency is not None else (1, 8),
         )
         partials = points_ds.map_batches(

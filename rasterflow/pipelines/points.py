@@ -126,7 +126,7 @@ PIP_JOIN_SQL = """
   SELECT g.doc_id, e.poly_id, g.n_chars
   FROM geo g JOIN edges e
     ON ((e.viy > g.lat) <> (e.vjy > g.lat))
-   AND (g.lon < (e.vjx - e.vix) * (g.lat - e.viy) / (e.vjy - e.viy) + e.vix)
+   AND (g.lon < (e.vjx - e.vix) / (e.vjy - e.viy) * (g.lat - e.viy) + e.vix)
   GROUP BY g.doc_id, e.poly_id, g.n_chars
   HAVING (count(*) % 2) = 1
 """
