@@ -286,6 +286,12 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5, concurrency=2)
 
 
+def _q_neardup_clusters(sf_dir: str):
+    from rasterflow.pipelines.dedup import neardup_clusters
+
+    return neardup_clusters(_docs(sf_dir), threshold=0.5, concurrency=2)
+
+
 def _q_quality(sf_dir: str):
     from rasterflow.pipelines.textstats import quality_score
 
@@ -477,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "neardup_clusters": _q_neardup_clusters,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "decode_images": _q_decode_images,
@@ -498,6 +505,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
+
+
+# shared CTE chain for the exact word-3-gram Jaccard pair graph (used by the
+# ngram_jaccard_pairs oracle and, wrapped in a recursive closure, by the
+# neardup_clusters oracle)
+_NGRAM_PAIR_CTES = r"""toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok,
+         generate_subscripts(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), 1) AS pos,
+         len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ntok
+  FROM documents
+),
+grams3 AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+short AS (
+  -- docs with <3 tokens contribute the single gram of all their tokens
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS g
+  FROM toks WHERE ntok < 3 GROUP BY doc_id
+),
+gsets AS (SELECT DISTINCT doc_id, g FROM (SELECT * FROM grams3 UNION ALL SELECT * FROM short)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM gsets GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+  FROM gsets x JOIN gsets y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+npairs AS (
+  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+)"""
 
 
 def _rect_count_sql(where: str = "") -> str:
@@ -627,37 +670,21 @@ FROM documents GROUP BY text ORDER BY doc_id
         # exact prefix-filtered set-similarity join ≡ all-pairs word-3-gram
         # Jaccard at the threshold (blocking is lossless, values are exact
         # integer ratios — bit-identical DOUBLE division on both sides)
-        "ngram_jaccard_pairs": r"""
-WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok,
-         generate_subscripts(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), 1) AS pos,
-         len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ntok
-  FROM documents
-),
-grams3 AS (
-  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
-  FROM toks a
-  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-),
-short AS (
-  -- docs with <3 tokens contribute the single gram of all their tokens
-  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS g
-  FROM toks WHERE ntok < 3 GROUP BY doc_id
-),
-gsets AS (SELECT DISTINCT doc_id, g FROM (SELECT * FROM grams3 UNION ALL SELECT * FROM short)),
-sizes AS (SELECT doc_id, count(*) AS sz FROM gsets GROUP BY doc_id),
-inter AS (
-  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
-  FROM gsets x JOIN gsets y ON x.g = y.g AND x.doc_id < y.doc_id
-  GROUP BY 1, 2
+        "ngram_jaccard_pairs": f"""
+WITH {_NGRAM_PAIR_CTES}
+SELECT id_a, id_b, jaccard FROM npairs ORDER BY id_a, id_b
+""",
+        # connected components over the same exact pair graph: recursive-CTE
+        # transitive closure; min reachable id = cluster representative
+        "neardup_clusters": f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+e AS (SELECT id_a AS a, id_b AS b FROM npairs UNION ALL SELECT id_b, id_a FROM npairs),
+r(node, lbl) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.node
 )
-SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
-ORDER BY id_a, id_b
+SELECT node AS doc_id, min(lbl) AS rep_id FROM r GROUP BY node ORDER BY doc_id
 """,
         # Horner fold fp = fold(fp*P + byte) seeded with the FNV offset,
         # mod 2^64 — HUGEINT keeps every product below 2^104 so the modular

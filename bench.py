@@ -208,16 +208,24 @@ def ensure_points(n: int) -> str:
 
 
 def bench_join_only() -> dict:
-    """Reference-protocol join benchmark: hybrid join over pre-ingested points."""
+    """Reference-protocol join benchmark: hybrid join over pre-ingested points.
+
+    GRAFT_JOIN_NPOLYS=16384 selects the uniform synthetic many-small-polygons
+    regime (mirrors `taxi-ooc-polygons.ps1`); default is the 260-polygon
+    neighborhood-like layer."""
     import ray.data
 
     from rasterflow.pipelines.joins import aggregate_by_polygon
-    from rasterflow.sources.fixtures import neigh_like_layer
+    from rasterflow.sources.fixtures import neigh_like_layer, synthetic_layer
 
     path = ensure_points(POINTS_N)
-    # realistic polygon complexity: real city/neighborhood polygons carry
-    # 60-150 vertices (the fixture default of 8-40 understates PIP work)
-    layer = neigh_like_layer(260, seed=42, nv_range=(60, 151))
+    npolys = int(os.environ.get("GRAFT_JOIN_NPOLYS", "260"))
+    if npolys == 260:
+        # realistic polygon complexity: real city/neighborhood polygons carry
+        # 60-150 vertices (the fixture default of 8-40 understates PIP work)
+        layer = neigh_like_layer(260, seed=42, nv_range=(60, 151))
+    else:
+        layer = synthetic_layer(npolys, seed=7)
     # build/warm the bundle outside the timed section (it is a per-cluster
     # one-time artifact, cached on disk)
     from rasterflow.state.bundle import build_bundle

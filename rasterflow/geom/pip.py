@@ -96,13 +96,17 @@ def points_in_polygon(
 
 
 def _pip_pairs_edge_parallel(
-    px, py, pair_point, pair_poly, verts, ring_offsets, poly_ring_offsets
+    px, py, pair_point, pair_poly, verts, ring_offsets, poly_ring_offsets, dtype=None
 ) -> np.ndarray:
     """Pair-parallel PIP for SINGLE-RING polygons: one vectorized pass per
     edge ordinal across all pairs (padded ordinals degenerate to zero-length
     edges, which the crossing condition ignores).  Wins when a batch touches
     many distinct small polygons, where per-polygon grouping would pay Python
     overhead per polygon."""
+    if dtype is not None:
+        px = np.asarray(px, dtype)
+        py = np.asarray(py, dtype)
+        verts = np.asarray(verts, dtype)
     ring_idx = poly_ring_offsets[pair_poly]
     starts = ring_offsets[ring_idx]
     nv = ring_offsets[ring_idx + 1] - starts
@@ -158,36 +162,36 @@ def pip_pairs(
     out = np.zeros(len(pair_point), dtype=bool)
     if len(pair_point) == 0:
         return out
-    if dtype is None and len(pair_point) > 0:
-        nrings_all = np.diff(poly_ring_offsets)
-        all_single = (nrings_all.max() if len(nrings_all) else 1) == 1
-        single = None if all_single else (nrings_all[pair_poly] == 1)
-        sel_poly = pair_poly if all_single else pair_poly[single]
-        if len(sel_poly):
-            # cost model: grouped pays per-distinct-poly Python overhead
-            # (~2000 element-ops equivalent) plus the true edge work
-            # Σ nv_p per pair; edge-parallel pays max(nv) passes over every
-            # pair.  Pick the cheaper.
-            ring_idx = poly_ring_offsets[sel_poly]
-            nv_pairs = ring_offsets[ring_idx + 1] - ring_offsets[ring_idx]
-            distinct = len(np.unique(sel_poly))
-            cost_grouped = int(nv_pairs.sum()) + distinct * 2000
-            cost_par = int(nv_pairs.max()) * len(sel_poly)
-            if cost_par < cost_grouped:
-                if all_single:
-                    return _pip_pairs_edge_parallel(
-                        px, py, pair_point, pair_poly, verts, ring_offsets, poly_ring_offsets
-                    )
-                out[single] = _pip_pairs_edge_parallel(
-                    px, py, pair_point[single], pair_poly[single], verts, ring_offsets, poly_ring_offsets
+    nrings_all = np.diff(poly_ring_offsets)
+    all_single = (nrings_all.max() if len(nrings_all) else 1) == 1
+    single = None if all_single else (nrings_all[pair_poly] == 1)
+    sel_poly = pair_poly if all_single else pair_poly[single]
+    if len(sel_poly):
+        # cost model: grouped pays per-distinct-poly Python overhead
+        # (~2000 element-ops equivalent) plus the true edge work
+        # Σ nv_p per pair; edge-parallel pays max(nv) passes over every
+        # pair.  Pick the cheaper.  (Both kernels support the f32 plane.)
+        ring_idx = poly_ring_offsets[sel_poly]
+        nv_pairs = ring_offsets[ring_idx + 1] - ring_offsets[ring_idx]
+        distinct = len(np.unique(sel_poly))
+        cost_grouped = int(nv_pairs.sum()) + distinct * 2000
+        cost_par = int(nv_pairs.max()) * len(sel_poly)
+        if cost_par < cost_grouped:
+            if all_single:
+                return _pip_pairs_edge_parallel(
+                    px, py, pair_point, pair_poly, verts, ring_offsets, poly_ring_offsets, dtype=dtype
                 )
-                multi = ~single
-                if multi.any():
-                    out[multi] = pip_pairs(
-                        px, py, pair_point[multi], pair_poly[multi], verts,
-                        ring_offsets, poly_ring_offsets, dtype=dtype,
-                    )
-                return out
+            out[single] = _pip_pairs_edge_parallel(
+                px, py, pair_point[single], pair_poly[single], verts, ring_offsets,
+                poly_ring_offsets, dtype=dtype,
+            )
+            multi = ~single
+            if multi.any():
+                out[multi] = pip_pairs(
+                    px, py, pair_point[multi], pair_poly[multi], verts,
+                    ring_offsets, poly_ring_offsets, dtype=dtype,
+                )
+            return out
     order = np.argsort(pair_poly, kind="stable")
     sp = pair_poly[order]
     spt = pair_point[order]

@@ -418,6 +418,65 @@ def ngram_jaccard_pairs(
     ).sort(["id_a", "id_b"])
 
 
+def neardup_clusters(
+    ds,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.5,
+    concurrency=(1, 8),
+):
+    """Near-duplicate clusters: connected components over the EXACT n-gram
+    Jaccard pair graph, with the minimum doc id as each cluster's
+    representative — the keep-list decision step of a dedup pipeline
+    (keep ``rep_id``, drop the rest).
+
+    Output: ``(doc_id, rep_id)`` for every doc that has at least one
+    near-duplicate, sorted by doc_id.  SQL-oracle-matched (recursive-CTE
+    transitive closure over the same pair graph).
+
+    Scale note: the pair stream is reduced on the driver with a
+    path-compressed union-find — O(#docs-with-a-near-dup) memory, the same
+    class as the keep-list itself (at web scale dup-graph nodes are a small
+    fraction of the corpus).  For corpora where even that exceeds driver
+    memory, the upgrade path is the large-star/small-star iterative CC
+    (Kiveris et al., SoCC'14) over the same pair Dataset.
+    """
+    pairs = ngram_jaccard_pairs(
+        ds, content_col=content_col, id_col=id_col, ngram=ngram, threshold=threshold,
+        concurrency=concurrency,
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    seen: set[int] = set()
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
+        for a_, b_ in zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()):
+            a_, b_ = int(a_), int(b_)
+            seen.add(a_)
+            seen.add(b_)
+            ra, rb = find(a_), find(b_)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                # union by min id: the root of every tree is its component's
+                # minimum, so the final find() IS the representative
+                parent[rb] = ra
+
+    import ray.data
+
+    nodes = np.array(sorted(seen), dtype=np.int64)
+    reps = np.array([find(int(n)) for n in nodes], dtype=np.int64)
+    return ray.data.from_arrow(pa.table({id_col: nodes, "rep_id": reps}))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -64,9 +64,29 @@ def _agg_cls(how: str) -> type:
     return _CUSTOM_STRATEGIES.get(how, SpatialJoinAgg)
 
 
+#: per-worker-process memo of deserialized bundles / constructed stages.
+#: ``ray.get`` of the same ref returns a FRESH object each call, so any
+#: lazy per-instance state (the bundle's 10^7-key ucell hash index) would be
+#: rebuilt per batch without this — measured 75x slowdown on a 16k-polygon
+#: continental bundle before the memo.  Bounded: a worker sees a handful of
+#: distinct bundles per job.
+_WORKER_MEMO: dict = {}
+_WORKER_MEMO_MAX = 64  # tile-sharded jobs touch many small tile bundles
+
+
+def _memo(key, maker):
+    v = _WORKER_MEMO.get(key)
+    if v is None:
+        if len(_WORKER_MEMO) >= _WORKER_MEMO_MAX:
+            _WORKER_MEMO.pop(next(iter(_WORKER_MEMO)))
+        v = maker()
+        _WORKER_MEMO[key] = v
+    return v
+
+
 def _get_bundle(bundle_or_ref) -> PolygonBundle:
     if isinstance(bundle_or_ref, ray.ObjectRef):
-        return ray.get(bundle_or_ref)
+        return _memo(("bundle", bundle_or_ref.hex()), lambda: ray.get(bundle_or_ref))
     return bundle_or_ref
 
 
@@ -307,6 +327,13 @@ class RasterBoundsAgg:
 # ---------------------------------------------------------------------------
 
 
+#: driver-side ray.put memo: repeated pipelines over the same (cached) bundle
+#: reuse one plasma object instead of re-serializing hundreds of MB per call.
+#: The cached value holds the bundle itself, so its id() can't be recycled.
+_PUT_CACHE: dict[int, tuple] = {}
+_PUT_CACHE_MAX = 8
+
+
 def _bundle_ref(layer_or_bundle, accuracy_m, cell_size, max_cover_cells, area_fractions=False):
     if isinstance(layer_or_bundle, (PolygonBundle, ray.ObjectRef)):
         b = layer_or_bundle
@@ -319,7 +346,14 @@ def _bundle_ref(layer_or_bundle, accuracy_m, cell_size, max_cover_cells, area_fr
             build_area_fractions=area_fractions,
         )
     if isinstance(b, PolygonBundle) and ray.is_initialized():
-        return ray.put(b)
+        hit = _PUT_CACHE.get(id(b))
+        if hit is not None and hit[0] is b:
+            return hit[1]
+        if len(_PUT_CACHE) >= _PUT_CACHE_MAX:
+            _PUT_CACHE.pop(next(iter(_PUT_CACHE)))
+        ref = ray.put(b)
+        _PUT_CACHE[id(b)] = (b, ref)
+        return ref
     return b
 
 
@@ -360,8 +394,14 @@ def aggregate_by_polygon(
         # zero-copy plasma view, and Ray's task pool outruns actor-pool
         # dispatch ~2x for this stage (measured; actors remain available for
         # states that are genuinely expensive to materialize per task)
+        key = (
+            "agg", cls.__qualname__, ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref),
+            how, value_col, fixed_point, str(dtype),
+        )
+
         def fn(batch: pa.Table) -> pa.Table:
-            return cls(ref, how=how, value_col=value_col, fixed_point=fixed_point, **dtype_kw)(batch)
+            agg = _memo(key, lambda: cls(ref, how=how, value_col=value_col, fixed_point=fixed_point, **dtype_kw))
+            return agg(batch)
 
         partials = points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
     else:
@@ -400,8 +440,6 @@ def aggregate_by_polygon(
                 val = red["sum"].to_numpy()
             red = red[["poly_id", "count"]].assign(avg=np.where(c > 0, val / np.maximum(c, 1.0), 0.0))
         # streaming_group_sum emits keys in ascending order already
-        import ray.data
-
         return ray.data.from_pandas(red)
     out = grouped_aggregate(partials, "poly_id", {c: (c, "sum") for c in sum_cols})
 
@@ -444,8 +482,14 @@ def spatial_join(
         raise ValueError(f"how must be one of {_STRATEGIES}, got {how!r}")
     ref = _bundle_ref(layer_or_bundle, accuracy_m, cell_size, max_cover_cells)
     if compute == "tasks":
+        key = (
+            "rows", ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref),
+            how, id_col, tuple(keep_cols),
+        )
+
         def fn(batch: pa.Table) -> pa.Table:
-            return SpatialJoinRows(ref, how=how, id_col=id_col, keep_cols=keep_cols)(batch)
+            st = _memo(key, lambda: SpatialJoinRows(ref, how=how, id_col=id_col, keep_cols=keep_cols))
+            return st(batch)
 
         return points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
     kwargs = dict(
@@ -474,8 +518,13 @@ def aggregate_with_bounds(
     """
     ref = _bundle_ref(layer_or_bundle, accuracy_m, cell_size, max_cover_cells, area_fractions=True)
     if compute == "tasks":
+        key = ("bounds", ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref))
+
         def fn(batch: pa.Table) -> pa.Table:
-            return RasterBoundsAgg(ref)(batch)
+            # RasterBoundsAgg.__init__ sorts the outline key table — memoized
+            # per worker so it runs once, not once per batch
+            st = _memo(key, lambda: RasterBoundsAgg(ref))
+            return st(batch)
 
         partials = points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
     else:
@@ -487,7 +536,6 @@ def aggregate_with_bounds(
             RasterBoundsAgg, batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kwargs
         )
     import pandas as pd
-    import ray.data
 
     cols = ["count", "fp_all", "fn_all", "fp_est", "fn_est"]
     red, _ = streaming_group_sum(partials, "poly_id", cols, int_cols={"count", "fp_all", "fn_all"})

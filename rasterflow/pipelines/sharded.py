@@ -130,7 +130,13 @@ def aggregate_by_polygon_sharded(
     tiles_ref = ray.put(tiles)
 
     def fn(batch: pa.Table) -> pa.Table:
-        tile_map = ray.get(tiles_ref) if isinstance(tiles_ref, ray.ObjectRef) else tiles_ref
+        from .joins import _memo
+
+        tile_map = (
+            _memo(("tiles", tiles_ref.hex()), lambda: ray.get(tiles_ref))
+            if isinstance(tiles_ref, ray.ObjectRef)
+            else tiles_ref
+        )
         x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
         y = batch.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
         tid = _tile_of_points(x, y, tile_res)
@@ -140,9 +146,13 @@ def aggregate_by_polygon_sharded(
             if entry is None:
                 continue
             bref, gids = entry
-            bundle = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+            # per-worker memo: a fresh ray.get per batch would rebuild each
+            # tile bundle's lazy ucell hash index every batch
             sel = tid == t
-            agg = SpatialJoinAgg(bundle, how=how)
+            agg = _memo(
+                ("tile_agg", bref.hex() if isinstance(bref, ray.ObjectRef) else id(bref), how),
+                lambda: SpatialJoinAgg(bref, how=how),
+            )
             sub = pa.table({"x": pa.array(x[sel]), "y": pa.array(y[sel])})
             part = agg(sub)
             local_ids = part.column("poly_id").to_numpy(zero_copy_only=False)

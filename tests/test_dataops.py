@@ -207,3 +207,24 @@ def test_minhash_recall_on_injected_neardups(ray_session):
     pairs = set(zip(out["id_a"], out["id_b"]))
     found = sum(1 for p in injected if p in pairs)
     assert found / len(injected) >= 0.85, f"recall {found}/{len(injected)}"
+
+
+def test_neardup_clusters(ray_session):
+    """Connected components over the exact pair graph: transitive chains
+    merge into one cluster with the minimum doc id as representative."""
+    import ray.data
+
+    from rasterflow.pipelines.dedup import neardup_clusters
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",   # 0
+        "alpha beta gamma delta epsilon zeta eta theta",   # 1 (dup of 0)
+        "alpha beta gamma delta epsilon zeta eta iota",    # 2 (near dup of 0/1)
+        "one two three four five six seven eight nine",    # 3 unrelated
+        "unrelated words entirely different content here today",  # 4
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts}))
+    out = neardup_clusters(ds, threshold=0.4, concurrency=2).to_pandas()
+    got = dict(zip(out["doc_id"], out["rep_id"]))
+    assert got.get(0) == 0 and got.get(1) == 0 and got.get(2) == 0
+    assert 3 not in got and 4 not in got
