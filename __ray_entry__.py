@@ -388,6 +388,21 @@ def _q_window_agg(sf_dir: str):
     return tumbling_window_agg(ds, ts_col="ts", size_s=3600, count_distinct="user_id")
 
 
+def _q_hopping_window(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.windows import hopping_window_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return hopping_window_agg(ds, ts_col="ts", size_s=3600, hop_s=900, count_distinct="user_id")
+
+
+def _q_top_tokens(sf_dir: str):
+    from rasterflow.pipelines.textstats import top_tokens
+
+    return top_tokens(_docs(sf_dir), k=50)
+
+
 def _q_sessionize(sf_dir: str):
     import ray.data
 
@@ -469,6 +484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounds_agg": _q_bounds_agg,
         "bounds_contain": _q_bounds_contain,
         "window_agg": _q_window_agg,
+        "hopping_window": _q_hopping_window,
+        "top_tokens": _q_top_tokens,
         "sessionize": _q_sessionize,
         "top_users": _q_top_users,
         "count_in_box": _q_count_in_box,
@@ -586,6 +603,25 @@ def oracle_sql() -> dict[str, str]:
 SELECT (epoch_us(ts) // 1000000) // 3600 AS "window",
        count(*) AS n, count(DISTINCT user_id) AS nd_user_id
 FROM events GROUP BY "window" ORDER BY "window"
+""",
+        "hopping_window": """
+WITH e AS (SELECT epoch_us(ts) // 1000000 AS sec, user_id FROM events),
+w AS (
+  SELECT user_id,
+         unnest(range(CAST(floor((sec - 3600) / 900.0) AS BIGINT) + 1,
+                      CAST(floor(sec / 900.0) AS BIGINT) + 1)) AS "window"
+  FROM e
+)
+SELECT "window", count(*) AS n, count(DISTINCT user_id) AS nd_user_id
+FROM w GROUP BY "window" ORDER BY "window"
+""",
+        "top_tokens": r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS n FROM toks
+GROUP BY token ORDER BY n DESC, token LIMIT 50
 """,
         "sessionize": """
 WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events),

@@ -146,3 +146,26 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table({id_col: b.column(id_col), "fp": pa.array(out.astype(np.int64))})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def top_tokens(ds, text_col: str = "text", k: int = 50):
+    """Corpus-wide exact top-k tokens by frequency (heavy hitters, exact).
+
+    Per-batch pre-aggregation (Arrow split + value_counts collapses each
+    batch to its distinct tokens) so the shuffle carries (token, n) partials,
+    not raw tokens; grouped sum; global top-k with deterministic
+    (count desc, token asc) ordering — matches the SQL oracle."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(b.column(text_col)))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = toks.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    from ..util import coalesce_small, grouped_aggregate
+
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4)
+    red = grouped_aggregate(partials, "token", {"n": ("n", "sum")})
+    return red.sort(["n", "token"], descending=[True, False]).limit(k)

@@ -91,3 +91,52 @@ def sessionize(
         return out.reset_index(drop=True)[[key, "session_start", "session_end", "n_events"]]
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas").sort([key, "session_start"])
+
+
+def hopping_window_agg(
+    ds,
+    ts_col: str = "ts",
+    size_s: int = 3600,
+    hop_s: int = 900,
+    count_distinct: str | None = None,
+):
+    """Hopping (sliding) windows: window ``w`` covers ``[w*hop, w*hop+size)``,
+    so each event lands in ``size/hop`` overlapping windows.
+
+    Vectorized expansion per batch (``np.repeat`` over the per-event window
+    range — no per-row loop), then the same hash-partitioned reduce as the
+    tumbling aggregate.  Shuffle volume is ``size/hop`` × rows of NARROW
+    (window[, distinct-key]) columns — the expansion factor is the price of
+    overlap and is stated, not hidden.
+
+    Output: ``window, n[, nd_<col>]`` sorted by window (names match the SQL
+    oracle)."""
+    assert size_s % hop_s == 0, "size must be a multiple of hop"
+    _PER_SEC = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+
+    def expand(b: pa.Table) -> pa.Table:
+        t = b.column(ts_col)
+        if pa.types.is_timestamp(t.type):
+            raw = t.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            sec = raw // _PER_SEC[t.type.unit]
+        else:
+            sec = t.to_numpy(zero_copy_only=False).astype(np.int64)
+        w_min = (sec - size_s) // hop_s + 1
+        w_max = sec // hop_s
+        counts = (w_max - w_min + 1).astype(np.int64)
+        total = int(counts.sum())
+        row_idx = np.repeat(np.arange(len(sec)), counts)
+        ends = np.cumsum(counts)
+        within = np.arange(total) - np.repeat(ends - counts, counts)
+        win = np.repeat(w_min, counts) + within
+        cols: dict[str, object] = {"window": pa.array(win)}
+        if count_distinct is not None:
+            cols[count_distinct] = b.column(count_distinct).take(pa.array(row_idx))
+        return pa.table(cols)
+
+    exp = ds.map_batches(expand, batch_format="pyarrow")
+    first_key = count_distinct or "window"
+    aggs: dict[str, tuple[str, str]] = {"n": (first_key, "size")}
+    if count_distinct is not None:
+        aggs[f"nd_{count_distinct}"] = (count_distinct, "nunique")
+    return grouped_aggregate(exp, ["window"], aggs).sort(["window"])

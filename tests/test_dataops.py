@@ -228,3 +228,18 @@ def test_neardup_clusters(ray_session):
     got = dict(zip(out["doc_id"], out["rep_id"]))
     assert got.get(0) == 0 and got.get(1) == 0 and got.get(2) == 0
     assert 3 not in got and 4 not in got
+
+
+def test_top_tokens_exact(ray_session):
+    import collections
+
+    import ray.data
+
+    from rasterflow.pipelines.textstats import top_tokens
+
+    texts = ["a b b c c c", "c d d a", "e", ""]
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(4), "text": texts}))
+    got = top_tokens(ds, k=3).to_pandas()
+    cnt = collections.Counter(" ".join(texts).split())
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(got["token"], got["n"])) == exp

@@ -66,3 +66,34 @@ def test_sessionize_matches_pandas(events):
     exp = exp.sort_values(["user_id", "session_start"]).reset_index(drop=True)
     got = got.sort_values(["user_id", "session_start"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_hopping_window_matches_pandas(ray_session):
+    """Hopping windows ≡ per-event expansion done in pandas."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rasterflow.pipelines.windows import hopping_window_agg
+
+    rng = np.random.default_rng(11)
+    sec = rng.integers(0, 20_000, size=3000)
+    uid = rng.integers(0, 40, size=3000)
+    ds = ray.data.from_pandas(pd.DataFrame({"ts": sec, "user_id": uid}))
+    got = hopping_window_agg(ds, ts_col="ts", size_s=3600, hop_s=900, count_distinct="user_id").to_pandas()
+
+    rows = []
+    for s, u in zip(sec, uid):
+        for w in range((s - 3600) // 900 + 1, s // 900 + 1):
+            rows.append((w, u))
+    exp = (
+        pd.DataFrame(rows, columns=["window", "user_id"])
+        .groupby("window")
+        .agg(n=("user_id", "size"), nd_user_id=("user_id", "nunique"))
+        .reset_index()
+        .sort_values("window")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"), exp.astype("int64")
+    )
