@@ -379,6 +379,35 @@ def _q_audio_frames(sf_dir: str):
     return out.map_batches(energy, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_split_assign(sf_dir: str):
+    from rasterflow.pipelines.sampling import split_assign
+
+    ds = _docs(sf_dir)
+
+    def drop_text(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id"])
+
+    return split_assign(ds.map_batches(drop_text, batch_format="pyarrow")).sort("doc_id")
+
+
+def _q_col_quantiles(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import column_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return column_quantiles(ds, "n_chars", qs=(0.1, 0.5, 0.9, 0.99))
+
+
+def _q_approx_distinct_users(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.sketch import approx_count_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return approx_count_distinct(ds, "user_id", p=12)
+
+
 def _q_window_agg(sf_dir: str):
     import ray.data
 
@@ -484,6 +513,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounds_agg": _q_bounds_agg,
         "bounds_contain": _q_bounds_contain,
         "window_agg": _q_window_agg,
+        "split_assign": _q_split_assign,
+        "col_quantiles": _q_col_quantiles,
+        "approx_distinct_users": _q_approx_distinct_users,
         "hopping_window": _q_hopping_window,
         "top_tokens": _q_top_tokens,
         "sessionize": _q_sessionize,
@@ -560,6 +592,37 @@ npairs AS (
 )"""
 
 
+def _split_assign_sql(test_pct: int = 10, val_pct: int = 10) -> str:
+    """SQL replica of sampling.split_assign's mulrot_hash64 bucket."""
+    M64 = "18446744073709551616::HUGEINT"
+    M32 = "4294967296"
+
+    def mulmod(z: str, c: int) -> str:
+        # (z * c) mod 2^64 with all intermediates < 2^97 (HUGEINT-safe)
+        return (
+            f"(((({z}) // {M32}) * {c}) % {M32} * {M32}"
+            f" + (({z}) % {M32}) * {c}) % {M64}"
+        )
+
+    def rotl32(z: str) -> str:
+        return f"((({z}) * {M32}) % {M64} + ({z}) // {M32})"
+
+    z1 = mulmod("CAST(doc_id AS HUGEINT)", 0x9E3779B97F4A7C15)
+    return f"""
+WITH s1 AS (SELECT doc_id, {z1} AS z FROM documents),
+s2 AS (SELECT doc_id, {rotl32('z')} AS z FROM s1),
+s3 AS (SELECT doc_id, {mulmod('z', 0xBF58476D1CE4E5B9)} AS z FROM s2),
+s4 AS (SELECT doc_id, {rotl32('z')} AS z FROM s3),
+s5 AS (SELECT doc_id, {mulmod('z', 0x94D049BB133111EB)} AS z FROM s4),
+b AS (SELECT doc_id, CAST(z % 100 AS BIGINT) AS bucket FROM s5)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {test_pct} THEN 'test'
+            WHEN bucket < {test_pct + val_pct} THEN 'val'
+            ELSE 'train' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
 def _rect_count_sql(where: str = "") -> str:
     return f"""
 WITH {GEO_CTE.strip()},
@@ -603,6 +666,18 @@ def oracle_sql() -> dict[str, str]:
 SELECT (epoch_us(ts) // 1000000) // 3600 AS "window",
        count(*) AS n, count(DISTINCT user_id) AS nd_user_id
 FROM events GROUP BY "window" ORDER BY "window"
+""",
+        # mulrot_hash64 replicated in HUGEINT: each 64x64 multiply is split
+        # hi/lo 32 so no intermediate exceeds 2^97 (HUGEINT-safe); rotl(z,32)
+        # = (z*2^32 mod 2^64) + z//2^32 (disjoint bit ranges, so + == |)
+        "split_assign": _split_assign_sql(),
+        "col_quantiles": """
+WITH c AS (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY n_chars),
+cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc FROM c),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+qs(q) AS (VALUES (0.1), (0.5), (0.9), (0.99))
+SELECT q, (SELECT min(v) FROM cum CROSS JOIN tot WHERE cc >= CEIL(qs.q * tot.n)) AS value
+FROM qs ORDER BY q
 """,
         "hopping_window": """
 WITH e AS (SELECT epoch_us(ts) // 1000000 AS sec, user_id FROM events),

@@ -58,6 +58,28 @@ def mix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+#: odd 64-bit constants (splitmix64's public-domain multipliers)
+_MR_C1 = np.uint64(0x9E3779B97F4A7C15)
+_MR_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_MR_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def mulrot_hash64(x: np.ndarray) -> np.ndarray:
+    """mul-rotate-mul 64-bit mixer using ONLY {multiply mod 2^64, rotate} —
+    every step is expressible in ANSI SQL over HUGEINT (rotl(z,32) =
+    (z*2^32 mod 2^64) + z//2^32, the two parts occupying disjoint bits), so
+    deterministic splits/samples computed with it can be oracle-verified
+    bit-for-bit.  Weaker avalanche than splitmix64 (no xor), ample for
+    bucketing."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) * _MR_C1
+        z = (z << np.uint64(32)) | (z >> np.uint64(32))
+        z = z * _MR_C2
+        z = (z << np.uint64(32)) | (z >> np.uint64(32))
+        z = z * _MR_C3
+    return z
+
+
 def flat_utf8(col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     """Arrow string column -> (flat uint8 byte buffer, int64 offsets).
 

@@ -243,3 +243,51 @@ def test_top_tokens_exact(ray_session):
     cnt = collections.Counter(" ".join(texts).split())
     exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert list(zip(got["token"], got["n"])) == exp
+
+
+def test_split_assign_deterministic_and_balanced(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import split_assign
+
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(20_000)}))
+    a = split_assign(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = split_assign(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # pure function of id
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["test"] - 0.10) < 0.01
+    assert abs(frac["val"] - 0.10) < 0.01
+    assert abs(frac["train"] - 0.80) < 0.02
+    # different seed reshuffles assignments
+    c = split_assign(ds, seed=7).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a["split"] != c["split"]).mean() > 0.1
+
+
+def test_column_quantiles_exact(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import column_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 500, size=10_000)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals}))
+    got = column_quantiles(ds, "x", qs=(0.1, 0.5, 0.9)).to_pandas()
+    sv = np.sort(vals)
+    import math
+
+    for q, v in zip(got["q"], got["value"]):
+        rank = max(1, math.ceil(q * len(sv)))
+        assert v == sv[rank - 1], (q, v, sv[rank - 1])
+
+
+def test_hll_accuracy_vs_exact(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sketch import approx_count_distinct
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 30_000, size=200_000)
+    exact = len(np.unique(vals))
+    ds = ray.data.from_pandas(pd.DataFrame({"u": vals}))
+    est = approx_count_distinct(ds, "u", p=12).to_pandas()["n_distinct_est"].iloc[0]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
