@@ -347,6 +347,39 @@ def _q_decode_images(sf_dir: str):
     return out.map_batches(flatten_feature, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_resize_images(sf_dir: str):
+    """Multimodal resize pipeline over the deterministic payload fixture
+    (stub resize; rows-only).  Output drops the wide thumb column for the
+    driver and keeps a per-row checksum so determinism is still checkable."""
+    import ray.data
+
+    from rasterflow.pipelines.multimodal import resize_images
+    from rasterflow.sources.fixtures import payload_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def addp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column("image", payload_batch(ids, nbytes=256, salt=3))
+
+    out = resize_images(
+        ds.map_batches(addp, batch_format="pyarrow"), payload_col="image", id_col="doc_id",
+        size=(16, 16), concurrency=2, decoder="fake",
+    )
+
+    def checksum(t: pa.Table) -> pa.Table:
+        sums = np.array(
+            [int(np.frombuffer(v, dtype=np.uint8).sum()) for v in t.column("thumb").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "thumb_sum": pa.array(sums),
+             "th": t.column("th"), "tw": t.column("tw")}
+        )
+
+    return out.map_batches(checksum, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_audio_frames(sf_dir: str):
     """Multimodal audio frame-sampling pipeline over the same deterministic
     payload fixture (stub decode; rows-only)."""
@@ -536,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "decode_images": _q_decode_images,
+        "resize_images": _q_resize_images,
         "audio_frames": _q_audio_frames,
         "fingerprint": _q_fingerprint,
         "agg_rect_index": _q_agg_rect_index,

@@ -93,6 +93,85 @@ class ImageDecodeStage:
         )
 
 
+class ImageResizeStage:
+    """binary image -> fixed (h, w) grayscale thumbnail (fixed_size_binary).
+
+    The resize kernel follows the decode-stage convention: a real PIL
+    thumbnail when the library is importable (and ``decoder`` allows),
+    otherwise a deterministic byte-derived fake.  Output payload width is
+    constant (``th*tw`` bytes), so downstream batches are fixed-stride —
+    the property a training-data loader needs.
+    """
+
+    def __init__(
+        self,
+        payload_col: str = "image",
+        id_col: str = "url",
+        size: tuple[int, int] = (32, 32),
+        decoder: str = "auto",
+    ):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.th, self.tw = size
+        self._pil = None
+        if decoder not in ("auto", "fake", "pil"):
+            raise ValueError(f"decoder must be auto|fake|pil, got {decoder!r}")
+        if decoder in ("auto", "pil"):
+            try:  # pragma: no cover - PIL not installed in this container
+                from PIL import Image
+
+                self._pil = Image
+            except ImportError:
+                if decoder == "pil":
+                    raise
+
+    def _resize_fake(self, b: bytes) -> bytes:
+        """STUB resize: deterministic tiling of the payload bytes."""
+        n = self.th * self.tw
+        src = np.frombuffer((b or b"\0"), dtype=np.uint8)
+        reps = -(-n // len(src))
+        return np.tile(src, reps)[:n].tobytes()
+
+    def _resize_pil(self, b: bytes) -> bytes:  # pragma: no cover
+        import io
+
+        img = self._pil.open(io.BytesIO(b)).convert("L").resize((self.tw, self.th))
+        return np.asarray(img, dtype=np.uint8).tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = _payload_arrays(batch, self.payload_col)
+        resize = self._resize_pil if self._pil is not None else self._resize_fake
+        thumbs = [resize(b or b"") for b in payloads]
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "thumb": pa.array(thumbs, type=pa.binary(self.th * self.tw)),
+                "th": pa.array(np.full(len(thumbs), self.th, dtype=np.int32)),
+                "tw": pa.array(np.full(len(thumbs), self.tw, dtype=np.int32)),
+            }
+        )
+
+
+def resize_images(
+    ds,
+    payload_col: str = "image",
+    id_col: str = "url",
+    size: tuple[int, int] = (32, 32),
+    concurrency=(1, 4),
+    batch_size: int = 256,
+    decoder: str = "auto",
+):
+    """Actor-pool image resize stage (small batches: wide payloads)."""
+    return ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs=dict(payload_col=payload_col, id_col=id_col, size=size, decoder=decoder),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 class AudioFrameSampleStage:
     """binary audio -> sampled frame energies (list<float>).
 

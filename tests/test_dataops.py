@@ -291,3 +291,22 @@ def test_hll_accuracy_vs_exact(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"u": vals}))
     est = approx_count_distinct(ds, "u", p=12).to_pandas()["n_distinct_est"].iloc[0]
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_resize_images_fixed_stride(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.multimodal import resize_images
+
+    rng = np.random.default_rng(9)
+    payloads = [rng.integers(0, 256, size=rng.integers(16, 600)).astype(np.uint8).tobytes() for _ in range(12)]
+    df = pd.DataFrame({"url": [f"u{i}" for i in range(12)], "image": payloads})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    out = resize_images(ds, size=(8, 16), concurrency=2, decoder="fake").to_pandas()
+    assert len(out) == 12
+    assert all(len(t) == 8 * 16 for t in out["thumb"])
+    out2 = resize_images(ds, size=(8, 16), concurrency=2, decoder="fake").to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("url").reset_index(drop=True),
+        out2.sort_values("url").reset_index(drop=True),
+    )
