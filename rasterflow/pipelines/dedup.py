@@ -7,20 +7,24 @@ verification demands it (and then only inside candidate buckets).
 
 - :func:`exact_dedup` — content-hash partition + min-id per group, with
   per-batch pre-aggregation so the shuffle carries one row per distinct hash
-  per batch (not one per row).
+  per batch (not one per row); optional collision-proof ``verify`` pass.
 - :func:`minhash_lsh_pairs` — char-shingle MinHash signatures banded into LSH
-  buckets; near-duplicate candidate pairs with signature-estimated Jaccard.
-- :func:`ngram_jaccard_pairs` — the same LSH blocking, but with exact word
-  n-gram Jaccard verification inside each bucket.
+  buckets; near-duplicate candidate pairs with signature-estimated Jaccard
+  (approximate by design).
+- :func:`ngram_jaccard_pairs` — EXACT word-n-gram Jaccard self-join via
+  lossless prefix-filter blocking (AllPairs/PPJoin) — all pairs ≥ threshold,
+  SQL-oracle-matched.
+- :func:`neardup_clusters` — connected components over the exact pair graph;
+  min-id representative per cluster (the dedup keep-list decision).
 - :func:`simhash_pairs` — 64-bit SimHash with banded blocking and Hamming
-  verification.
+  verification (pigeonhole-complete for ham ≤ 3).
 
 Hash collisions: exact_dedup keys on a 64-bit content hash — at 10^12 docs
-expect ~O(30) random collisions; acceptable for training-data dedup (and the
-in-repo tests run collision-free).  Bucket blowup: LSH buckets are capped at
-``max_bucket`` docs (hot buckets are almost always boilerplate/empty strings;
-the cap is logged via the ``truncated`` column so nothing is silently
-dropped).
+expect ~O(30) random collisions; ``verify=True`` removes even those.  Bucket
+blowup: LSH buckets are capped at ``max_bucket`` docs (hot buckets are almost
+always boilerplate/empty strings; the cap is logged via the ``truncated``
+column so nothing is silently dropped); the prefix-filter join is uncapped by
+default to stay lossless.
 """
 
 from __future__ import annotations
@@ -271,7 +275,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     max_bucket: int = 64,
-    concurrency=(1, 8),
+    concurrency=(1, 8),  # accepted for API compat; task pools self-scale
 ):
     """Near-duplicate candidate pairs with signature-estimated Jaccard ≥
     threshold.  Output: (id_a, id_b, est_jaccard) deduped across bands.

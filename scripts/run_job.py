@@ -30,7 +30,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--pipeline",
-        choices=["raster", "index", "hybrid", "bounds", "ingest", "rows"],
+        choices=["raster", "index", "hybrid", "bounds", "ingest", "rows", "dedup"],
         default="hybrid",
     )
     ap.add_argument("--input", required=True, help="pages parquet file/dir (or glob)")
@@ -73,6 +73,54 @@ def main() -> int:
             args.out,
         )
         print(json.dumps(res | {"manifest": str(os.path.join(args.out, "_manifest.jsonl"))}))
+        return 0
+
+    if args.pipeline == "dedup":
+        # resumable exact-dedup: each partition writes its (content_hash ->
+        # min url, n) partials — a pure function of its input files — and the
+        # final combine reduces partials to the global keep-list.  The text
+        # pipeline analogue of the spatial partial/combine split below.
+        import pyarrow as pa
+
+        from rasterflow.pipelines.dedup import content_hash64
+
+        def build_dedup(files):
+            import pandas as pd
+
+            ds = ray.data.read_parquet(files, columns=["url", "html"])
+            ds = ds.map_batches(extract_text, batch_format="pyarrow")
+
+            def partial(b: pa.Table) -> pa.Table:
+                h = content_hash64(b.column("text2")).astype("int64")
+                df = pd.DataFrame({"h": h, "url": b.column("url").to_pylist()})
+                g = df.groupby("h", sort=False).agg(url=("url", "min"), n=("url", "size")).reset_index()
+                return pa.Table.from_pandas(
+                    g.rename(columns={"h": "content_hash"}), preserve_index=False
+                )
+
+            return ds.map_batches(partial, batch_format="pyarrow")
+
+        parts = partition_files(paths, args.partition_size)
+        res = run_resumable(parts, build_dedup, args.out)
+        # final combine: group the (tiny) per-partition partials globally
+        import pandas as pd
+
+        frames = [
+            ray.data.read_parquet(os.path.join(args.out, f"part-{pid}")).to_pandas()
+            for pid, _ in parts
+        ]
+        allp = pd.concat(frames, ignore_index=True)
+        keep = (
+            allp.groupby("content_hash", as_index=False)
+            .agg(url=("url", "min"), n=("n", "sum"))[["url", "n"]]
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        final_path = os.path.join(args.out, "final.parquet")
+        keep.to_parquet(final_path, index=False)
+        print(json.dumps(res | {"rows_out": len(keep), "final": final_path,
+                                "manifest_entries": len(read_manifest(args.out))}))
+        ray.shutdown()
         return 0
 
     layer = (
