@@ -385,6 +385,16 @@ def ngram_jaccard_pairs(
     the Jaccard value is the exact integer ratio |A∩B| / |A∪B| — bit-identical
     to the SQL oracle's DOUBLE division.  ``max_bucket=None`` (default) keeps
     the join lossless; set a cap only as a documented hot-key escape hatch.
+
+    Shuffle-volume note: each posting carries its doc's gram-hash array, an
+    ≈prefix-length× amplification of gram bytes through the bucket shuffle
+    (hashes only — text never moves).  The alternative indexed-kernel plan
+    (narrow (key,id) postings + candidate dedup + Dataset.join against
+    one profile row per doc, per Vernica et al. SIGMOD'10) was implemented
+    and measured in round 2: Ray 2.49's hash-join fixed costs made it 2.5x
+    SLOWER at every scale testable here (12s vs 4.7s at sf0.1), so the
+    posting-carry plan is kept; at corpus scales where the amplification
+    bytes dominate join setup, switch to the join plan (see git history).
     """
     from ..util import cached_stage
 
