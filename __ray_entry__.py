@@ -84,6 +84,18 @@ def _q_agg_poly_hybrid_avg(sf_dir: str):
     )
 
 
+def _q_agg_poly_sharded(sf_dir: str):
+    """Tile-sharded join (the giant-layer scale path) on the oracle plane —
+    must produce counts identical to the single-bundle index join."""
+    from rasterflow.geom.cells import _LOG2_WORLD
+    from rasterflow.pipelines.sharded import aggregate_by_polygon_sharded
+
+    return aggregate_by_polygon_sharded(
+        documents_points(sf_dir), oracle_poly_layer(), tile_res=_LOG2_WORLD - 4,
+        how="index", cell_size=0.05,
+    )
+
+
 def _q_join_rows_poly(sf_dir: str):
     out = spatial_join(
         documents_points(sf_dir), oracle_poly_layer(), how="index",
@@ -575,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_rect_index": _q_agg_rect_index,
         "agg_rect_raster": _q_agg_rect_raster,
         "agg_poly_index": _q_agg_poly_index,
+        "agg_poly_sharded": _q_agg_poly_sharded,
         "agg_poly_hybrid_avg": _q_agg_poly_hybrid_avg,
         "join_rows_poly": _q_join_rows_poly,
         "filter_agg_rect": _q_filter_agg_rect,
@@ -888,6 +901,14 @@ FROM documents ORDER BY doc_id
 """,
         "agg_rect_index": _rect_count_sql(),
         "agg_poly_index": f"""
+WITH {GEO_CTE.strip()},
+{poly_edges_values_sql()},
+hits AS ({PIP_JOIN_SQL.strip()})
+SELECT CAST(poly_id AS INTEGER) AS poly_id, count(*) AS "count"
+FROM hits GROUP BY poly_id ORDER BY poly_id
+""",
+        # the tile-sharded join is exact ≡ the index join — same oracle
+        "agg_poly_sharded": f"""
 WITH {GEO_CTE.strip()},
 {poly_edges_values_sql()},
 hits AS ({PIP_JOIN_SQL.strip()})
