@@ -62,10 +62,11 @@ def _q_agg_rect_index(sf_dir: str):
 
 
 def _q_agg_rect_raster(sf_dir: str):
-    # the raster operator is approximate by design (error bounded by the
-    # cell diagonal), so it has no SQL oracle — the driver records a
-    # rows-only check; its accuracy is verified against the exact join in
-    # tests/test_joins.py (ε-sweep) and tests/test_golden.py.
+    # the raster operator approximates the true counts (error bounded by the
+    # cell diagonal) but its SEMANTICS are deterministic — the oracle
+    # replicates the cell-center cover rule exactly (see _rect_raster_sql),
+    # so this row is hash-exact; accuracy vs the exact join is separately
+    # verified in tests/test_joins.py (ε-sweep) and tests/test_golden.py.
     return aggregate_by_polygon(
         documents_points(sf_dir), oracle_rect_layer(), how="raster", cell_size=0.01, concurrency=2
     )
@@ -670,6 +671,27 @@ FROM b ORDER BY doc_id
 """
 
 
+def _rect_raster_sql(cs: float = 0.01) -> str:
+    from rasterflow.pipelines.points import oracle_rect_layer
+
+    gx0, gy0, _, _ = (float(v) for v in oracle_rect_layer().bounds)
+    return f"""
+WITH {GEO_CTE.strip()},
+{rects_values_sql()},
+g2 AS (
+  SELECT doc_id,
+         {gx0!r} + (FLOOR((lon - {gx0!r}) / {cs!r}) + 0.5) * {cs!r} AS cx,
+         {gy0!r} + (FLOOR((lat - {gy0!r}) / {cs!r}) + 0.5) * {cs!r} AS cy
+  FROM geo
+)
+SELECT CAST(r.poly_id AS INTEGER) AS poly_id, count(*) AS "count"
+FROM g2 JOIN rects r
+  ON g2.cx >= r.xmin AND g2.cx < r.xmax AND g2.cy >= r.ymin AND g2.cy < r.ymax
+GROUP BY r.poly_id
+ORDER BY poly_id
+"""
+
+
 def _rect_count_sql(where: str = "") -> str:
     return f"""
 WITH {GEO_CTE.strip()},
@@ -900,6 +922,15 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """,
         "agg_rect_index": _rect_count_sql(),
+        # raster SEMANTICS oracle: a point counts toward every rect whose
+        # rasterization covers its cell — cover = cell CENTER inside, which
+        # for an axis-aligned rect under the half-open PIP rule is
+        # xmin ≤ cx < xmax ∧ ymin ≤ cy < ymax.  Center expression uses the
+        # identical IEEE op order as Grid.centers (x0 + (floor((x-x0)/cs) +
+        # 0.5)*cs with the bundle grid anchored at the layer bounds), so the
+        # approximation itself is verified bit-exactly (the reference pins
+        # raster outputs the same way via its accuracy CSVs).
+        "agg_rect_raster": _rect_raster_sql(),
         "agg_poly_index": f"""
 WITH {GEO_CTE.strip()},
 {poly_edges_values_sql()},
