@@ -258,3 +258,17 @@ def test_custom_strategy_registration(points_and_layer):
     u = to_dense(upper, layer.npolys)
     e = to_dense(exact, layer.npolys)
     assert (u >= e).all() and u.sum() > e.sum()
+
+
+def test_f32_plane_matches_f64_closely(points_and_layer):
+    """The reference-conformant float32 kernel plane (GRAFT_JOIN_DTYPE=f32)
+    may flip only points within f32 epsilon of a polygon edge — on the
+    random fixture the per-polygon counts must match f64 almost everywhere."""
+    pts, layer, tbl = points_and_layer
+    a = aggregate_by_polygon(pts, layer, how="hybrid", accuracy_m=50.0, concurrency=2).to_pandas()
+    b = aggregate_by_polygon(
+        pts, layer, how="hybrid", accuracy_m=50.0, concurrency=2, dtype=np.float32
+    ).to_pandas()
+    da = to_dense(a, layer.npolys)
+    db = to_dense(b, layer.npolys)
+    assert np.abs(da - db).sum() <= max(2, 0.001 * da.sum()), (da - db)

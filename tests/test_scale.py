@@ -203,3 +203,22 @@ def test_large_layer_streaming_reduce(ray_session):
         b.astype({"poly_id": "int64", "count": "int64"}),
         check_dtype=False,
     )
+
+
+def test_worker_memo_and_put_cache(ray_session):
+    """Per-worker memo returns the same object for the same key; driver-side
+    ray.put memo reuses one plasma ref per bundle object."""
+    import ray
+
+    from rasterflow.pipelines import joins as J
+    from rasterflow.sources.fixtures import tiny2_layer
+    from rasterflow.state.bundle import build_bundle
+
+    calls = []
+    a = J._memo(("t", 1), lambda: calls.append(1) or object())
+    b = J._memo(("t", 1), lambda: calls.append(1) or object())
+    assert a is b and len(calls) == 1
+    bundle = build_bundle(tiny2_layer(), cell_size=0.05)
+    r1 = J._bundle_ref(bundle, None, None, 0)
+    r2 = J._bundle_ref(bundle, None, None, 0)
+    assert isinstance(r1, ray.ObjectRef) and r1 == r2
