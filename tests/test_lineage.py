@@ -98,3 +98,22 @@ def test_partition_files_deterministic():
     b = partition_files(paths, 3)
     assert a == b
     assert [pid for pid, _ in a] == ["00000", "00001", "00002"]
+
+
+def test_changed_inputs_rebuild(ray_session, tmp_path):
+    """A partition id whose recorded inputs differ from the current spec must
+    rebuild, not silently reuse stale output (positional ids shift when the
+    input list changes; ADVICE r1)."""
+    parts = [("0", (0, 10)), ("1", (10, 20))]
+    log: list = []
+    run_resumable(parts, build_fn_factory(log), tmp_path / "o")
+    assert log == [(0, 10), (10, 20)]
+    # same partition ids, shifted input ranges -> both rebuild
+    parts2 = [("0", (5, 15)), ("1", (15, 25))]
+    log2: list = []
+    out = run_resumable(parts2, build_fn_factory(log2), tmp_path / "o")
+    assert out["ran"] == ["0", "1"] and log2 == [(5, 15), (15, 25)]
+    # and re-running the shifted spec now skips
+    log3: list = []
+    out3 = run_resumable(parts2, build_fn_factory(log3), tmp_path / "o")
+    assert out3["skipped"] == ["0", "1"] and log3 == []
