@@ -531,8 +531,6 @@ def _q_bounds_contain(sf_dir: str):
     the exact count (Ray index join) and whether the J4 guaranteed bounds
     contain it.  The oracle returns the exact PIP count with ``TRUE`` — any
     bounds violation surfaces as a value mismatch."""
-    import pandas as pd
-
     from rasterflow.pipelines.joins import aggregate_with_bounds
 
     b = aggregate_with_bounds(

@@ -26,7 +26,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .projection import WORLD_CENTER_X, WORLD_CENTER_Y, WORLD_SIZE
+from .projection import WORLD_CENTER_X, WORLD_CENTER_Y
 
 MAX_RES = 29
 _RES_SHIFT = 58

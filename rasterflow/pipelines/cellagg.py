@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from ray.data.aggregate import Sum
 
 from ..geom.cells import Grid, encode_cells
 

@@ -34,7 +34,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Max, Min, Sum
 
 from ..util import coalesce_small, grouped_aggregate
 

@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..geom.cells import cell_width, decode_cells, encode_cells
+from ..geom.cells import decode_cells, encode_cells
 from ..stages.extract import extract_text
 from ..stages.geocode import PreparePoints
 

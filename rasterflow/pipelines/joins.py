@@ -28,11 +28,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Sum
 
 from ..geom.pip import pip_pairs
 from ..state.bundle import PolygonBundle, build_bundle
-from ..util import coalesce_small, grouped_aggregate, streaming_group_sum
+from ..util import grouped_aggregate, streaming_group_sum
 
 _STRATEGIES = ("raster", "index", "hybrid")
 

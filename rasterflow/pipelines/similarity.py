@@ -17,7 +17,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Max
 
 
 def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
