@@ -249,7 +249,10 @@ def _grouped_pairs(sigs_ds, per_bucket_fn, empty_df_fn):
     return out.repartition(4)
 
 
-def _pairs_from_bucket(g: pd.DataFrame, id_col: str, num_perm: int, max_bucket: int):
+def _pairs_from_bucket(g: pd.DataFrame, id_col: str, num_perm: int, bands: int, max_bucket: int):
+    """Pairs from one LSH bucket (emitted from every catching bucket and
+    deduped downstream — see the simhash bucket note on why emit-once and
+    the max_bucket cap don't mix)."""
     g = g.sort_values(id_col).drop_duplicates(id_col)
     truncated = len(g) > max_bucket
     g = g.head(max_bucket)
@@ -294,7 +297,7 @@ def minhash_lsh_pairs(
     sigs = ds.map_batches(sig_fn, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return _pairs_from_bucket(g, id_col, num_perm, max_bucket)
+        return _pairs_from_bucket(g, id_col, num_perm, bands, max_bucket)
 
     def empty():
         return pd.DataFrame(
@@ -306,8 +309,6 @@ def minhash_lsh_pairs(
     dedup = grouped_aggregate(pairs, ["id_a", "id_b"], {"est_jaccard": ("est_jaccard", "max")}, num_partitions=16)
 
     def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         return t.filter(pc.greater_equal(t.column("est_jaccard"), pa.scalar(threshold)))
 
     return dedup.map_batches(finish, batch_format="pyarrow").sort(["id_a", "id_b"])
@@ -404,15 +405,36 @@ def ngram_jaccard_pairs(
 
     postings = ds.map_batches(post_fn, batch_format="pyarrow")
 
+    # emit-once is only safe with UNCAPPED buckets: under a max_bucket cap a
+    # pair's owning (min-shared-key) bucket may have truncated one member
+    # while another bucket still catches it — with a cap we emit from every
+    # bucket and dedupe with a shuffle instead
+    emit_once = max_bucket is None
+
     def bucket_exact(g: pd.DataFrame) -> pd.DataFrame:
+        # emit-once rule: a pair appears in every bucket keyed by a SHARED
+        # prefix element; only the bucket keyed by the MINIMUM shared prefix
+        # element emits it, so pairs are globally unique by construction and
+        # no downstream pair-dedup shuffle is needed (each bucket can decide
+        # locally — it holds both docs' full sorted gram sets).
+        key = np.int64(g["band_hash"].iloc[0])
         g = g.sort_values(id_col).drop_duplicates(id_col)
         if max_bucket is not None:
             g = g.head(max_bucket)
         ids = g[id_col].to_numpy()
         grams = [np.asarray(v, dtype=np.int64) for v in g["grams"]]
+        plens = [
+            max(1, len(gr) - int(np.ceil(threshold * len(gr) - 1e-12)) + 1) for gr in grams
+        ]
         rows = []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
+                if emit_once:
+                    shared = np.intersect1d(
+                        grams[i][: plens[i]], grams[j][: plens[j]], assume_unique=True
+                    )
+                    if len(shared) == 0 or shared[0] != key:
+                        continue  # another (smaller-keyed) bucket owns this pair
                 inter = len(np.intersect1d(grams[i], grams[j], assume_unique=True))
                 union = len(grams[i]) + len(grams[j]) - inter
                 jac = inter / union if union else 1.0
@@ -426,6 +448,8 @@ def ngram_jaccard_pairs(
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")})
 
     pairs = _grouped_pairs(postings, bucket_exact, empty_j)
+    if emit_once:
+        return pairs.sort(["id_a", "id_b"])
     return grouped_aggregate(
         pairs, ["id_a", "id_b"], {"jaccard": ("jaccard", "max")}, num_partitions=16
     ).sort(["id_a", "id_b"])
@@ -574,6 +598,13 @@ def simhash_pairs(
     sigs = ds.map_batches(sig_fn, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # NOTE: pairs are emitted from EVERY bucket that catches them and
+        # deduped by a shuffle below.  An emit-once rule (min agreeing band
+        # owns the pair) was tried in round 2 but interacts badly with the
+        # max_bucket cap: a pair whose owning bucket truncated one member is
+        # lost even when another band's bucket caught it (measured: 338 ->
+        # 276 of 349 true pairs at sf0.1).  Emit-once is only safe uncapped,
+        # which the exact ngram join uses.
         g = g.sort_values(id_col).drop_duplicates(id_col).head(max_bucket)
         ids = g[id_col].to_numpy()
         sig = g["sig"].to_numpy().astype(np.int64).astype(np.uint64)
