@@ -425,6 +425,15 @@ def _q_audio_frames(sf_dir: str):
     return out.map_batches(energy, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_top_docs_per_lang(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import top_k_per_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    return top_k_per_group(ds, group_col="lang", score_col="n_chars", k=10)
+
+
 def _q_split_assign(sf_dir: str):
     from rasterflow.pipelines.sampling import split_assign
 
@@ -558,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounds_contain": _q_bounds_contain,
         "window_agg": _q_window_agg,
         "split_assign": _q_split_assign,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         "col_quantiles": _q_col_quantiles,
         "approx_distinct_users": _q_approx_distinct_users,
         "hopping_window": _q_hopping_window,
@@ -738,6 +748,14 @@ FROM events GROUP BY "window" ORDER BY "window"
         # hi/lo 32 so no intermediate exceeds 2^97 (HUGEINT-safe); rotl(z,32)
         # = (z*2^32 mod 2^64) + z//2^32 (disjoint bit ranges, so + == |)
         "split_assign": _split_assign_sql(),
+        "top_docs_per_lang": """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT lang, doc_id, n_chars FROM r WHERE rn <= 10 ORDER BY lang, doc_id
+""",
         "col_quantiles": """
 WITH c AS (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY n_chars),
 cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc FROM c),

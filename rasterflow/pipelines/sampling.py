@@ -94,3 +94,25 @@ def column_quantiles(ds, col: str, qs: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99)
     return ray.data.from_arrow(
         pa.table({"q": pa.array(out_q, type=pa.float64()), "value": pa.array(out_v)})
     )
+
+
+def top_k_per_group(ds, group_col: str, score_col: str, k: int, id_col: str = "doc_id"):
+    """Per-group top-k rows by score — the data-curation "keep the best N
+    documents per language/source" selection.
+
+    ``groupby(group).map_groups`` with a vectorized per-group sort; ties
+    break deterministically by (score desc, id asc) so the result is stable
+    under any partitioning and matches the SQL window oracle.  Scale note:
+    one group must fit one task (standard for bounded group counts like
+    language or source); per-group partial top-k + re-merge is the upgrade
+    for giant groups.
+    """
+    import pandas as pd
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([score_col, id_col], ascending=[False, True]).head(k)
+        return g[[group_col, id_col, score_col]]
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas").sort(
+        [group_col, id_col]
+    )

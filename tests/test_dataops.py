@@ -310,3 +310,29 @@ def test_resize_images_fixed_stride(ray_session):
         out.sort_values("url").reset_index(drop=True),
         out2.sort_values("url").reset_index(drop=True),
     )
+
+
+def test_top_k_per_group(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import top_k_per_group
+
+    rng = np.random.default_rng(4)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "lang": np.array(["en", "es", "de", "fr"])[rng.integers(0, 4, n)],
+            "n_chars": rng.integers(0, 300, n),  # many score ties -> id tie-break matters
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = top_k_per_group(ds, "lang", "n_chars", 10).to_pandas()
+    exp = (
+        df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .groupby("lang")
+        .head(10)
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)[["lang", "doc_id", "n_chars"]]
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
