@@ -305,6 +305,20 @@ def _q_neardup_clusters(sf_dir: str):
     return neardup_clusters(_docs(sf_dir), threshold=0.5, concurrency=2)
 
 
+#: benchmark doc ids for the decontamination query (shared with the oracle)
+CONTAM_BENCH_IDS = (0, 1, 2, 3, 4)
+
+
+def _q_contamination(sf_dir: str):
+    """Benchmark decontamination: docs sharing ≥1 word-3-gram with the gram
+    set of docs 0-4 (broadcast membership test, no shuffle)."""
+    from rasterflow.pipelines.dedup import benchmark_grams_of, contamination_check
+
+    ds = _docs(sf_dir)
+    bench = benchmark_grams_of(ds, ids=CONTAM_BENCH_IDS)
+    return contamination_check(_docs(sf_dir), bench)
+
+
 def _q_quality(sf_dir: str):
     from rasterflow.pipelines.textstats import quality_score
 
@@ -587,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "neardup_clusters": _q_neardup_clusters,
+        "contamination": _q_contamination,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "decode_images": _q_decode_images,
@@ -612,10 +627,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 
-# shared CTE chain for the exact word-3-gram Jaccard pair graph (used by the
-# ngram_jaccard_pairs oracle and, wrapped in a recursive closure, by the
-# neardup_clusters oracle)
-_NGRAM_PAIR_CTES = r"""toks AS (
+# shared CTE chain: per-doc distinct word-3-gram sets (used by the
+# ngram/cluster pair-graph oracles and the contamination oracle)
+_NGRAM_GSETS_CTES = r"""toks AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok,
          generate_subscripts(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), 1) AS pos,
          len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ntok
@@ -632,7 +646,10 @@ short AS (
   SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS g
   FROM toks WHERE ntok < 3 GROUP BY doc_id
 ),
-gsets AS (SELECT DISTINCT doc_id, g FROM (SELECT * FROM grams3 UNION ALL SELECT * FROM short)),
+gsets AS (SELECT DISTINCT doc_id, g FROM (SELECT * FROM grams3 UNION ALL SELECT * FROM short))"""
+
+# pair graph on top of the gram sets (ngram_jaccard_pairs / neardup_clusters)
+_NGRAM_PAIR_CTES = _NGRAM_GSETS_CTES + r""",
 sizes AS (SELECT doc_id, count(*) AS sz FROM gsets GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
@@ -869,6 +886,17 @@ FROM documents GROUP BY text ORDER BY doc_id
         "ngram_jaccard_pairs": f"""
 WITH {_NGRAM_PAIR_CTES}
 SELECT id_a, id_b, jaccard FROM npairs ORDER BY id_a, id_b
+""",
+        # benchmark decontamination: distinct word-3-grams shared with the
+        # doc-0..4 gram set (same gsets CTE as the pair-graph oracles)
+        "contamination": f"""
+WITH {_NGRAM_GSETS_CTES},
+bench AS (SELECT DISTINCT g FROM gsets WHERE doc_id IN (0, 1, 2, 3, 4))
+SELECT s.doc_id, count(*) AS n_overlap
+FROM gsets s JOIN bench b ON s.g = b.g
+GROUP BY s.doc_id
+HAVING count(*) >= 1
+ORDER BY s.doc_id
 """,
         # connected components over the same exact pair graph: recursive-CTE
         # transitive closure; min reachable id = cluster representative

@@ -627,3 +627,65 @@ def simhash_pairs(
     return grouped_aggregate(
         pairs, ["id_a", "id_b"], {"hamming": ("hamming", "min")}, num_partitions=16
     ).sort(["id_a", "id_b"])
+
+
+def contamination_check(
+    ds,
+    benchmark_grams: np.ndarray,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    min_overlap: int = 1,
+):
+    """Benchmark decontamination: per doc, the count of word-n-grams shared
+    with a (broadcast) benchmark gram-hash set; rows with ``n_overlap ≥
+    min_overlap`` are the contamination candidates to drop before training.
+
+    Broadcast-small-side pattern: the benchmark set ships once via
+    ``ray.put`` and each batch runs one vectorized sorted-membership test —
+    no shuffle at all.  Output: ``(id, n_overlap)`` for flagged docs, sorted.
+    """
+    bench = np.sort(np.asarray(benchmark_grams, dtype=np.uint64))
+    ref = ray.put(bench) if ray.is_initialized() else bench
+
+    def f(batch: pa.Table) -> pa.Table:
+        from ..stages.texthash import flat_utf8, ngram_hashes, token_hashes
+
+        bg = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        data, offs = flat_utf8(batch.column(content_col))
+        th, tptr = token_hashes(data, offs)
+        gh, gptr = ngram_hashes(th, tptr, ngram)
+        if len(bg) and len(gh):
+            pos = np.clip(np.searchsorted(bg, gh), 0, len(bg) - 1)
+            hit = (bg[pos] == gh).astype(np.int64)
+        else:
+            hit = np.zeros(len(gh), dtype=np.int64)
+        n_docs = len(offs) - 1
+        counts = np.add.reduceat(hit, np.minimum(gptr[:-1], max(len(hit) - 1, 0))) if len(hit) else np.zeros(n_docs, dtype=np.int64)
+        counts = np.where(np.diff(gptr) > 0, counts, 0)
+        keep = counts >= min_overlap
+        return pa.table(
+            {
+                id_col: batch.column(id_col).filter(pa.array(keep)),
+                "n_overlap": pa.array(counts[keep].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow").sort(id_col)
+
+
+def benchmark_grams_of(ds, content_col: str = "text", id_col: str = "doc_id", ids=(), ngram: int = 3) -> np.ndarray:
+    """Gram-hash set of the given benchmark doc ids (driver-side, small)."""
+    import pyarrow.compute as _pc
+
+    tbl = ds.map_batches(
+        lambda b: b.filter(_pc.is_in(b.column(id_col), value_set=pa.array(list(ids)))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    from ..stages.texthash import flat_utf8, ngram_hashes, token_hashes
+
+    col = pa.array(tbl[content_col].tolist(), type=pa.string())
+    data, offs = flat_utf8(col)
+    th, tptr = token_hashes(data, offs)
+    gh, _ = ngram_hashes(th, tptr, ngram)
+    return np.unique(gh)

@@ -336,3 +336,24 @@ def test_top_k_per_group(ray_session):
         .reset_index(drop=True)[["lang", "doc_id", "n_chars"]]
     )
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_contamination_check(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.dedup import benchmark_grams_of, contamination_check
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",   # 0 = benchmark
+        "a quick brown fox jumps over anything else entirely",   # 1 shares grams
+        "completely unrelated words in this document here now",  # 2 clean
+        "the quick brown fox jumps over the lazy dog tonight",   # 3 exact copy
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(4), "text": texts}))
+    bench = benchmark_grams_of(ds, ids=(0,))
+    out = contamination_check(ds, bench).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_overlap"]))
+    assert got[0] == len(bench)  # benchmark doc fully overlaps itself
+    assert got[3] == len(bench)  # exact copy flagged
+    assert got.get(1, 0) >= 1    # partial overlap flagged
+    assert 2 not in got          # clean doc not flagged
