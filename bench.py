@@ -56,8 +56,16 @@ def ensure_pages(n: int) -> str:
     return PAGES_CACHE
 
 
-def bench_headline() -> tuple[float, int]:
+def bench_headline() -> tuple[float, float, int, list]:
+    """Flagship ingest pipeline; min over 2 iterations (the reference's own
+    min-over-nIter protocol, GLHandler.cpp:234-236) — the first, cold
+    iteration (worker-pool startup, cache warm-up) is reported separately.
+
+    32 MB target blocks: the html-heavy map chain needs ≥2 tasks per core
+    for load balance; the 128 MB default yields only ~52 tasks for 2M pages
+    (measured 697k -> 821k docs/s warm at 32 CPUs)."""
     import ray.data
+    from ray.data import DataContext
 
     from rasterflow.pipelines.joins import aggregate_by_polygon
     from rasterflow.sources.fixtures import neigh_like_layer
@@ -66,33 +74,46 @@ def bench_headline() -> tuple[float, int]:
 
     path = ensure_pages(N_PAGES)
     layer = neigh_like_layer(260, seed=42)
-    t0 = time.perf_counter()
-    # prune at the read: the fixture carries a golden `text` copy of the html
-    # content — reading it would double the scanned bytes for no reason
-    ds = ray.data.read_parquet(path, columns=["url", "warc_ts", "html", "lang"])
-    ds = ds.map_batches(extract_text, batch_format="pyarrow")
-    pts = ds.map_batches(
-        PreparePoints(geocoder="text", text_col="text2"), batch_format="pyarrow"
-    )
-    out = aggregate_by_polygon(
-        pts,
-        layer,
-        how="hybrid",
-        accuracy_m=50.0,
-        concurrency=max(2, NUM_CPUS - 4),
-        batch_size=32768,
-        sort=True,
-    )
-    n_polys = len(out.to_pandas())
-    dt = time.perf_counter() - t0
+    ctx = DataContext.get_current()
+    prev_tmbs = ctx.target_max_block_size
+    ctx.target_max_block_size = 32 * 1024 * 1024
+    best = cold = None
+    n_polys = 0
+    stages = []
     try:
-        from rasterflow.metrics import stage_metrics
-        from rasterflow.pipelines import joins as _joins
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # prune at the read: the fixture carries a golden `text` copy of
+            # the html content — reading it would double the scanned bytes
+            ds = ray.data.read_parquet(path, columns=["url", "warc_ts", "html", "lang"])
+            ds = ds.map_batches(extract_text, batch_format="pyarrow")
+            pts = ds.map_batches(
+                PreparePoints(geocoder="text", text_col="text2"), batch_format="pyarrow"
+            )
+            out = aggregate_by_polygon(
+                pts,
+                layer,
+                how="hybrid",
+                accuracy_m=50.0,
+                concurrency=max(2, NUM_CPUS - 4),
+                batch_size=32768,
+                sort=True,
+            )
+            n_polys = len(out.to_pandas())
+            dt = time.perf_counter() - t0
+            if cold is None:
+                cold = dt
+            best = dt if best is None else min(best, dt)
+            try:
+                from rasterflow.metrics import stage_metrics
+                from rasterflow.pipelines import joins as _joins
 
-        stages = stage_metrics(_joins.LAST_STATS or out)
-    except Exception:  # noqa: BLE001 - metrics are best-effort
-        stages = []
-    return dt, n_polys, stages
+                stages = stage_metrics(_joins.LAST_STATS or out)
+            except Exception:  # noqa: BLE001 - metrics are best-effort
+                stages = []
+    finally:
+        ctx.target_max_block_size = prev_tmbs
+    return best, cold, n_polys, stages
 
 
 def bench_queries() -> dict[str, float]:
@@ -153,7 +174,7 @@ def run_once() -> dict:
                     "unit": "sec", "pts_per_s": res["pts_per_s"],
                     "join_sec": res["join_sec"], "num_cpus": NUM_CPUS,
                     "n_points": POINTS_N, "n_polys_out": res["n_polys_out"]}
-        headline_sec, n_polys, stages = bench_headline()
+        headline_sec, headline_cold, n_polys, stages = bench_headline()
         queries = {} if os.environ.get("GRAFT_HEADLINE_ONLY") else bench_queries()
     finally:
         ray.shutdown()
@@ -167,6 +188,7 @@ def run_once() -> dict:
         "n_pages": N_PAGES,
         "n_polys_out": n_polys,
         "headline_docs_per_s": round(N_PAGES / headline_sec, 1),
+        "headline_cold_sec": round(headline_cold, 3),
         "headline_stages": stages,
     }
 
