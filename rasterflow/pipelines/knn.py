@@ -198,9 +198,14 @@ _CKEY_MUL = np.int64(1) << np.int64(21)
 
 
 def _coarse_keys(x: np.ndarray, y: np.ndarray, route_cell: float) -> np.ndarray:
-    """Pack the (ix, iy) coarse routing cell of each point into one int64."""
+    """Pack the (ix, iy) coarse routing cell of each point into one int64.
+
+    Guarded against silent key collisions: indices must fit ±2^20 (pick a
+    larger ``route_cell`` for wider extents)."""
     ix = np.floor(x / route_cell).astype(np.int64)
     iy = np.floor(y / route_cell).astype(np.int64)
+    if len(ix) and (np.abs(ix).max() >= _CKEY_OFF or np.abs(iy).max() >= _CKEY_OFF):
+        raise ValueError("route_cell too small for the coordinate extent (coarse index overflow)")
     return (ix + _CKEY_OFF) * _CKEY_MUL + (iy + _CKEY_OFF)
 
 

@@ -36,6 +36,9 @@ def split_assign(
 ):
     """Adds a ``split`` column: test if bucket < test_pct, val if bucket <
     test_pct+val_pct, else train, with bucket = mulrot_hash64(id + seed) % 100.
+
+    Ids are assumed non-negative (the SQL oracle replica computes the hash on
+    HUGEINT, which matches uint64 wraparound only for non-negative inputs).
     """
     from ..stages.texthash import mulrot_hash64
 
