@@ -544,8 +544,12 @@ class SimHashStage:
         # SimHash votes on individual bits — finalize to full avalanche
         th = mix64(th)
         bits = ((th[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64)
-        starts = np.minimum(indptr[:-1], len(th) - 1)
-        ones = np.add.reduceat(bits, starts, axis=0)
+        # cumsum differencing, NOT reduceat: clamped reduceat starts truncate
+        # the preceding doc's segment when a batch ends with zero-token docs
+        # (signatures would depend on batch placement — ADVICE r2)
+        cs = np.zeros((len(th) + 1, 64), dtype=np.int64)
+        np.cumsum(bits, axis=0, out=cs[1:])
+        ones = cs[indptr[1:]] - cs[indptr[:-1]]
         ntok = np.diff(indptr)
         v = 2 * ones - ntok[:, None]
         sig = ((v > 0).astype(np.uint64) << self.bits[None, :]).sum(axis=1, dtype=np.uint64)
@@ -661,8 +665,11 @@ def contamination_check(
         else:
             hit = np.zeros(len(gh), dtype=np.int64)
         n_docs = len(offs) - 1
-        counts = np.add.reduceat(hit, np.minimum(gptr[:-1], max(len(hit) - 1, 0))) if len(hit) else np.zeros(n_docs, dtype=np.int64)
-        counts = np.where(np.diff(gptr) > 0, counts, 0)
+        # cumsum differencing (empty gram segments count 0 naturally); the
+        # old clamped reduceat undercounted the doc before a trailing
+        # zero-gram doc (ADVICE r2)
+        cs = np.concatenate(([0], np.cumsum(hit)))
+        counts = cs[gptr[1:]] - cs[gptr[:-1]]
         keep = counts >= min_overlap
         return pa.table(
             {

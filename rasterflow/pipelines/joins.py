@@ -130,7 +130,10 @@ class SpatialJoinAgg:
         if total == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
         idx_t = np.int32 if len(idx) < 2**31 else np.int64
-        val_t = np.int32 if len(values) < 2**31 else np.int64
+        # val_t arrays (within / run_starts) hold values up to `total`, the
+        # expanded pair count — not len(values) — so the narrowing test must
+        # use total or np.arange wraps silently (ADVICE r2)
+        val_t = np.int32 if total < 2**31 and len(values) < 2**31 else np.int64
         point_idx = np.repeat(np.arange(len(idx), dtype=idx_t), counts)
         run_ends = np.cumsum(counts)
         run_starts = (run_ends - counts).astype(val_t, copy=False)

@@ -357,3 +357,41 @@ def test_contamination_check(ray_session):
     assert got[3] == len(bench)  # exact copy flagged
     assert got.get(1, 0) >= 1    # partial overlap flagged
     assert 2 not in got          # clean doc not flagged
+
+
+def test_simhash_trailing_empty_doc_batch_independence():
+    """ADVICE r2: a trailing zero-token doc must not truncate the preceding
+    doc's token segment — signatures cannot depend on batch placement."""
+    from rasterflow.pipelines.dedup import SimHashStage
+
+    st = SimHashStage()
+    text = "the quick brown fox jumps over the lazy dog"
+    alone = st.simhashes(pa.array([text], type=pa.string()))[0]
+    with_trailing_ws = st.simhashes(pa.array([text, "   "], type=pa.string()))
+    with_trailing_empty = st.simhashes(pa.array([text, ""], type=pa.string()))
+    sandwich = st.simhashes(pa.array(["", text, " \t ", text], type=pa.string()))
+    assert with_trailing_ws[0] == alone
+    assert with_trailing_empty[0] == alone
+    assert with_trailing_ws[1] == np.uint64(0)
+    assert sandwich[1] == alone and sandwich[3] == alone
+    assert sandwich[0] == np.uint64(0) and sandwich[2] == np.uint64(0)
+
+
+def test_contamination_trailing_empty_doc(ray_session):
+    """ADVICE r2: a trailing zero-gram doc must not undercount the previous
+    doc's n_overlap (boundary docs would evade decontamination)."""
+    import ray.data
+
+    from rasterflow.pipelines.dedup import benchmark_grams_of, contamination_check
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",  # benchmark
+        "the quick brown fox jumps over the lazy dog tonight",  # contaminated
+        "",                                                     # zero grams
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(3), "text": texts}))
+    bench = benchmark_grams_of(ds, ids=(0,))
+    out = contamination_check(ds, bench).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_overlap"]))
+    assert got[1] == len(bench)  # full overlap even with a trailing empty doc
+    assert 2 not in got
