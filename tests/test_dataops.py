@@ -73,6 +73,83 @@ def test_ngram_jaccard_pairs(ray_session):
         assert abs(j - len(g0 & g2) / len(g0 | g2)) < 1e-12
 
 
+def _brute_jaccard_pairs(texts, ngram, threshold):
+    def grams(t):
+        tok = t.split()
+        if not tok:
+            return set()
+        if len(tok) < ngram:
+            return {tuple(tok)}
+        return {tuple(tok[i : i + ngram]) for i in range(len(tok) - ngram + 1)}
+
+    gs = [grams(t) for t in texts]
+    out = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if not gs[i] or not gs[j]:
+                continue
+            inter = len(gs[i] & gs[j])
+            union = len(gs[i] | gs[j])
+            jac = inter / union if union else 1.0
+            if jac >= threshold:
+                out[(i, j)] = jac
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_ngram_jaccard_exact_vs_bruteforce(ray_session, threshold):
+    """Dense small-vocab corpus: the vectorized bucket verify must reproduce
+    brute-force all-pairs Jaccard exactly (pairs AND values)."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{k}" for k in range(10)]
+    base = [" ".join(rng.choice(vocab, size=int(rng.integers(4, 12)))) for _ in range(12)]
+    texts = []
+    for i in range(80):
+        b = base[int(rng.integers(0, 12))].split()
+        if rng.random() < 0.6 and len(b) > 1:
+            b[int(rng.integers(0, len(b)))] = vocab[int(rng.integers(0, 10))]
+        if rng.random() < 0.3:
+            b.append(vocab[int(rng.integers(0, 10))])
+        texts.append(" ".join(b))
+    texts += ["", "   "]  # zero-gram docs must be ignored
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts}))
+    out = ngram_jaccard_pairs(ds, ngram=3, threshold=threshold, concurrency=2).to_pandas()
+    got = {(int(a), int(b)): j for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"])}
+    exp = _brute_jaccard_pairs(texts, 3, threshold)
+    assert len(exp) > 50  # the fixture must actually exercise dense buckets
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12
+
+
+def test_ngram_jaccard_hot_gram_uncapped(ray_session):
+    """VERDICT r2 #1 stress: one 3-gram shared by 10^4 otherwise-distinct
+    docs must complete WITHOUT a bucket cap (the old per-pair loop was
+    quadratic here) and emit no false pairs."""
+    import time
+
+    import ray.data
+
+    n = 10_000
+    texts = [
+        "alpha beta gamma " + " ".join(f"u{i}w{k}" for k in range(18)) for i in range(n)
+    ]
+    # plant two true near-dup groups to assert recall
+    texts[7000] = texts[3]
+    texts[7001] = texts[4] + " zz"
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(n), "text": texts}))
+    t0 = time.perf_counter()
+    out = ngram_jaccard_pairs(ds, ngram=3, threshold=0.5, max_bucket=None).to_pandas()
+    elapsed = time.perf_counter() - t0
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (3, 7000) in pairs
+    assert (4, 7001) in pairs
+    assert len(pairs) == 2  # no pair from the hot gram alone
+    assert elapsed < 120  # the old loop was ~C(5000,2) python iterations
+
+
 def test_simhash_pairs(ray_session):
     ds, _ = make_docs(ray_session)
     out = simhash_pairs(ds, max_hamming=3, concurrency=2).to_pandas()
