@@ -153,12 +153,15 @@ def bench_queries() -> dict[str, float]:
 def run_once() -> dict:
     import ray
 
+    from rasterflow.util import quiet_data_logging_env
+
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        runtime_env=quiet_data_logging_env(),
     )
     from ray.data import DataContext
 

@@ -41,3 +41,13 @@ Ray session.
 """
 
 __version__ = "0.1.0"
+
+import logging as _logging
+
+# Ray 2.49's schema-unification dedup tries set(schemas); PandasBlockSchema
+# is a NamedTuple holding lists, so EVERY pandas-block pipeline logs
+# "Failed to hash the schemas (for deduplication)" per reduce task (VERDICT
+# r2 #8 — pure log spam, upstream cosmetic bug).  That module logs nothing
+# else below ERROR, so raising its level is surgical.  Runs in every worker
+# because workers import rasterflow when unpickling our stage functions.
+_logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(_logging.ERROR)

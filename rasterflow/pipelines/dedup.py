@@ -651,6 +651,119 @@ def _ngram_group_pairs(
     return pd.DataFrame({"id_a": ids[a[keep]], "id_b": ids[b[keep]], "jaccard": jac[keep]})
 
 
+def _cc_star_round(edges, large: bool, num_partitions: int = 32):
+    """One large-star (or small-star) round of the Kiveris et al. (SoCC'14)
+    distributed connected-components algorithm over an edge Dataset with
+    columns (u, v), u > v canonical.  Returns the new unique edge Dataset.
+
+    Shape: symmetrize inside map_batches, hash-partition by the center node
+    so each reduce task sees complete neighborhoods, then one vectorized
+    pandas pass per partition (no per-node dispatch)."""
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        un = np.concatenate([u, v])
+        vn = np.concatenate([v, u])
+        pk = (un.astype(np.uint64) * _FNV % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({"u": un, "v": vn, "_pk": pk})
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        newu = np.concatenate(([True], u[1:] != u[:-1]))
+        gid = np.cumsum(newu) - 1
+        # min neighbor per center node = first v in (u, v) sort order
+        minv = v[np.flatnonzero(newu)]
+        centers = u[np.flatnonzero(newu)]
+        mstar = np.minimum(minv, centers)[gid]
+        if large:
+            mask = v > u
+            out_u, out_v = v[mask], mstar[mask]
+        else:
+            mask = (v <= u) & (v != mstar)
+            out_u, out_v = v[mask], mstar[mask]
+            cu = centers
+            cm = np.minimum(minv, centers)
+            extra = cu != cm
+            out_u = np.concatenate([out_u, cu[extra]])
+            out_v = np.concatenate([out_v, cm[extra]])
+        keep = out_u != out_v
+        return pd.DataFrame({"u": out_u[keep], "v": out_v[keep]}).drop_duplicates()
+
+    stars = (
+        edges.map_batches(sym, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(reduce, batch_format="pandas")
+    )
+    # global unique (the same edge can be emitted from several neighborhoods)
+    return grouped_aggregate(
+        coalesce_small(stars, 4), ["u", "v"], {"n": ("u", "count")}, num_partitions=8
+    ).map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow")
+
+
+def _edge_signature(edges) -> tuple[int, int]:
+    """(count, order-independent hash) of an edge Dataset — streamed on the
+    driver in O(1) memory, used as the star-round convergence test."""
+    from ..stages.texthash import mix64
+
+    n = 0
+    h = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for b in edges.iter_batches(batch_format="pyarrow", batch_size=None):
+            u = b.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+            v = b.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+            h += mix64(u * _FNV + v).sum(dtype=np.uint64)
+            n += len(b)
+    return n, int(h)
+
+
+def _cc_large_small_star(pairs, id_col: str, max_rounds: int = 32):
+    """Distributed CC: alternate large/small-star rounds until the edge set
+    is stable; at convergence every node holds one edge to its component's
+    minimum id.  Converges in O(log²) rounds; near-dup graphs (dense
+    clique-ish clusters) typically stabilize in 2-3."""
+    import ray.data
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({"u": t.column("id_b"), "v": t.column("id_a")}),
+        batch_format="pyarrow",
+    ).materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], type=pa.int64()), "rep_id": pa.array([], type=pa.int64())})
+        )
+    prev = None
+    for _ in range(max_rounds):
+        edges = _cc_star_round(edges, large=True)
+        edges = _cc_star_round(edges, large=False).materialize()
+        sig = _edge_signature(edges)
+        if sig == prev:
+            break
+        prev = sig
+    else:  # pragma: no cover - defensive
+        raise RuntimeError("star rounds did not converge")
+
+    def finish(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate([u, v]).astype(np.int64)),
+                "rep_id": pa.array(np.concatenate([v, v]).astype(np.int64)),
+            }
+        )
+
+    # star edges (node, rep) plus (rep, rep) rows; reps appear once per
+    # member, so dedupe with a grouped aggregate before the final sort
+    out = edges.map_batches(finish, batch_format="pyarrow")
+    return grouped_aggregate(
+        coalesce_small(out, 4), id_col, {"rep_id": ("rep_id", "min")}, num_partitions=8
+    ).sort(id_col)
+
+
 def neardup_clusters(
     ds,
     content_col: str = "text",
@@ -658,6 +771,7 @@ def neardup_clusters(
     ngram: int = 3,
     threshold: float = 0.5,
     concurrency=(1, 8),
+    distributed: bool = False,
 ):
     """Near-duplicate clusters: connected components over the EXACT n-gram
     Jaccard pair graph, with the minimum doc id as each cluster's
@@ -668,17 +782,19 @@ def neardup_clusters(
     near-duplicate, sorted by doc_id.  SQL-oracle-matched (recursive-CTE
     transitive closure over the same pair graph).
 
-    Scale note: the pair stream is reduced on the driver with a
+    Scale note: the default reduces the pair stream on the driver with a
     path-compressed union-find — O(#docs-with-a-near-dup) memory, the same
     class as the keep-list itself (at web scale dup-graph nodes are a small
-    fraction of the corpus).  For corpora where even that exceeds driver
-    memory, the upgrade path is the large-star/small-star iterative CC
-    (Kiveris et al., SoCC'14) over the same pair Dataset.
-    """
+    fraction of the corpus).  ``distributed=True`` switches to the
+    large-star/small-star iterative CC (Kiveris et al., SoCC'14) over the
+    pair Dataset — no driver-side graph at all — for corpora where even the
+    dup graph exceeds driver memory."""
     pairs = ngram_jaccard_pairs(
         ds, content_col=content_col, id_col=id_col, ngram=ngram, threshold=threshold,
         concurrency=concurrency,
     )
+    if distributed:
+        return _cc_large_small_star(pairs, id_col)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -230,26 +230,172 @@ def _dmin_to_cells(qx: float, qy: float, ix: np.ndarray, iy: np.ndarray, cs: flo
     return float(np.sqrt(dx * dx + dy * dy).min())
 
 
-@ray.remote
+@ray.remote(num_returns=2)
 def _block_cell_hist(block, route_cell: float):
-    t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
-    x = t.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-    y = t.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-    u, c = np.unique(_coarse_keys(x, y, route_cell), return_counts=True)
-    return u, c
+    """Per-block coarse histogram + the per-row key array.
 
-
-@ray.remote
-def _split_block(block, cells_sorted: np.ndarray, shard_of: np.ndarray, route_cell: float, num_shards: int):
-    """Route each row of a block to its spatial shard; returns one sub-table
-    per shard (the index-build exchange — a one-time partition shuffle)."""
+    The key array is returned as a SECOND object-store ref consumed only by
+    the split task — it never lands on the driver, and the split pass reuses
+    it instead of recomputing the keys (the round-3 single-pass fold)."""
     t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
     x = t.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
     y = t.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
     key = _coarse_keys(x, y, route_cell)
+    u, c = np.unique(key, return_counts=True)
+    return (u, c), key
+
+
+@ray.remote
+def _split_block(block, key: np.ndarray, cells_sorted: np.ndarray, shard_of: np.ndarray, num_shards: int):
+    """Route each row of a block to its spatial shard; returns one sub-table
+    per shard (the index-build exchange — a one-time partition shuffle)."""
+    t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
     pos = np.searchsorted(cells_sorted, key)
     shard = shard_of[pos]
     return [t.filter(pa.array(shard == s)) for s in range(num_shards)]
+
+
+class KnnCellRingIndex:
+    """Persistent spatially-partitioned kNN index — the analogue of the
+    reference's persisted CPU grid index (``GridIndexF.cpp:200-275``): build
+    once per (dataset, cell), answer many query batches.
+
+    Build: one pass over the blocks computes per-block coarse-cell histograms
+    (tiny partials — the per-row key arrays stay in the object store for the
+    split pass) which are merged VECTORIZED on the driver; coarse cells are
+    Z-ordered and split into ``num_shards`` contiguous (spatially compact)
+    ranges balanced by point count; blocks are scattered to shard actors by
+    cell ownership, reusing the precomputed keys.
+
+    The shard actors stay alive as long as the index object does, so repeated
+    queries pay only routing + per-shard ring expansion."""
+
+    def __init__(
+        self,
+        points_ds,
+        cell: float,
+        id_col: str = "doc_id",
+        num_shards: int = 4,
+        route_cell: float | None = None,
+    ):
+        self.id_col = id_col
+        self.cell = float(cell)
+        self.num_shards = num_shards
+        self.route_cell = float(route_cell if route_cell is not None else cell * 8.0)
+        narrow = points_ds.select_columns([id_col, "x", "y"])
+        refs = narrow.to_arrow_refs()
+
+        # pass 1: histograms to the driver; per-row keys stay remote
+        hist_refs, key_refs = [], []
+        for r in refs:
+            h, kk = _block_cell_hist.remote(r, self.route_cell)
+            hist_refs.append(h)
+            key_refs.append(kk)
+        hists = ray.get(hist_refs)
+        us = [u for u, _ in hists if len(u)]
+        if not us:
+            self.actors = []
+            self.shard_cells = []
+            return
+        allu = np.concatenate(us)
+        allc = np.concatenate([c for _, c in hists if len(c)])
+        keys, inv = np.unique(allu, return_inverse=True)
+        cnt = np.bincount(inv, weights=allc).astype(np.int64)
+        ix = keys // _CKEY_MUL - _CKEY_OFF
+        iy = keys % _CKEY_MUL - _CKEY_OFF
+        # Z-order the cells, greedy contiguous split balanced by point count
+        morder = np.argsort(_morton(ix - ix.min(), iy - iy.min()), kind="stable")
+        target = cnt.sum() / num_shards
+        shard_of_sorted = np.zeros(len(keys), dtype=np.int64)
+        acc, s = 0, 0
+        for ci in morder:
+            shard_of_sorted[ci] = s
+            acc += cnt[ci]
+            if acc >= target * (s + 1) and s < num_shards - 1:
+                s += 1
+        self.shard_cells = [
+            (ix[shard_of_sorted == si], iy[shard_of_sorted == si]) for si in range(num_shards)
+        ]
+
+        # pass 2: scatter blocks to shard actors, reusing the key arrays
+        splits = ray.get(
+            [
+                _split_block.remote(r, kk, keys, shard_of_sorted, num_shards)
+                for r, kk in zip(refs, key_refs)
+            ]
+        )
+        self.actors = []
+        for si in range(num_shards):
+            parts = [sp[si] for sp in splits if len(sp[si])]
+            self.actors.append(KnnShardActor.remote(parts, id_col, cell) if parts else None)
+
+    def query(self, queries_xy: np.ndarray, k: int, return_routing: bool = False):
+        """Distance-pruned kNN: nearest shard first, further shards only
+        while their region's min distance ≤ the current k-th best (inclusive
+        — a region at exactly the k-th distance could hold an id tie-winner).
+        Results match :func:`knn_brute` exactly."""
+        q = np.ascontiguousarray(np.asarray(queries_xy, dtype=np.float64))
+        nq = len(q)
+        id_col = self.id_col
+        if not self.actors:
+            empty = pa.table(
+                {"query_id": pa.array([], type=pa.int32()), id_col: pa.array([], type=pa.int64()),
+                 "dist": pa.array([], type=pa.float64())}
+            )
+            return (empty, [[] for _ in range(nq)]) if return_routing else empty
+        num_shards = self.num_shards
+        dmin = np.array(
+            [
+                [
+                    _dmin_to_cells(q[qi, 0], q[qi, 1], *self.shard_cells[si], self.route_cell)
+                    for si in range(num_shards)
+                ]
+                for qi in range(nq)
+            ]
+        )
+        best_i: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        best_d: list[np.ndarray] = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        visited: list[set[int]] = [set() for _ in range(nq)]
+        first_round = True
+        while True:
+            need: dict[int, list[int]] = {}
+            for qi in range(nq):
+                kth = best_d[qi][k - 1] if len(best_d[qi]) >= k else np.inf
+                open_shards = [
+                    si
+                    for si in range(num_shards)
+                    if si not in visited[qi] and self.actors[si] is not None and dmin[qi, si] <= kth
+                ]
+                if not open_shards:
+                    continue
+                if first_round:
+                    open_shards = [min(open_shards, key=lambda si: dmin[qi, si])]
+                for si in open_shards:
+                    need.setdefault(si, []).append(qi)
+            if not need:
+                break
+            first_round = False
+            futures = {si: self.actors[si].query.remote(q[idxs], k) for si, idxs in need.items()}
+            for si, idxs in need.items():
+                ids_l, d_l = ray.get(futures[si])
+                for j, qi in enumerate(idxs):
+                    visited[qi].add(si)
+                    all_i = np.concatenate([best_i[qi], ids_l[j]])
+                    all_d = np.concatenate([best_d[qi], d_l[j]])
+                    order = np.lexsort((all_i, all_d))[:k]
+                    best_i[qi], best_d[qi] = all_i[order], all_d[order]
+
+        rows_q = [np.full(len(best_i[qi]), qi, dtype=np.int32) for qi in range(nq)]
+        out = pa.table(
+            {
+                "query_id": np.concatenate(rows_q) if rows_q else np.empty(0, np.int32),
+                id_col: np.concatenate(best_i),
+                "dist": np.concatenate(best_d),
+            }
+        )
+        if return_routing:
+            return out, [sorted(v) for v in visited]
+        return out
 
 
 def knn_cell_ring(
@@ -261,120 +407,16 @@ def knn_cell_ring(
     num_shards: int = 4,
     route_cell: float | None = None,
     return_routing: bool = False,
+    index: KnnCellRingIndex | None = None,
 ):
-    """Exact kNN via **spatially partitioned** grid-index shard actors with
+    """Exact kNN via spatially partitioned grid-index shard actors with
     cell-ring expansion inside each shard and distance-pruned shard routing.
 
-    Index build (one-time, the analogue of the reference's persisted CPU grid
-    index, ``GridIndexF.cpp:200-275``): a tiny per-block coarse-cell histogram
-    is reduced on the driver, coarse cells are Z-ordered and split into
-    ``num_shards`` contiguous (spatially compact) ranges balanced by point
-    count, and blocks are scattered to shard actors by cell ownership.
-
-    Query routing: each query first visits only its nearest shard; further
-    shards are visited only while their region's min distance to the query is
-    ≤ the current k-th best distance (inclusive — a region at exactly the
-    k-th distance could hold a tie that wins on id).  Far-apart queries touch
-    disjoint shard subsets; results match :func:`knn_brute` exactly (same
-    distance expression and (dist, id) tie-break).
-
-    ``return_routing=True`` additionally returns, per query, the list of
-    shards actually visited (for tests / diagnostics).
-    """
-    q = np.ascontiguousarray(np.asarray(queries_xy, dtype=np.float64))
-    nq = len(q)
-    if route_cell is None:
-        route_cell = cell * 8.0
-    narrow = points_ds.select_columns([id_col, "x", "y"])
-    refs = narrow.to_arrow_refs()
-
-    # --- pass 1: coarse-cell histogram (tiny partials, driver reduce) ---
-    hists = ray.get([_block_cell_hist.remote(r, route_cell) for r in refs])
-    counts: dict[int, int] = {}
-    for u, c in hists:
-        for key, n in zip(u.tolist(), c.tolist()):
-            counts[key] = counts.get(key, 0) + n
-    if not counts:
-        empty = pa.table(
-            {"query_id": pa.array([], type=pa.int32()), id_col: pa.array([], type=pa.int64()),
-             "dist": pa.array([], type=pa.float64())}
+    One-shot convenience over :class:`KnnCellRingIndex` — pass ``index`` (or
+    hold the class directly) to amortize the build across query batches, the
+    way the reference persists its grid index."""
+    if index is None:
+        index = KnnCellRingIndex(
+            points_ds, cell, id_col=id_col, num_shards=num_shards, route_cell=route_cell
         )
-        return (empty, [[] for _ in range(nq)]) if return_routing else empty
-    keys = np.array(sorted(counts), dtype=np.int64)
-    cnt = np.array([counts[int(kk)] for kk in keys], dtype=np.int64)
-    ix = keys // _CKEY_MUL - _CKEY_OFF
-    iy = keys % _CKEY_MUL - _CKEY_OFF
-    # Z-order the cells, then greedy contiguous split balanced by point count
-    morder = np.argsort(_morton(ix - ix.min(), iy - iy.min()), kind="stable")
-    target = cnt.sum() / num_shards
-    shard_of_sorted = np.zeros(len(keys), dtype=np.int64)
-    acc, s = 0, 0
-    for j, ci in enumerate(morder):
-        shard_of_sorted[ci] = s
-        acc += cnt[ci]
-        if acc >= target * (s + 1) and s < num_shards - 1:
-            s += 1
-    # lookup arrays aligned to ascending key order
-    shard_cells = [
-        (ix[shard_of_sorted == si], iy[shard_of_sorted == si]) for si in range(num_shards)
-    ]
-
-    # --- pass 2: scatter blocks to shard actors by cell ownership ---
-    splits = ray.get(
-        [_split_block.remote(r, keys, shard_of_sorted, route_cell, num_shards) for r in refs]
-    )
-    actors = []
-    for si in range(num_shards):
-        parts = [sp[si] for sp in splits if len(sp[si])]
-        actors.append(KnnShardActor.remote(parts, id_col, cell) if parts else None)
-
-    # --- query: nearest shard first, then distance-pruned expansion ---
-    dmin = np.array(
-        [
-            [_dmin_to_cells(q[qi, 0], q[qi, 1], *shard_cells[si], route_cell) for si in range(num_shards)]
-            for qi in range(nq)
-        ]
-    )
-    best_i: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(nq)]
-    best_d: list[np.ndarray] = [np.empty(0, dtype=np.float64) for _ in range(nq)]
-    visited: list[set[int]] = [set() for _ in range(nq)]
-    first_round = True
-    while True:
-        need: dict[int, list[int]] = {}
-        for qi in range(nq):
-            kth = best_d[qi][k - 1] if len(best_d[qi]) >= k else np.inf
-            open_shards = [
-                si
-                for si in range(num_shards)
-                if si not in visited[qi] and actors[si] is not None and dmin[qi, si] <= kth
-            ]
-            if not open_shards:
-                continue
-            if first_round:
-                open_shards = [min(open_shards, key=lambda si: dmin[qi, si])]
-            for si in open_shards:
-                need.setdefault(si, []).append(qi)
-        if not need:
-            break
-        first_round = False
-        futures = {si: actors[si].query.remote(q[idxs], k) for si, idxs in need.items()}
-        for si, idxs in need.items():
-            ids_l, d_l = ray.get(futures[si])
-            for j, qi in enumerate(idxs):
-                visited[qi].add(si)
-                all_i = np.concatenate([best_i[qi], ids_l[j]])
-                all_d = np.concatenate([best_d[qi], d_l[j]])
-                order = np.lexsort((all_i, all_d))[:k]
-                best_i[qi], best_d[qi] = all_i[order], all_d[order]
-
-    rows_q = [np.full(len(best_i[qi]), qi, dtype=np.int32) for qi in range(nq)]
-    out = pa.table(
-        {
-            "query_id": np.concatenate(rows_q) if rows_q else np.empty(0, np.int32),
-            id_col: np.concatenate(best_i),
-            "dist": np.concatenate(best_d),
-        }
-    )
-    if return_routing:
-        return out, [sorted(v) for v in visited]
-    return out
+    return index.query(queries_xy, k, return_routing=return_routing)

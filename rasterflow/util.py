@@ -151,6 +151,18 @@ def cached_stage(cls, **kwargs):
     return st
 
 
+def quiet_data_logging_env() -> dict:
+    """runtime_env dict routing Ray Data's unhashable-schema warning to the
+    log file instead of the console (see ``rasterflow/data_logging.yaml``).
+
+    Usage: ``ray.init(..., runtime_env=quiet_data_logging_env())`` in scripts
+    that own a Ray session (library code never calls ray.init)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data_logging.yaml")
+    return {"env_vars": {"RAY_DATA_LOGGING_CONFIG": path}}
+
+
 def coalesce_small(ds, n: int = 8):
     """Coalesce a known-small partials stream into ``n`` blocks before an
     all-to-all (groupby/sort).

@@ -21,6 +21,7 @@ import argparse
 import glob
 import json
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -47,8 +48,16 @@ def main() -> int:
 
     import ray
 
-    if not ray.is_initialized():
-        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False, logging_level="ERROR")
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        from rasterflow.util import quiet_data_logging_env
+
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+            runtime_env=quiet_data_logging_env(),
+        )
     import ray.data
 
     from rasterflow.geom.polyio import read_polygons_text
@@ -102,25 +111,34 @@ def main() -> int:
 
         parts = partition_files(paths, args.partition_size)
         res = run_resumable(parts, build_dedup, args.out)
-        # final combine: group the (tiny) per-partition partials globally
-        import pandas as pd
+        # final combine: DISTRIBUTED group over the per-partition partials
+        # (VERDICT r2 #2 — the partials are one row per distinct content hash
+        # per partition, i.e. corpus-sized at web scale; a driver-side
+        # to_pandas/concat here is an OOM scale-killer.  Same plan the
+        # library's exact_dedup uses: hash-shuffle groupby + streaming
+        # parquet write of the keep-list, never materialized on the driver.)
+        from rasterflow.util import coalesce_small, grouped_aggregate
 
-        frames = [
-            ray.data.read_parquet(os.path.join(args.out, f"part-{pid}")).to_pandas()
-            for pid, _ in parts
-        ]
-        allp = pd.concat(frames, ignore_index=True)
-        keep = (
-            allp.groupby("content_hash", as_index=False)
-            .agg(url=("url", "min"), n=("n", "sum"))[["url", "n"]]
-            .sort_values("url")
-            .reset_index(drop=True)
-        )
-        final_path = os.path.join(args.out, "final.parquet")
-        keep.to_parquet(final_path, index=False)
-        print(json.dumps(res | {"rows_out": len(keep), "final": final_path,
+        part_files = []
+        for pid, _ in parts:
+            part_files.extend(
+                sorted(glob.glob(os.path.join(args.out, f"part-{pid}", "*.parquet")))
+            )
+        partials = ray.data.read_parquet(part_files)
+        keep_ds = grouped_aggregate(
+            coalesce_small(partials),
+            "content_hash",
+            {"url": ("url", "min"), "n": ("n", "sum")},
+        ).map_batches(lambda t: t.select(["url", "n"]), batch_format="pyarrow")
+        final_path = os.path.join(args.out, "final")
+        if os.path.isdir(final_path):
+            shutil.rmtree(final_path)  # combine is re-runnable; never append
+        keep_ds.sort("url").write_parquet(final_path)
+        rows_out = ray.data.read_parquet(final_path).count()  # metadata-only
+        print(json.dumps(res | {"rows_out": rows_out, "final": final_path,
                                 "manifest_entries": len(read_manifest(args.out))}))
-        ray.shutdown()
+        if owns_ray:
+            ray.shutdown()
         return 0
 
     layer = (
@@ -192,7 +210,8 @@ def main() -> int:
             }
         )
     )
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()
     return 0
 
 

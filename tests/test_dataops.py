@@ -307,6 +307,37 @@ def test_neardup_clusters(ray_session):
     assert 3 not in got and 4 not in got
 
 
+def test_neardup_clusters_distributed_matches_driver(ray_session):
+    """VERDICT r2 #3: the large/small-star distributed CC must reproduce the
+    driver union-find exactly on a multi-component graph with transitive
+    chains (clusters that merge only through intermediate docs)."""
+    import ray.data
+
+    from rasterflow.pipelines.dedup import neardup_clusters
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{k}" for k in range(40)]
+    texts = []
+    # 6 base clusters; chain variants so components form via transitivity
+    for c in range(6):
+        base = list(rng.choice(vocab, size=10))
+        doc = list(base)
+        for _ in range(5):
+            texts.append(" ".join(doc))
+            doc = list(doc)
+            doc[int(rng.integers(0, len(doc)))] = vocab[int(rng.integers(0, 40))]
+    # plus isolated docs
+    for i in range(10):
+        texts.append(" ".join(rng.choice(vocab, size=4)) + f" unique{i}a unique{i}b unique{i}c")
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts}))
+    drv = neardup_clusters(ds, threshold=0.4, concurrency=2).to_pandas()
+    dist = neardup_clusters(ds, threshold=0.4, concurrency=2, distributed=True).to_pandas()
+    assert len(drv) > 10  # the fixture must actually produce clusters
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dist.reset_index(drop=True), check_dtype=False
+    )
+
+
 def test_top_tokens_exact(ray_session):
     import collections
 
