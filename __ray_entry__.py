@@ -442,11 +442,22 @@ def _q_audio_frames(sf_dir: str):
 
     def energy(t: pa.Table) -> pa.Table:
         fr = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("frames").to_pylist()])
+        if len(fr):
+            # left-associated mean (NOT fr.mean(axis=1), whose pairwise
+            # summation order has no SQL expression): matches the oracle's
+            # (((e0+e1)+e2)+...)/16 bit-exactly
+            me = fr[:, 0].copy()
+            for j in range(1, fr.shape[1]):
+                me = me + fr[:, j]
+            me = me / fr.shape[1]
+            pk = fr.max(axis=1)
+        else:
+            me = pk = np.empty(0)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "mean_energy": pa.array(fr.mean(axis=1) if len(fr) else np.empty(0)),
-                "peak_energy": pa.array(fr.max(axis=1) if len(fr) else np.empty(0)),
+                "mean_energy": pa.array(me),
+                "peak_energy": pa.array(pk),
             }
         )
 
@@ -556,10 +567,24 @@ def _q_radius_search(sf_dir: str):
 
 
 def _q_bounds_agg(sf_dir: str):
+    """J4 bounds aggregate.  The driver-checked columns are ``(poly_id,
+    agg)`` — ``agg`` is the raster cover count, hash-verified against the
+    cell-center PIP rule replicated in SQL (round-3, VERDICT r2 #5; the
+    ``_rect_raster_sql`` technique applied to polygons).  The lb/ub bound
+    columns are geometric (outline cells + area fractions — no independent
+    SQL expression) and stay verified by the hash-green ``bounds_contain``
+    invariant plus the pytest lb ≤ exact ≤ ub sweep."""
     from rasterflow.pipelines.joins import aggregate_with_bounds
 
-    return aggregate_with_bounds(
+    out = aggregate_with_bounds(
         documents_points(sf_dir), oracle_poly_layer(), cell_size=0.1
+    ).to_pandas()
+    out = out[out["agg"] > 0]
+    return pa.table(
+        {
+            "poly_id": pa.array(out["poly_id"].to_numpy().astype(np.int32)),
+            "agg": pa.array(out["agg"].to_numpy().astype(np.int64)),
+        }
     )
 
 
@@ -707,6 +732,147 @@ SELECT doc_id, bucket,
             WHEN bucket < {test_pct + val_pct} THEN 'val'
             ELSE 'train' END AS split
 FROM b ORDER BY doc_id
+"""
+
+
+def _poly_raster_sql(cs: float = 0.1) -> str:
+    """Raster cover count per polygon: the cell-center PIP rule in SQL (the
+    ``_rect_raster_sql`` technique generalized from rect containment to the
+    polygon crossing-number test) — oracle for ``bounds_agg``'s agg column.
+    Grid anchored at the layer bounds, exactly as ``build_bundle`` does."""
+    gx0, gy0, _, _ = (float(v) for v in oracle_poly_layer().bounds)
+    return f"""
+WITH {GEO_CTE.strip()},
+{poly_edges_values_sql()},
+g2 AS (
+  SELECT doc_id,
+         {gx0!r} + (FLOOR((lon - {gx0!r}) / {cs!r}) + 0.5) * {cs!r} AS cx,
+         {gy0!r} + (FLOOR((lat - {gy0!r}) / {cs!r}) + 0.5) * {cs!r} AS cy
+  FROM geo
+),
+hits AS (
+  SELECT g.doc_id, e.poly_id
+  FROM g2 g JOIN edges e
+    ON ((e.viy > g.cy) <> (e.vjy > g.cy))
+   AND (g.cx < (e.vjx - e.vix) / (e.vjy - e.viy) * (g.cy - e.viy) + e.vix)
+  GROUP BY g.doc_id, e.poly_id
+  HAVING (count(*) % 2) = 1
+)
+SELECT CAST(poly_id AS INTEGER) AS poly_id, CAST(count(*) AS BIGINT) AS agg
+FROM hits GROUP BY poly_id ORDER BY poly_id
+"""
+
+
+# --- splitmix64 payload fixture replicated in HUGEINT SQL (VERDICT r2 #5) ---
+# The multimodal stub decodes are pure functions of payload_batch's bytes,
+# and payload_batch is a splitmix64 counter stream — every step (add, mul
+# mod 2^64, xor, logical shift) is HUGEINT-expressible, so the decode
+# outputs hash-verify end-to-end.  xor() works on HUGEINT in DuckDB 1.0;
+# logical right shift is integer division for values < 2^64.
+_SM64_C1 = 0x9E3779B97F4A7C15
+_SM64_C2 = 0xBF58476D1CE4E5B9
+_SM64_C3 = 0x94D049BB133111EB
+_M64 = "18446744073709551616::HUGEINT"
+_M32 = "4294967296"
+
+
+def _sql_mulmod64(z: str, c: int) -> str:
+    # (z * c) mod 2^64 with all intermediates < 2^97 (HUGEINT-safe)
+    return (
+        f"(((({z}) // {_M32}) * {c}) % {_M32} * {_M32}"
+        f" + (({z}) % {_M32}) * {c}) % {_M64}"
+    )
+
+
+def _sql_xorshift(z: str, k: int) -> str:
+    return f"xor(({z}), ({z}) // {1 << k}::HUGEINT)"
+
+
+def _payload_bytes_cte(nbytes: int, salt: int) -> str:
+    """CTE chain ending in ``pbytes(doc_id, pos, byte)`` — the exact bytes of
+    ``fixtures.payload_batch(doc_id, nbytes, salt)`` (little-endian words of
+    the splitmix64 stream), verified bit-identical against numpy."""
+    words = nbytes // 8
+    x0 = (
+        f"(CAST(doc_id AS HUGEINT) * {words * 2 + 1} + t.w"
+        f" + {(salt * _SM64_C1) % (1 << 64)}::HUGEINT) % {_M64}"
+    )
+    divs = ",".join(f"({b}, {256 ** b}::HUGEINT)" for b in range(8))
+    return f"""
+c0 AS (SELECT doc_id, t.w AS w, {x0} AS x
+       FROM documents CROSS JOIN (SELECT unnest(range({words})) AS w) t),
+z0 AS (SELECT doc_id, w, (x + {_SM64_C1}::HUGEINT) % {_M64} AS z FROM c0),
+z1 AS (SELECT doc_id, w, {_sql_mulmod64(_sql_xorshift('z', 30), _SM64_C2)} AS z FROM z0),
+z2 AS (SELECT doc_id, w, {_sql_mulmod64(_sql_xorshift('z', 27), _SM64_C3)} AS z FROM z1),
+z3 AS (SELECT doc_id, w, {_sql_xorshift('z', 31)} AS z FROM z2),
+pbytes AS (
+  SELECT doc_id, w * 8 + p.b AS pos, CAST((z // p.dv) % 256 AS BIGINT) AS byte
+  FROM z3 CROSS JOIN (VALUES {divs}) p(b, dv)
+)"""
+
+
+def _decode_images_sql() -> str:
+    fsum = ",\n    ".join(
+        f"SUM(CASE WHEN pos // 16 = {j} THEN byte ELSE 0 END) AS s_f{j}" for j in range(8)
+    )
+    fout = ",\n  ".join(
+        f"CAST(CAST((CAST(s_f{j} AS DOUBLE) / 16) / 255 AS REAL) AS DOUBLE) AS f{j}"
+        for j in range(8)
+    )
+    return f"""
+WITH {_payload_bytes_cte(256, salt=1).strip()},
+agg AS (
+  SELECT doc_id,
+    SUM(CASE WHEN pos < 8 THEN byte ELSE 0 END) AS s_w,
+    SUM(CASE WHEN pos >= 8 AND pos < 16 THEN byte ELSE 0 END) AS s_h,
+    SUM(byte) AS s_all,
+    {fsum}
+  FROM pbytes GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST(16 + (s_w % 1024) AS INTEGER) AS width,
+  CAST(16 + (s_h % 1024) AS INTEGER) AS height,
+  (CAST(s_all AS DOUBLE) / 256) / 255 AS mean_luma,
+  {fout}
+FROM agg ORDER BY doc_id
+"""
+
+
+def _resize_images_sql() -> str:
+    # thumb is the 256-byte payload tiled to th*tw = 256 bytes == the payload
+    # itself; thumb_sum is therefore the integer byte sum
+    return f"""
+WITH {_payload_bytes_cte(256, salt=3).strip()}
+SELECT doc_id, CAST(SUM(byte) AS BIGINT) AS thumb_sum,
+       CAST(16 AS INTEGER) AS th, CAST(16 AS INTEGER) AS tw
+FROM pbytes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _audio_frames_sql() -> str:
+    fsum = ",\n    ".join(
+        f"SUM(CASE WHEN pos // 32 = {j} THEN byte ELSE 0 END) AS s_f{j}" for j in range(16)
+    )
+    evals = ",\n  ".join(
+        f"CAST(CAST((CAST(s_f{j} AS DOUBLE) / 32) / 255 AS REAL) AS DOUBLE) AS e{j}"
+        for j in range(16)
+    )
+    chain = " + ".join(f"e{j}" for j in range(16))  # left-assoc, matches the query
+    glist = ", ".join(f"e{j}" for j in range(16))
+    return f"""
+WITH {_payload_bytes_cte(512, salt=2).strip()},
+agg AS (
+  SELECT doc_id,
+    {fsum}
+  FROM pbytes GROUP BY doc_id
+),
+vals AS (
+  SELECT doc_id,
+  {evals}
+  FROM agg
+)
+SELECT doc_id, ({chain}) / 16 AS mean_energy, GREATEST({glist}) AS peak_energy
+FROM vals ORDER BY doc_id
 """
 
 
@@ -989,6 +1155,16 @@ FROM documents ORDER BY doc_id
         # approximation itself is verified bit-exactly (the reference pins
         # raster outputs the same way via its accuracy CSVs).
         "agg_rect_raster": _rect_raster_sql(),
+        # bounds_agg's agg column is the raster cover count — cell-center PIP
+        # in SQL over the poly layer (the bounds columns themselves are pinned
+        # by bounds_contain + pytest; see _q_bounds_agg)
+        "bounds_agg": _poly_raster_sql(),
+        # multimodal stub decodes are pure functions of the splitmix64
+        # payload fixture; the whole chain (payload bytes -> stub decode ->
+        # stats) replicates in HUGEINT SQL, so these hash-verify end-to-end
+        "decode_images": _decode_images_sql(),
+        "resize_images": _resize_images_sql(),
+        "audio_frames": _audio_frames_sql(),
         "agg_poly_index": f"""
 WITH {GEO_CTE.strip()},
 {poly_edges_values_sql()},

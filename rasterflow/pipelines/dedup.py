@@ -234,7 +234,9 @@ def _grouped_run(sigs_ds, run_group_fn):
     (flat numpy across ALL of the group's buckets — no per-bucket pandas
     dispatch, the round-3 hot-path fix).  The repartition coalesces the one
     tiny block map_groups emits per group before downstream shuffles."""
-    withsb = coalesce_small(sigs_ds.map_batches(add_super_bucket, batch_format="pyarrow"))
+    # 32 blocks into the shuffle -> up to 32 concurrent run_group tasks (the
+    # old n=8 capped the verify stage at a quarter of the box)
+    withsb = coalesce_small(sigs_ds.map_batches(add_super_bucket, batch_format="pyarrow"), 32)
     return withsb.groupby("sb").map_groups(run_group_fn, batch_format="pandas").repartition(4)
 
 

@@ -126,3 +126,70 @@ def test_range_hashes_sliced_column():
     data, offs = flat_utf8(col)
     got = doc_hashes(data, offs)
     assert [int(g) for g in got] == [ref_doc(t.encode()) for t in ["bbbb", "cc", "dd ee"]]
+
+
+# ---- consumer-level properties (round 3): the ADVICE r2 bugs were not in
+# the kernels but in segment reductions OVER them (clamped reduceat), so pin
+# the composed stages against per-doc evaluation under adversarial batches.
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts_strategy)
+def test_simhash_stage_batch_placement_independent(texts):
+    """A doc's SimHash may not depend on its neighbors in the batch —
+    including trailing/leading empty and whitespace-only docs."""
+    from rasterflow.pipelines.dedup import SimHashStage
+
+    stage = SimHashStage()
+    batch = stage.simhashes(pa.array(texts, type=pa.string()))
+    solo = [stage.simhashes(pa.array([t], type=pa.string()))[0] for t in texts]
+    assert [int(x) for x in batch] == [int(x) for x in solo]
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts_strategy, st.integers(min_value=2, max_value=6))
+def test_minhash_signatures_batch_placement_independent(texts, k):
+    from rasterflow.pipelines.dedup import MinHashSignatures
+
+    stage = MinHashSignatures("text", "doc_id", num_perm=8, bands=4, shingle_k=k)
+    batch = stage.signatures(pa.array(texts, type=pa.string()))
+    for i, t in enumerate(texts):
+        solo = stage.signatures(pa.array([t], type=pa.string()))[0]
+        assert list(batch[i]) == list(solo)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts_strategy, st.integers(min_value=1, max_value=3))
+def test_contamination_counts_match_per_doc_reference(ray_session, texts, n):
+    """n_overlap per doc == |gram_set(doc) ∩ bench| regardless of where
+    zero-gram docs sit in the batch."""
+    import pandas as pd
+
+    from rasterflow.pipelines.dedup import contamination_check
+    from rasterflow.stages.texthash import flat_utf8, ngram_hashes, token_hashes
+
+    if not texts:
+        return
+    # benchmark = gram set of the first doc
+    col = pa.array([texts[0]], type=pa.string())
+    data, offs = flat_utf8(col)
+    th, tptr = token_hashes(data, offs)
+    bench, _ = ngram_hashes(th, tptr, n)
+    if len(bench) == 0:
+        return
+
+    import ray.data
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    )
+    out = contamination_check(ds, bench, ngram=n, min_overlap=1).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_overlap"]))
+    bset = set(int(b) for b in bench)
+    for i, t in enumerate(texts):
+        c = pa.array([t], type=pa.string())
+        d2, o2 = flat_utf8(c)
+        t2, p2 = token_hashes(d2, o2)
+        g2, _ = ngram_hashes(t2, p2, n)
+        exp = len(bset & set(int(g) for g in g2))
+        assert got.get(i, 0) == exp
