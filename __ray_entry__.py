@@ -379,7 +379,12 @@ def _q_decode_images(sf_dir: str):
 
     def flatten_feature(t: pa.Table) -> pa.Table:
         # driver-friendly flat schema: feature list -> f0..f7 float columns
-        feats = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("feature").to_pylist()])
+        # (vectorized: one flat view of the fixed-size-list values)
+        col = t.column("feature")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        feats = flat.reshape(len(col), -1) if len(col) else np.empty((0, 8))
         cols = {c: t.column(c) for c in ("doc_id", "width", "height", "mean_luma")}
         for j in range(feats.shape[1] if len(feats) else 8):
             cols[f"f{j}"] = pa.array(feats[:, j] if len(feats) else np.empty(0))
@@ -409,10 +414,16 @@ def _q_resize_images(sf_dir: str):
     )
 
     def checksum(t: pa.Table) -> pa.Table:
-        sums = np.array(
-            [int(np.frombuffer(v, dtype=np.uint8).sum()) for v in t.column("thumb").to_pylist()],
-            dtype=np.int64,
-        )
+        from rasterflow.pipelines.multimodal import _fixed_payload_matrix
+
+        m = _fixed_payload_matrix(t, "thumb")
+        if m is not None:
+            sums = m.sum(axis=1, dtype=np.int64)
+        else:
+            sums = np.array(
+                [int(np.frombuffer(v, dtype=np.uint8).sum()) for v in t.column("thumb").to_pylist()],
+                dtype=np.int64,
+            )
         return pa.table(
             {"doc_id": t.column("doc_id"), "thumb_sum": pa.array(sums),
              "th": t.column("th"), "tw": t.column("tw")}
@@ -441,7 +452,11 @@ def _q_audio_frames(sf_dir: str):
     )
 
     def energy(t: pa.Table) -> pa.Table:
-        fr = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("frames").to_pylist()])
+        col = t.column("frames")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        fr = flat.reshape(len(col), -1) if len(col) else np.empty((0, 16))
         if len(fr):
             # left-associated mean (NOT fr.mean(axis=1), whose pairwise
             # summation order has no SQL expression): matches the oracle's
@@ -491,6 +506,19 @@ def _q_col_quantiles(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
     return column_quantiles(ds, "n_chars", qs=(0.1, 0.5, 0.9, 0.99))
+
+
+def _q_col_quantiles_cont(sf_dir: str):
+    """Exact quantiles over a CONTINUOUS (all-distinct) column — the
+    distributed pivot-selection path with no bounded-distinct assumption
+    (round 3; `column_quantiles`' histogram method would ship every distinct
+    value here)."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import column_quantiles_select
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    return column_quantiles_select(ds, "o_totalprice", qs=(0.1, 0.5, 0.9, 0.99), max_collect=100_000)
 
 
 def _q_approx_distinct_users(sf_dir: str):
@@ -622,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split_assign,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "col_quantiles": _q_col_quantiles,
+        "col_quantiles_cont": _q_col_quantiles_cont,
         "approx_distinct_users": _q_approx_distinct_users,
         "hopping_window": _q_hopping_window,
         "top_tokens": _q_top_tokens,
@@ -959,6 +988,14 @@ cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc FROM c),
 tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
 qs(q) AS (VALUES (0.1), (0.5), (0.9), (0.99))
 SELECT q, (SELECT min(v) FROM cum CROSS JOIN tot WHERE cc >= CEIL(qs.q * tot.n)) AS value
+FROM qs ORDER BY q
+""",
+        "col_quantiles_cont": """
+WITH s AS (SELECT o_totalprice AS v, row_number() OVER (ORDER BY o_totalprice) AS rn FROM orders),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM orders),
+qs(q) AS (VALUES (0.1), (0.5), (0.9), (0.99))
+SELECT q, (SELECT v FROM s CROSS JOIN tot
+           WHERE rn = GREATEST(1, CAST(CEIL(qs.q * tot.n) AS BIGINT))) AS value
 FROM qs ORDER BY q
 """,
         "hopping_window": """

@@ -21,6 +21,23 @@ def _payload_arrays(batch: pa.Table, col: str) -> list[bytes]:
     return batch.column(col).to_pylist()
 
 
+def _fixed_payload_matrix(batch: pa.Table, col: str) -> np.ndarray | None:
+    """(n, width) uint8 view of a fixed_size_binary payload column — the
+    zero-copy fast path that lets the stub kernels run batch-vectorized.
+    Returns None when the column is variable-width or has nulls (the
+    per-row path handles those)."""
+    c = batch.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    if not pa.types.is_fixed_size_binary(c.type) or c.null_count:
+        return None
+    width = c.type.byte_width
+    buf = c.buffers()[1]
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    start = c.offset * width
+    return arr[start : start + len(c) * width].reshape(len(c), width)
+
+
 class ImageDecodeStage:
     """binary image -> (width, height, mean_luma, feature[8]).
 
@@ -71,6 +88,31 @@ class ImageDecodeStage:
         return img.width, img.height, float(g.mean()) / 255.0, feat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _fixed_payload_matrix(batch, self.payload_col) if self._pil is None else None
+        if m is not None:
+            # batch-vectorized stub decode: fixed-stride payloads become one
+            # (n, 256) float matrix — no per-row loop (round 3; real codec
+            # decodes are per-row inherently, the stub need not be)
+            n, width_b = m.shape
+            h = np.zeros((n, 256), dtype=np.float64)
+            take = min(width_b, 256)
+            h[:, :take] = m[:, :take]
+            w = (16 + h[:, :8].sum(axis=1).astype(np.int64) % 1024).astype(np.int32)
+            hgt = (16 + h[:, 8:16].sum(axis=1).astype(np.int64) % 1024).astype(np.int32)
+            luma = h.mean(axis=1) / 255.0
+            feats = h[:, : self.feature_dim * 16].reshape(n, self.feature_dim, -1).mean(axis=2) / 255.0
+            feat_arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.astype(np.float32).ravel()), self.feature_dim
+            )
+            return pa.table(
+                {
+                    self.id_col: batch.column(self.id_col),
+                    "width": pa.array(w),
+                    "height": pa.array(hgt),
+                    "mean_luma": pa.array(luma),
+                    "feature": feat_arr,
+                }
+            )
         payloads = _payload_arrays(batch, self.payload_col)
         decode = self._decode_pil if self._pil is not None else self._decode_fake
         w, hgt, luma, feats = [], [], [], []
@@ -139,6 +181,23 @@ class ImageResizeStage:
         return np.asarray(img, dtype=np.uint8).tobytes()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.th * self.tw
+        m = _fixed_payload_matrix(batch, self.payload_col) if self._pil is None else None
+        if m is not None and m.shape[1] > 0:
+            # batch-vectorized stub resize: one tile over the whole matrix
+            reps = -(-n // m.shape[1])
+            tiled = np.ascontiguousarray(np.tile(m, reps)[:, :n])
+            thumb_arr = pa.Array.from_buffers(
+                pa.binary(n), len(tiled), [None, pa.py_buffer(tiled.tobytes())]
+            )
+            return pa.table(
+                {
+                    self.id_col: batch.column(self.id_col),
+                    "thumb": thumb_arr,
+                    "th": pa.array(np.full(len(tiled), self.th, dtype=np.int32)),
+                    "tw": pa.array(np.full(len(tiled), self.tw, dtype=np.int32)),
+                }
+            )
         payloads = _payload_arrays(batch, self.payload_col)
         resize = self._resize_pil if self._pil is not None else self._resize_fake
         thumbs = [resize(b or b"") for b in payloads]
@@ -185,6 +244,13 @@ class AudioFrameSampleStage:
         self.num_frames = num_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        F = self.num_frames
+        m = _fixed_payload_matrix(batch, self.payload_col)
+        if m is not None and m.shape[1] >= F and m.shape[1] % F == 0:
+            # batch-vectorized: equal frame windows -> one reshape-mean
+            fr = m.reshape(len(m), F, -1).astype(np.float64).mean(axis=2) / 255.0
+            fr_arr = pa.FixedSizeListArray.from_arrays(pa.array(fr.astype(np.float32).ravel()), F)
+            return pa.table({self.id_col: batch.column(self.id_col), "frames": fr_arr})
         payloads = _payload_arrays(batch, self.payload_col)
         frames = []
         for b in payloads:

@@ -99,23 +99,196 @@ def column_quantiles(ds, col: str, qs: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99)
     )
 
 
+def column_quantiles_select(
+    ds,
+    col: str,
+    qs: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99),
+    sample_per_batch: int = 1024,
+    max_collect: int = 4_000_000,
+    max_rounds: int = 8,
+):
+    """Exact quantiles for ARBITRARY columns — no bounded-distinct assumption
+    (the upgrade named in :func:`column_quantiles`'s scale note).
+
+    Distributed selection: sample candidate pivots from the active value
+    interval, count exact ranks below each pivot in one vectorized pass
+    (per-batch sort + ``searchsorted`` over all pivots at once), narrow each
+    quantile's interval to the bucket containing its rank, and repeat until
+    the bucket is small enough to collect and select exactly.  Every rank
+    decision uses EXACT counts — the sample only chooses pivots, so the
+    result is exact for any distribution; heavy duplicate runs resolve via
+    the degenerate-interval shortcut (all remaining values equal ⇒ that
+    value IS the answer).  O(log) passes, driver memory ≤ samples +
+    ``max_collect``.
+
+    Same rank definition as :func:`column_quantiles`: smallest v with
+    cumulative count ≥ ceil(q·n).
+    """
+    import ray.data
+
+    def _vals(b: pa.Table) -> np.ndarray:
+        c = b.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        v = c.drop_null().to_numpy(zero_copy_only=False)
+        return v
+
+    def count_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([len(_vals(b))], type=pa.int64())})
+
+    n = 0
+    for b in ds.map_batches(count_rows, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        n += int(np.asarray(b.column("n")).sum())
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"q": pa.array(list(map(float, qs)), type=pa.float64()), "value": pa.array([None] * len(qs))})
+        )
+
+    ranks = [max(1, math.ceil(q * float(n))) for q in qs]
+    # per-quantile state: (lo, hi] interval, exact count of rows ≤ lo, done value
+    lo = [None] * len(qs)  # None = -inf
+    hi = [None] * len(qs)  # None = +inf
+    cnt_lo = [0] * len(qs)
+    cnt_hi = [n] * len(qs)
+    answer: list = [None] * len(qs)
+
+    def in_interval(v: np.ndarray, l, h) -> np.ndarray:
+        m = np.ones(len(v), dtype=bool)
+        if l is not None:
+            m &= v > l
+        if h is not None:
+            m &= v <= h
+        return v[m]
+
+    for _ in range(max_rounds):
+        open_q = [i for i in range(len(qs)) if answer[i] is None]
+        if not open_q:
+            break
+        # quantiles whose bucket is small enough: collect + select exactly
+        small = [i for i in open_q if cnt_hi[i] - cnt_lo[i] <= max_collect]
+        if small:
+            intervals = [(lo[i], hi[i]) for i in small]
+
+            def collect(b: pa.Table, iv=tuple(intervals)) -> pa.Table:
+                v = _vals(b)
+                outs = [in_interval(v, l, h) for (l, h) in iv]
+                which = np.repeat(np.arange(len(iv)), [len(o) for o in outs])
+                return pa.table({"w": pa.array(which.astype(np.int32)), "v": pa.array(np.concatenate(outs) if outs else np.empty(0))})
+
+            got: dict[int, list] = {i: [] for i in range(len(intervals))}
+            for b in ds.map_batches(collect, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            ):
+                w = np.asarray(b.column("w"))
+                v = b.column("v").to_numpy(zero_copy_only=False)
+                for j in range(len(intervals)):
+                    got[j].append(v[w == j])
+            for j, i in enumerate(small):
+                vals = np.sort(np.concatenate(got[j])) if got[j] else np.empty(0)
+                answer[i] = vals[ranks[i] - cnt_lo[i] - 1]
+            continue
+        # otherwise: sample pivots inside each open interval, exact-count them
+        intervals = [(lo[i], hi[i]) for i in open_q]
+
+        def sample(b: pa.Table, iv=tuple(intervals)) -> pa.Table:
+            v = _vals(b)
+            outs = []
+            for (l, h) in iv:
+                sv = np.sort(in_interval(v, l, h))
+                if len(sv):
+                    idx = np.unique(
+                        np.linspace(0, len(sv) - 1, num=min(sample_per_batch, len(sv))).astype(np.int64)
+                    )
+                    outs.append(sv[idx])
+                else:
+                    outs.append(sv)
+            which = np.repeat(np.arange(len(iv)), [len(o) for o in outs])
+            return pa.table({"w": pa.array(which.astype(np.int32)), "v": pa.array(np.concatenate(outs) if outs else np.empty(0))})
+
+        samp: dict[int, list] = {j: [] for j in range(len(intervals))}
+        for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            w = np.asarray(b.column("w"))
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            for j in range(len(intervals)):
+                samp[j].append(v[w == j])
+        pivots: list[np.ndarray] = []
+        for j, i in enumerate(open_q):
+            sv = np.unique(np.concatenate(samp[j])) if samp[j] else np.empty(0)
+            if len(sv) <= 1:
+                # degenerate interval: every remaining value is identical —
+                # that value is the answer at any rank inside the bucket
+                answer[i] = sv[0] if len(sv) else hi[i]
+                pivots.append(np.empty(0))
+                continue
+            take = np.unique(np.linspace(0, len(sv) - 1, num=min(256, len(sv))).astype(np.int64))
+            pivots.append(sv[take])
+        flat_p = np.concatenate([p for p in pivots if len(p)]) if any(len(p) for p in pivots) else None
+        if flat_p is None:
+            continue
+        offs = np.concatenate(([0], np.cumsum([len(p) for p in pivots])))
+
+        def countp(b: pa.Table, piv=flat_p) -> pa.Table:
+            v = np.sort(_vals(b))
+            c = np.searchsorted(v, piv, side="right").astype(np.int64)
+            return pa.table({"c": pa.array(c)})
+
+        tot = np.zeros(len(flat_p), dtype=np.int64)
+        for b in ds.map_batches(countp, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            # blocks may concatenate several per-batch count vectors
+            tot += b.column("c").to_numpy(zero_copy_only=False).reshape(-1, len(flat_p)).sum(axis=0)
+        for j, i in enumerate(open_q):
+            p = pivots[j]
+            if len(p) == 0:
+                continue
+            c = tot[offs[j] : offs[j + 1]]
+            r = ranks[i]
+            # narrow to the bucket containing rank r
+            pos = int(np.searchsorted(c, r))
+            if pos < len(p):
+                hi[i] = p[pos]
+                cnt_hi[i] = int(c[pos])
+            if pos > 0:
+                lo[i] = p[pos - 1]
+                cnt_lo[i] = int(c[pos - 1])
+    if any(a is None for a in answer):  # pragma: no cover - defensive
+        raise RuntimeError("quantile selection did not converge")
+    return ray.data.from_arrow(
+        pa.table({"q": pa.array(list(map(float, qs)), type=pa.float64()), "value": pa.array(list(answer))})
+    )
+
+
 def top_k_per_group(ds, group_col: str, score_col: str, k: int, id_col: str = "doc_id"):
     """Per-group top-k rows by score — the data-curation "keep the best N
     documents per language/source" selection.
 
-    ``groupby(group).map_groups`` with a vectorized per-group sort; ties
-    break deterministically by (score desc, id asc) so the result is stable
-    under any partitioning and matches the SQL window oracle.  Scale note:
-    one group must fit one task (standard for bounded group counts like
-    language or source); per-group partial top-k + re-merge is the upgrade
-    for giant groups.
+    Two-stage (round 3, the upgrade named in r2): each batch keeps only its
+    own per-group top-k (one vectorized sort + ``groupby.head`` — any global
+    winner is by definition inside its batch's top-k), so the shuffle
+    carries ≤ k·batches rows per group instead of the whole table; the final
+    per-group merge then runs over tiny partials.  Ties break
+    deterministically by (score desc, id asc) at BOTH stages, so the result
+    is stable under any partitioning and matches the SQL window oracle.
     """
     import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, id_col, score_col]).to_pandas()
+        df = df.sort_values([score_col, id_col], ascending=[False, True])
+        df = df.groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 8)
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([score_col, id_col], ascending=[False, True]).head(k)
         return g[[group_col, id_col, score_col]]
 
-    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas").sort(
+    return partials.groupby(group_col).map_groups(per_group, batch_format="pandas").sort(
         [group_col, id_col]
     )

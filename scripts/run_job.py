@@ -31,7 +31,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--pipeline",
-        choices=["raster", "index", "hybrid", "bounds", "ingest", "rows", "dedup"],
+        choices=["raster", "index", "hybrid", "bounds", "ingest", "stream-ingest", "rows", "dedup"],
         default="hybrid",
     )
     ap.add_argument("--input", required=True, help="pages parquet file/dir (or glob)")
@@ -82,6 +82,22 @@ def main() -> int:
             args.out,
         )
         print(json.dumps(res | {"manifest": str(os.path.join(args.out, "_manifest.jsonl"))}))
+        return 0
+
+    if args.pipeline == "stream-ingest":
+        # micro-batch append: re-run with a grown input dir and only the NEW
+        # files are built (content-addressed partitions — see state/streaming)
+        from rasterflow.state.streaming import append_micro_batch
+
+        res = append_micro_batch(
+            args.out,
+            paths,
+            lambda files: _points_ds(files, args, extract_text, PreparePoints),
+            group_size=args.partition_size,
+        )
+        print(json.dumps(res | {"manifest": str(os.path.join(args.out, "_manifest.jsonl"))}))
+        if owns_ray:
+            ray.shutdown()
         return 0
 
     if args.pipeline == "dedup":

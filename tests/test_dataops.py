@@ -503,3 +503,75 @@ def test_contamination_trailing_empty_doc(ray_session):
     got = dict(zip(out["doc_id"], out["n_overlap"]))
     assert got[1] == len(bench)  # full overlap even with a trailing empty doc
     assert 2 not in got
+
+
+def test_multimodal_vectorized_equals_rowwise():
+    """Round 3: fixed_size_binary payloads take the batch-vectorized stub
+    path — outputs must be identical to the per-row decode (variable-width
+    binary still takes the row path; both pinned here)."""
+    from rasterflow.pipelines.multimodal import (
+        AudioFrameSampleStage,
+        ImageDecodeStage,
+        ImageResizeStage,
+    )
+    from rasterflow.sources.fixtures import payload_batch
+
+    ids = np.arange(7)
+    fixed = payload_batch(ids, nbytes=256, salt=5)  # fixed_size_binary(256)
+    var = pa.array([bytes(v.as_py()) for v in fixed], type=pa.binary())
+    tf = pa.table({"doc_id": ids, "image": fixed, "audio": payload_batch(ids, nbytes=512, salt=6)})
+    tv = pa.table({"doc_id": ids, "image": var,
+                   "audio": pa.array([bytes(v.as_py()) for v in payload_batch(ids, nbytes=512, salt=6)], type=pa.binary())})
+
+    dec = ImageDecodeStage(payload_col="image", id_col="doc_id", decoder="fake")
+    a, b = dec(tf), dec(tv)
+    assert a.column("width").to_pylist() == b.column("width").to_pylist()
+    assert a.column("height").to_pylist() == b.column("height").to_pylist()
+    assert a.column("mean_luma").to_pylist() == b.column("mean_luma").to_pylist()
+    assert a.column("feature").to_pylist() == b.column("feature").to_pylist()
+
+    rs = ImageResizeStage(payload_col="image", id_col="doc_id", size=(16, 16), decoder="fake")
+    ra, rb = rs(tf), rs(tv)
+    assert ra.column("thumb").to_pylist() == rb.column("thumb").to_pylist()
+
+    au = AudioFrameSampleStage(payload_col="audio", id_col="doc_id")
+    fa, fb = au(tf), au(tv)
+    assert fa.column("frames").to_pylist() == fb.column("frames").to_pylist()
+
+
+def test_column_quantiles_select_exact(ray_session):
+    """Round 3: pivot-selection quantiles are exact on continuous
+    (unbounded-distinct) columns, heavy-duplicate columns, and match the
+    histogram method where that method's assumption holds."""
+    import math
+
+    import ray.data
+
+    from rasterflow.pipelines.sampling import column_quantiles, column_quantiles_select
+
+    rng = np.random.default_rng(3)
+    qs = (0.1, 0.5, 0.9, 0.99)
+
+    def expected(v):
+        sv = np.sort(v)
+        return [sv[max(1, math.ceil(q * len(sv))) - 1] for q in qs]
+
+    # continuous: all-distinct floats across several blocks
+    v = rng.standard_normal(20_000) * 100
+    ds = ray.data.from_pandas([pd.DataFrame({"x": c}) for c in np.array_split(v, 7)])
+    got = column_quantiles_select(ds, "x", qs, max_collect=500).to_pandas()
+    assert list(got["value"]) == expected(v)
+
+    # heavy duplicates: one value dominates (degenerate-interval shortcut)
+    v2 = np.concatenate([np.full(15_000, 42.0), rng.standard_normal(100)])
+    rng.shuffle(v2)
+    ds2 = ray.data.from_pandas([pd.DataFrame({"x": c}) for c in np.array_split(v2, 5)])
+    got2 = column_quantiles_select(ds2, "x", qs, max_collect=50).to_pandas()
+    assert list(got2["value"]) == expected(v2)
+
+    # agreement with the histogram method on a bounded-distinct int column
+    v3 = rng.integers(0, 40, size=8_000)
+    ds3 = ray.data.from_pandas([pd.DataFrame({"x": c}) for c in np.array_split(v3, 4)])
+    a = column_quantiles(ds3, "x", qs).to_pandas()
+    b = column_quantiles_select(ds3, "x", qs, max_collect=200).to_pandas()
+    assert list(a["value"]) == list(b["value"]) == expected(v3)
