@@ -809,8 +809,9 @@ def neardup_clusters(
 
     seen: set[int] = set()
     for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
-        for a_, b_ in zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()):
-            a_, b_ = int(a_), int(b_)
+        ua = b.column("id_a").to_numpy(zero_copy_only=False)
+        ub = b.column("id_b").to_numpy(zero_copy_only=False)
+        for a_, b_ in zip(ua.tolist(), ub.tolist()):
             seen.add(a_)
             seen.add(b_)
             ra, rb = find(a_), find(b_)

@@ -212,6 +212,52 @@ def embedding_neardup_brute(
     return emb_ds.map_batches(partial, batch_format="pyarrow").sort(["id_a", "id_b"])
 
 
+class HyperplaneLSH:
+    """Stage: embeddings -> (band, band_hash, id, normalized-vec bytes).
+
+    Hyperplanes are derived once per process from the seed; the vector
+    column ships as one zero-copy fixed-size-binary buffer (no per-row
+    tobytes — VERDICT r2 #6, same pattern as MinHashSignatures)."""
+
+    def __init__(self, emb_col: str, id_col: str, nbits: int, bands: int, seed: int):
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.nbits = nbits
+        self.bands = bands
+        self.seed = seed
+        self.planes = None  # dim discovered lazily at first batch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nbits, bands = self.nbits, self.bands
+        e = _normalize(_emb_matrix(batch, self.emb_col))
+        if self.planes is None:
+            r = np.random.default_rng(self.seed)
+            self.planes = r.standard_normal((e.shape[1], nbits * bands))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        bits = (e @ self.planes) > 0  # (n, nbits*bands)
+        n = len(ids)
+        band_col = np.repeat(np.arange(bands, dtype=np.int32), n)
+        doc_idx = np.tile(np.arange(n), bands)
+        bh = np.empty(bands * n, dtype=np.int64)
+        w = 1 << np.arange(nbits, dtype=np.int64)
+        for bnd in range(bands):
+            seg = bits[:, bnd * nbits : (bnd + 1) * nbits].astype(np.int64)
+            bh[bnd * n : (bnd + 1) * n] = seg @ w
+        vec_arr = pa.Array.from_buffers(
+            pa.binary(e.shape[1] * 8),
+            n,
+            [None, pa.py_buffer(np.ascontiguousarray(e).tobytes())],
+        ).take(pa.array(doc_idx))
+        return pa.table(
+            {
+                "band": band_col,
+                "band_hash": bh,
+                self.id_col: pa.array(ids[doc_idx]),
+                "vec": vec_arr,
+            }
+        )
+
+
 def embedding_neardup_pairs(
     emb_ds,
     threshold: float = 0.95,
@@ -228,48 +274,17 @@ def embedding_neardup_pairs(
     the same bucket for a band with prob (1 - θ/π)^nbits.  Exact cosine is
     verified inside each bucket; pairs deduped across bands via groupby-max.
     """
-    rng = np.random.default_rng(seed)
+    from ..util import cached_stage
 
-    def make_stage():
-        class HyperplaneLSH:
-            def __init__(self):
-                # dim discovered lazily at first batch
-                self.planes = None
+    params = dict(emb_col=emb_col, id_col=id_col, nbits=nbits, bands=bands, seed=seed)
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                e = _normalize(_emb_matrix(batch, emb_col))
-                if self.planes is None:
-                    r = np.random.default_rng(seed)
-                    self.planes = r.standard_normal((e.shape[1], nbits * bands))
-                ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-                bits = (e @ self.planes) > 0  # (n, nbits*bands)
-                n = len(ids)
-                band_col = np.repeat(np.arange(bands, dtype=np.int32), n)
-                doc_idx = np.tile(np.arange(n), bands)
-                bh = np.empty(bands * n, dtype=np.int64)
-                w = (1 << np.arange(nbits, dtype=np.int64))
-                for bnd in range(bands):
-                    seg = bits[:, bnd * nbits : (bnd + 1) * nbits].astype(np.int64)
-                    bh[bnd * n : (bnd + 1) * n] = seg @ w
-                # zero-copy fixed-size-binary vec column (no per-row tobytes;
-                # VERDICT r2 #6 — same pattern as MinHashSignatures)
-                vec_arr = pa.Array.from_buffers(
-                    pa.binary(e.shape[1] * 8),
-                    n,
-                    [None, pa.py_buffer(np.ascontiguousarray(e).tobytes())],
-                ).take(pa.array(doc_idx))
-                return pa.table(
-                    {
-                        "band": band_col,
-                        "band_hash": bh,
-                        id_col: pa.array(ids[doc_idx]),
-                        "vec": vec_arr,
-                    }
-                )
+    def sig_fn(b: pa.Table) -> pa.Table:
+        # process-cached task-pool stage (plane setup is milliseconds and
+        # deterministic from the seed) — actor-pool spin-up dominated the
+        # wall time at bench scale (round 3, same trade as MinHash)
+        return cached_stage(HyperplaneLSH, **params)(b)
 
-        return HyperplaneLSH
-
-    sigs = emb_ds.map_batches(make_stage(), batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    sigs = emb_ds.map_batches(sig_fn, batch_format="pyarrow")
 
     def run_group(g: pd.DataFrame) -> pd.DataFrame:
         from .dedup import _bucket_all_pairs
