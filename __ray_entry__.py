@@ -521,6 +521,86 @@ def _q_col_quantiles_cont(sf_dir: str):
     return column_quantiles_select(ds, "o_totalprice", qs=(0.1, 0.5, 0.9, 0.99), max_collect=100_000)
 
 
+def _q_join_part_agg(sf_dir: str):
+    """Broadcast hash join (fact stream × dimension table) + grouped agg:
+    revenue-style rollup of lineitem by part brand.  The part table ships
+    once via ray.put; every lineitem batch joins against it with pyarrow's
+    C++ hash join — zero shuffle before the tiny brand aggregate."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rasterflow.pipelines.relational import broadcast_join
+    from rasterflow.util import coalesce_small, grouped_aggregate
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]).rename_columns(
+        ["l_partkey", "p_brand"]
+    )
+    joined = broadcast_join(li, part, on="l_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "p_brand": b.column("p_brand").to_numpy(zero_copy_only=False),
+                "q": b.column("l_quantity").to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("p_brand", sort=False).agg(n=("q", "size"), sum_qty=("q", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    red = grouped_aggregate(
+        coalesce_small(joined.map_batches(partial, batch_format="pyarrow"), 4),
+        "p_brand",
+        {"n": ("n", "sum"), "sum_qty": ("sum_qty", "sum")},
+    )
+    return red.sort("p_brand")
+
+
+def _q_asof_purchase_click(sf_dir: str):
+    """As-of join: each purchase event gains the user's most recent click at
+    or before it (ties resolve to the highest click id)."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from rasterflow.pipelines.relational import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    out = asof_join(
+        purchases, clicks, key="user_id", ts_col="ts",
+        left_cols=["event_id"], right_cols=["event_id"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "click_id": t.column("r_event_id"),
+                "click_epoch_us": _pc.cast(t.column("r_ts"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("event_id")
+
+
+def _q_source_cap(sf_dir: str):
+    """Per-source document cap (C4-style curation): first 10 doc ids per
+    source (10 binds at every sf — ~25 docs/source at sf0.01)."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import cap_per_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return cap_per_group(ds, "source", 10, id_col="doc_id")
+
+
 def _q_approx_distinct_users(sf_dir: str):
     import ray.data
 
@@ -651,6 +731,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "col_quantiles": _q_col_quantiles,
         "col_quantiles_cont": _q_col_quantiles_cont,
+        "join_part_agg": _q_join_part_agg,
+        "asof_purchase_click": _q_asof_purchase_click,
+        "source_cap": _q_source_cap,
         "approx_distinct_users": _q_approx_distinct_users,
         "hopping_window": _q_hopping_window,
         "top_tokens": _q_top_tokens,
@@ -997,6 +1080,31 @@ qs(q) AS (VALUES (0.1), (0.5), (0.9), (0.99))
 SELECT q, (SELECT v FROM s CROSS JOIN tot
            WHERE rn = GREATEST(1, CAST(CEIL(qs.q * tot.n) AS BIGINT))) AS value
 FROM qs ORDER BY q
+""",
+        "join_part_agg": """
+SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n, sum(l.l_quantity) AS sum_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand
+""",
+        "asof_purchase_click": """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (SELECT event_id AS r_id, user_id, ts AS r_ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT l.event_id, l.user_id, r.r_id, r.r_ts,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.r_ts DESC, r.r_id DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id AND r.r_ts <= l.ts
+)
+SELECT event_id, user_id, r_id AS click_id, epoch_us(r_ts) AS click_epoch_us
+FROM j WHERE rn = 1 ORDER BY event_id
+""",
+        "source_cap": """
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source, doc_id FROM r WHERE rn <= 10 ORDER BY source, doc_id
 """,
         "hopping_window": """
 WITH e AS (SELECT epoch_us(ts) // 1000000 AS sec, user_id FROM events),

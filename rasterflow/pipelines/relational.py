@@ -1,0 +1,111 @@
+"""Relational operators Ray Data lacks as first-class citizens: broadcast
+hash join and as-of join.
+
+Both follow the engine's standing scale doctrine:
+
+- :func:`broadcast_join` — the small side ships ONCE via ``ray.put`` and
+  every batch joins against it with pyarrow's C++ hash join — no all-to-all
+  exchange at all (`ray.data.Dataset.join` in 2.49 shuffles both sides;
+  for a dimension-table-sized right side that is pure waste).
+- :func:`asof_join` — "for each left row, the most recent right row at or
+  before its timestamp, per key" (the feature-joining primitive for event
+  logs).  Implemented as one hash partition by key + a per-partition
+  ``pandas.merge_asof`` (vectorized C): only rows of the SAME key ever meet,
+  so partitions are independent and the shuffle carries each side once.
+
+Determinism: asof ties (equal right timestamps) resolve to the highest
+right id — the right side is stably sorted by (ts, id) and merge_asof
+matches the last occurrence; the SQL oracle mirrors this with
+``ORDER BY r_ts DESC, r_id DESC``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def broadcast_join(
+    ds,
+    small: pa.Table,
+    on: str | list[str],
+    join_type: str = "inner",
+):
+    """Join a Dataset against a broadcast (driver-resident) pyarrow Table.
+
+    ``small`` is put in the object store once; each batch runs pyarrow's
+    C++ hash join against it.  Use for dimension tables / lookup sides that
+    fit comfortably in worker memory (the classic broadcast-join pattern —
+    at 100 TB the big side streams, the small side never moves twice)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    ref = ray.put(small) if ray.is_initialized() else small
+
+    def f(b: pa.Table) -> pa.Table:
+        s = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        return b.join(s, keys=keys, join_type=join_type)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key: str,
+    ts_col: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    num_partitions: int = 32,
+):
+    """As-of join: each left row gains the most recent right row with
+    ``right.ts <= left.ts`` and the same ``key`` (inner semantics — left
+    rows with no prior right row are dropped).
+
+    Output columns: ``left_cols`` + ``right_cols`` prefixed ``r_`` (the
+    right's ts column becomes ``r_{ts_col}``).  Ties on the right timestamp
+    resolve to the highest first-right-column value (deterministic).
+    """
+    from ..util import _hash_cols
+
+    def tag(side: int, cols: list[str]):
+        def f(b: pa.Table) -> pa.Table:
+            out = {c: b.column(c) for c in cols}
+            out["_side"] = pa.array(np.full(len(b), side, dtype=np.int8))
+            df = pd.DataFrame({key: b.column(key).to_numpy(zero_copy_only=False)})
+            pk = (_hash_cols(df, [key]) % np.uint64(num_partitions)).astype(np.int32)
+            out["_pk"] = pa.array(pk)
+            return pa.table(out)
+
+        return f
+
+    lcols = list(dict.fromkeys([key, ts_col] + left_cols))
+    rcols = list(dict.fromkeys([key, ts_col] + right_cols))
+    tagged_l = left_ds.map_batches(tag(0, lcols), batch_format="pyarrow")
+    tagged_r = right_ds.map_batches(tag(1, rcols), batch_format="pyarrow")
+    both = tagged_l.union(tagged_r)
+
+    rvalue_cols = [c for c in rcols if c != key]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["_side"] == 0]
+        rf = g[g["_side"] == 1]
+        out_cols = list(dict.fromkeys(left_cols + [key])) + [f"r_{c}" for c in rvalue_cols]
+        if len(lf) == 0 or len(rf) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
+        lf = lf[lcols].sort_values([ts_col] + left_cols, kind="stable")
+        # stable (ts, id...) sort: merge_asof matches the LAST equal-ts row,
+        # so ties resolve to the highest right id deterministically
+        rf = rf[rcols].sort_values([ts_col] + rvalue_cols, kind="stable")
+        rf = rf.rename(columns={c: f"r_{c}" for c in rvalue_cols})
+        m = pd.merge_asof(
+            lf, rf, left_on=ts_col, right_on=f"r_{ts_col}", by=key, direction="backward"
+        )
+        m = m.dropna(subset=[f"r_{ts_col}"])
+        for c in rvalue_cols:
+            rc = f"r_{c}"
+            if pd.api.types.is_float_dtype(m[rc]) and not pd.api.types.is_float_dtype(rf[rc]):
+                m[rc] = m[rc].astype(rf[rc].dtype)  # undo NaN-upcast from the asof
+        return m[out_cols]
+
+    return both.groupby("_pk").map_groups(merge, batch_format="pandas")

@@ -99,6 +99,31 @@ def column_quantiles(ds, col: str, qs: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99)
     )
 
 
+def cap_per_group(ds, group_col: str, k: int, id_col: str = "doc_id"):
+    """Keep at most ``k`` rows per group, by ascending id — the C4-style
+    "cap documents per domain/source" curation rule (deterministic:
+    crawl-order ids, not sampling).
+
+    Same two-stage shape as :func:`top_k_per_group`: each batch keeps its
+    own first-k per group, so the shuffle carries ≤ k·batches rows per
+    group; the final per-group merge is over tiny partials."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, id_col]).to_pandas()
+        df = df.sort_values(id_col).groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 8)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(k)[[group_col, id_col]]
+
+    return partials.groupby(group_col).map_groups(per_group, batch_format="pandas").sort(
+        [group_col, id_col]
+    )
+
+
 def column_quantiles_select(
     ds,
     col: str,

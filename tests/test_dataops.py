@@ -575,3 +575,85 @@ def test_column_quantiles_select_exact(ray_session):
     a = column_quantiles(ds3, "x", qs).to_pandas()
     b = column_quantiles_select(ds3, "x", qs, max_collect=200).to_pandas()
     assert list(a["value"]) == list(b["value"]) == expected(v3)
+
+
+def test_broadcast_join_matches_pandas(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.relational import broadcast_join
+
+    rng = np.random.default_rng(9)
+    big = pd.DataFrame({"k": rng.integers(0, 50, 3000), "v": np.arange(3000)})
+    small = pa.table({"k": np.arange(0, 40), "name": [f"n{i}" for i in range(40)]})
+    ds = ray.data.from_pandas([big.iloc[:1500], big.iloc[1500:]])
+    got = (
+        broadcast_join(ds, small, on="k")
+        .to_pandas()
+        .sort_values(["v"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        big.merge(small.to_pandas(), on="k", how="inner")
+        .sort_values(["v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "v", "name"]], exp[["k", "v", "name"]])
+
+
+def test_asof_join_matches_reference(ray_session):
+    """asof_join == per-row argmax(ts, id) over prior right rows, including
+    equal-timestamp ties and users with no prior right row."""
+    import ray.data
+
+    from rasterflow.pipelines.relational import asof_join
+
+    rng = np.random.default_rng(4)
+    nl, nr = 300, 400
+    lt = pd.DataFrame(
+        {
+            "event_id": np.arange(nl),
+            "user_id": rng.integers(0, 20, nl),
+            "ts": rng.integers(0, 100, nl).astype("datetime64[s]").astype("datetime64[us]"),
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "event_id": np.arange(1000, 1000 + nr),
+            "user_id": rng.integers(0, 25, nr),
+            "ts": rng.integers(0, 100, nr).astype("datetime64[s]").astype("datetime64[us]"),
+        }
+    )
+    out = asof_join(
+        ray.data.from_pandas([lt.iloc[:150], lt.iloc[150:]]),
+        ray.data.from_pandas([rt.iloc[:200], rt.iloc[200:]]),
+        key="user_id", ts_col="ts", left_cols=["event_id"], right_cols=["event_id"],
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    exp_rows = []
+    for _, l in lt.iterrows():
+        cand = rt[(rt.user_id == l.user_id) & (rt.ts <= l.ts)]
+        if len(cand):
+            best = cand.sort_values(["ts", "event_id"]).iloc[-1]
+            exp_rows.append((l.event_id, l.user_id, best.event_id, best.ts))
+    exp = pd.DataFrame(exp_rows, columns=["event_id", "user_id", "r_event_id", "r_ts"])
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert len(out) == len(exp) and len(exp) > 100
+    assert list(out["event_id"]) == list(exp["event_id"])
+    assert list(out["r_event_id"]) == list(exp["r_event_id"])
+    assert list(out["r_ts"]) == list(exp["r_ts"])
+
+
+def test_cap_per_group(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import cap_per_group
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"g": rng.integers(0, 6, 900), "doc_id": rng.permutation(900)})
+    ds = ray.data.from_pandas([df.iloc[:300], df.iloc[300:600], df.iloc[600:]])
+    got = cap_per_group(ds, "g", 25, id_col="doc_id").to_pandas()
+    exp = (
+        df.sort_values("doc_id").groupby("g").head(25)
+        .sort_values(["g", "doc_id"]).reset_index(drop=True)[["g", "doc_id"]]
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
