@@ -68,9 +68,36 @@ def asof_join(
     """
     from ..util import _hash_cols
 
+    lcols = list(dict.fromkeys([key, ts_col] + left_cols))
+    rcols = list(dict.fromkeys([key, ts_col] + right_cols))
+    # one shared schema for the union: columns owned by only one side are
+    # TYPED-null-padded on the other, so differing left/right column sets
+    # work (union requires identical schemas)
+    allcols = list(dict.fromkeys(lcols + rcols))
+    ls, rs = left_ds.schema(), right_ds.schema()
+
+    def _pa_type(t):
+        # pandas-backed datasets report numpy dtypes, Arrow-backed report
+        # pa.DataType; object (string) columns fall back to pa.string()
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    coltype = {}
+    for c in allcols:
+        if c in ls.names:
+            coltype[c] = _pa_type(ls.types[ls.names.index(c)])
+        else:
+            coltype[c] = _pa_type(rs.types[rs.names.index(c)])
+
     def tag(side: int, cols: list[str]):
         def f(b: pa.Table) -> pa.Table:
-            out = {c: b.column(c) for c in cols}
+            out = {}
+            for c in allcols:
+                out[c] = b.column(c) if c in cols else pa.nulls(len(b), type=coltype[c])
             out["_side"] = pa.array(np.full(len(b), side, dtype=np.int8))
             df = pd.DataFrame({key: b.column(key).to_numpy(zero_copy_only=False)})
             pk = (_hash_cols(df, [key]) % np.uint64(num_partitions)).astype(np.int32)
@@ -79,8 +106,6 @@ def asof_join(
 
         return f
 
-    lcols = list(dict.fromkeys([key, ts_col] + left_cols))
-    rcols = list(dict.fromkeys([key, ts_col] + right_cols))
     tagged_l = left_ds.map_batches(tag(0, lcols), batch_format="pyarrow")
     tagged_r = right_ds.map_batches(tag(1, rcols), batch_format="pyarrow")
     both = tagged_l.union(tagged_r)

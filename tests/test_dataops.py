@@ -657,3 +657,72 @@ def test_cap_per_group(ray_session):
         .sort_values(["g", "doc_id"]).reset_index(drop=True)[["g", "doc_id"]]
     )
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_asof_join_differing_columns(ray_session):
+    """Left and right may carry different value columns — the union schema
+    is typed-null-padded per side."""
+    import ray.data
+
+    from rasterflow.pipelines.relational import asof_join
+
+    lt = pd.DataFrame(
+        {"event_id": [1, 2], "user_id": [7, 7],
+         "ts": np.array([50, 80], dtype="datetime64[s]").astype("datetime64[us]"),
+         "basket": [3.5, 9.9]}
+    )
+    rt = pd.DataFrame(
+        {"event_id": [100, 101], "user_id": [7, 7],
+         "ts": np.array([40, 70], dtype="datetime64[s]").astype("datetime64[us]"),
+         "page": ["a", "b"]}
+    )
+    out = asof_join(
+        ray.data.from_pandas(lt), ray.data.from_pandas(rt),
+        key="user_id", ts_col="ts",
+        left_cols=["event_id", "basket"], right_cols=["event_id", "page"],
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert list(out["event_id"]) == [1, 2]
+    assert list(out["r_event_id"]) == [100, 101]
+    assert list(out["r_page"]) == ["a", "b"]
+    assert list(out["basket"]) == [3.5, 9.9]
+
+
+def test_star_cc_adversarial_graphs(ray_session):
+    """Distributed CC on a path graph (worst case for round count), a star,
+    and two cliques — components and min-id representatives exact."""
+    import ray.data
+
+    from rasterflow.pipelines.dedup import _cc_large_small_star
+
+    edges = []
+    edges += [(i, i + 1) for i in range(100, 300)]          # long path
+    edges += [(1000, x) for x in range(1001, 1040)]          # star
+    for base in (5000, 6000):                                # two cliques
+        for i in range(base, base + 12):
+            for j in range(i + 1, base + 12):
+                edges.append((i, j))
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    pairs = ray.data.from_arrow(pa.table({"id_a": a, "id_b": b}))
+    out = _cc_large_small_star(pairs, "doc_id").to_pandas()
+    got = dict(zip(out["doc_id"], out["rep_id"]))
+    assert all(got[i] == 100 for i in range(100, 301))
+    assert all(got[i] == 1000 for i in range(1000, 1040))
+    assert all(got[i] == 5000 for i in range(5000, 5012))
+    assert all(got[i] == 6000 for i in range(6000, 6012))
+    assert len(got) == 201 + 40 + 24
+
+
+def test_quantiles_select_edge_cases(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import column_quantiles_select
+
+    # q = 1.0 and a single-row dataset
+    ds1 = ray.data.from_pandas(pd.DataFrame({"x": [7.5]}))
+    out = column_quantiles_select(ds1, "x", (0.5, 1.0)).to_pandas()
+    assert list(out["value"]) == [7.5, 7.5]
+    # all-equal column
+    ds2 = ray.data.from_pandas(pd.DataFrame({"x": np.full(5000, 3.0)}))
+    out2 = column_quantiles_select(ds2, "x", (0.1, 0.99), max_collect=100).to_pandas()
+    assert list(out2["value"]) == [3.0, 3.0]
