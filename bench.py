@@ -138,6 +138,11 @@ def bench_queries() -> dict[str, float]:
         "quality_score",
         "lang_id",
         "decode_images",
+        "embed_neardup_lsh",
+        "join_part_agg",
+        "asof_purchase_click",
+        "col_quantiles_cont",
+        "source_cap",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -7,6 +7,9 @@
   centroids (sampled + a few Lloyd iterations on the driver), per-batch
   cluster assignment, and probing only the ``nprobe`` closest clusters per
   query.  Approximate; recall measured in tests against the brute baseline.
+- :func:`ivf_ingest` / :func:`cosine_topk_ivf_indexed` — the PERSISTED IVF
+  path: embeddings written as cluster-partitioned parquet (the embedding
+  analogue of the spatial cell layout), so probing prunes at the read.
 - :func:`embedding_neardup_pairs` — near-duplicate pairs (cosine ≥ τ) via
   random-hyperplane LSH blocking + exact verification inside buckets.
 """
@@ -167,6 +170,114 @@ def cosine_topk_ivf(
     partials = coalesce_small(
         emb_ds.map_batches(IvfPartial, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
     )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas").sort(
+        ["query_id", id_col]
+    )
+
+
+def ivf_ingest(
+    emb_ds,
+    out_dir: str,
+    nlist: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+):
+    """Write an IVF LAYOUT: embeddings as parquet partitioned by their
+    nearest-centroid cluster — the persisted analogue of
+    :func:`cosine_topk_ivf` (same centroid construction), and the embedding
+    counterpart of the spatial cell-partitioned ingest: at query time only
+    the probed clusters' partitions leave storage.
+
+    Centroids are stored beside the layout (``centroids.npy``); the cluster
+    id is kept as a column INSIDE the files too, so row-group statistics
+    support predicate pushdown just like ``pcell`` in the spatial layout."""
+    import os
+
+    sample_tbl = emb_ds.limit(sample_size).to_pandas()
+    sample = np.stack(sample_tbl[emb_col].to_numpy())
+    cent = kmeans_lite(sample, nlist)
+    os.makedirs(out_dir, exist_ok=True)
+    # "_" prefix: parquet dataset discovery ignores it as a sidecar
+    np.save(os.path.join(out_dir, "_centroids.npy"), cent)
+    cent_ref = ray.put(cent) if ray.is_initialized() else cent
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        e = _normalize(_emb_matrix(b, emb_col))
+        cl = (e @ c.T).argmax(axis=1).astype(np.int32)
+        b = b.append_column("cluster", pa.array(cl))
+        return b.append_column("part", pa.array(cl).cast(pa.string()))
+
+    emb_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["part"]
+    )
+    return out_dir
+
+
+def cosine_topk_ivf_indexed(
+    layout_dir: str,
+    query_vecs: np.ndarray,
+    k: int,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Approximate top-k over an :func:`ivf_ingest` layout: read ONLY the
+    probed clusters' partitions (pushdown on the cluster column), then the
+    same per-batch scoring + deterministic merge as the in-memory IVF."""
+    import os
+
+    import pyarrow.compute as _pc
+    import ray.data
+
+    cent = np.load(os.path.join(layout_dir, "_centroids.npy"))
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    wanted = np.unique(probes)
+    ds = ray.data.read_parquet(
+        layout_dir,
+        filter=_pc.field("cluster").isin(pa.array(wanted.astype(np.int32))),
+        columns=[id_col, emb_col, "cluster"],
+    )
+    probes_ref = ray.put(probes) if ray.is_initialized() else probes
+    qn_ref = ray.put(qn) if ray.is_initialized() else qn
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..util import det_topk_indices
+
+        pr = ray.get(probes_ref) if isinstance(probes_ref, ray.ObjectRef) else probes_ref
+        q = ray.get(qn_ref) if isinstance(qn_ref, ray.ObjectRef) else qn_ref
+        e = _normalize(_emb_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        assign = batch.column("cluster").to_numpy(zero_copy_only=False)
+        qcol, icol, scol = [], [], []
+        for qi in range(q.shape[0]):
+            m = np.isin(assign, pr[qi])
+            if not m.any():
+                continue
+            s = e[m] @ q[qi]
+            sub_ids = ids[m]
+            idx = det_topk_indices(s, sub_ids, k, descending=True)
+            qcol.append(np.full(len(idx), qi, dtype=np.int32))
+            icol.append(sub_ids[idx])
+            scol.append(s[idx])
+        if not qcol:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int32()), id_col: pa.array([], type=pa.int64()),
+                 "score": pa.array([], type=pa.float64())}
+            )
+        return pa.table(
+            {"query_id": np.concatenate(qcol), id_col: np.concatenate(icol), "score": np.concatenate(scol)}
+        )
+
+    from ..util import coalesce_small
+
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["score", id_col], ascending=[False, True]).head(k)

@@ -726,3 +726,29 @@ def test_quantiles_select_edge_cases(ray_session):
     ds2 = ray.data.from_pandas(pd.DataFrame({"x": np.full(5000, 3.0)}))
     out2 = column_quantiles_select(ds2, "x", (0.1, 0.99), max_collect=100).to_pandas()
     assert list(out2["value"]) == [3.0, 3.0]
+
+
+def test_ivf_layout_matches_in_memory(ray_session, emb, tmp_path):
+    """The persisted IVF layout must return EXACTLY what the in-memory IVF
+    returns (same centroid construction, same probes, same tie-breaks) while
+    reading only probed partitions."""
+    from rasterflow.pipelines.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        cosine_topk_ivf_indexed,
+        ivf_ingest,
+    )
+
+    ds, base = emb
+    q = base[[3, 77]]
+    mem = cosine_topk_ivf(ds, q, k=8, nlist=8, nprobe=3).to_pandas()
+    layout = ivf_ingest(ds, str(tmp_path / "ivf"), nlist=8)
+    idx = cosine_topk_ivf_indexed(layout, q, k=8, nprobe=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        mem.reset_index(drop=True), idx.reset_index(drop=True), check_dtype=False
+    )
+    # recall vs exact stays reasonable
+    exact = cosine_topk(ds, q, k=8).to_pandas()
+    got = set(zip(idx["query_id"], idx["vec_id"]))
+    ref = set(zip(exact["query_id"], exact["vec_id"]))
+    assert len(got & ref) / len(ref) >= 0.5
