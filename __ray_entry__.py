@@ -333,6 +333,18 @@ def _q_contamination(sf_dir: str):
     return contamination_check(_docs(sf_dir), bench)
 
 
+def _q_curation_keep(sf_dir: str):
+    """Composed curation pipeline (quality → decontaminate → dedup) —
+    verifies stage ordering/interaction end-to-end, not just the pieces."""
+    from rasterflow.pipelines.curation import curation_keep_list
+    from rasterflow.pipelines.dedup import benchmark_grams_of
+
+    bench = benchmark_grams_of(_docs(sf_dir), ids=CONTAM_BENCH_IDS)
+    return curation_keep_list(
+        _docs(sf_dir), bench, min_tok=25, min_stop_ratio=0.05, min_overlap=2
+    )
+
+
 def _q_quality(sf_dir: str):
     from rasterflow.pipelines.textstats import quality_score
 
@@ -753,6 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "neardup_clusters": _q_neardup_clusters,
         "contamination": _q_contamination,
+        "curation_keep": _q_curation_keep,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "decode_images": _q_decode_images,
@@ -1280,6 +1293,26 @@ WITH {GEO_CTE.strip()},
 hits AS ({PIP_JOIN_SQL.strip()})
 SELECT CAST(poly_id AS INTEGER) AS poly_id, count(*) AS "count", TRUE AS within
 FROM hits GROUP BY poly_id ORDER BY poly_id
+""",
+        # the composed curation pipeline as ONE statement: same quality
+        # expressions as the quality_score oracle, same gram-set join as the
+        # contamination oracle, same group-by-text dedup as dedup_exact_text
+        "curation_keep": f"""
+WITH {_NGRAM_GSETS_CTES},
+bench AS (SELECT DISTINCT g FROM gsets WHERE doc_id IN (0, 1, 2, 3, 4)),
+contam AS (
+  SELECT s.doc_id FROM gsets s JOIN bench b ON s.g = b.g
+  GROUP BY s.doc_id HAVING count(*) >= 2
+),
+flt AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(regexp_extract_all(text, '\\S+')) >= 25
+    AND len(regexp_extract_all(text, '\\b(the|and|of|to|in|is|a)\\b'))
+        / GREATEST(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) >= 0.05
+),
+clean AS (SELECT * FROM flt WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n
+FROM clean GROUP BY text ORDER BY doc_id
 """,
         "quality_score": r"""
 SELECT doc_id,

@@ -143,6 +143,7 @@ def bench_queries() -> dict[str, float]:
         "asof_purchase_click",
         "col_quantiles_cont",
         "source_cap",
+        "curation_keep",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

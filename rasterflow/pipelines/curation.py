@@ -1,0 +1,69 @@
+"""Composed training-data curation pipeline: the end-to-end shape a 100 TB
+web corpus actually runs, built from the engine's own verified stages.
+
+    documents
+      → quality predicate        (vectorized regex counts — no shuffle)
+      → decontaminate            (broadcast benchmark gram set — no shuffle)
+      → exact dedup keep-list    (hash-partition groupby — the one shuffle)
+
+Every stage is individually oracle-verified; the composition is verified as
+one SQL statement (``curation_keep`` in ``__ray_entry__``), so stage
+ORDERING and interaction are pinned too, not just the pieces.
+
+Scale posture: the two filters are per-batch map stages that only ever
+shrink the stream; the single shuffle runs over pre-aggregated (hash,
+min-id, count) partials of the surviving rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def quality_filter(ds, text_col: str = "text", min_tok: int = 25, min_stop_ratio: float = 0.05):
+    """Keep docs with ≥ ``min_tok`` whitespace tokens and an English
+    stopword ratio ≥ ``min_stop_ratio`` (the same expressions the
+    ``quality_score`` oracle hash-verifies)."""
+    from .textstats import STOPWORDS
+
+    stop_re = r"\b(" + "|".join(STOPWORDS["en"]) + r")\b"
+
+    def f(b: pa.Table) -> pa.Table:
+        t = b.column(text_col)
+        ntok = pc.cast(pc.count_substring_regex(t, r"\S+"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        nstop = pc.cast(pc.count_substring_regex(t, stop_re), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        stop_ratio = nstop / np.maximum(ntok, 1.0)
+        keep = (ntok >= min_tok) & (stop_ratio >= min_stop_ratio)
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def curation_keep_list(
+    ds,
+    benchmark_grams: np.ndarray,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    min_tok: int = 25,
+    min_stop_ratio: float = 0.05,
+    ngram: int = 3,
+    min_overlap: int = 1,
+    verify: bool = False,
+):
+    """Quality filter → decontaminate → exact dedup; returns the keep list
+    ``(doc_id, n)`` (min id per surviving distinct content, with its
+    duplicate count), sorted by doc_id."""
+    from .dedup import decontaminate, exact_dedup
+
+    flt = quality_filter(ds, text_col=content_col, min_tok=min_tok, min_stop_ratio=min_stop_ratio)
+    clean = decontaminate(
+        flt, benchmark_grams, content_col=content_col, id_col=id_col,
+        ngram=ngram, min_overlap=min_overlap,
+    )
+    return exact_dedup(clean, content_col=content_col, id_col=id_col, verify=verify)

@@ -969,23 +969,8 @@ def contamination_check(
     ref = ray.put(bench) if ray.is_initialized() else bench
 
     def f(batch: pa.Table) -> pa.Table:
-        from ..stages.texthash import flat_utf8, ngram_hashes, token_hashes
-
         bg = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        data, offs = flat_utf8(batch.column(content_col))
-        th, tptr = token_hashes(data, offs)
-        gh, gptr = ngram_hashes(th, tptr, ngram)
-        if len(bg) and len(gh):
-            pos = np.clip(np.searchsorted(bg, gh), 0, len(bg) - 1)
-            hit = (bg[pos] == gh).astype(np.int64)
-        else:
-            hit = np.zeros(len(gh), dtype=np.int64)
-        n_docs = len(offs) - 1
-        # cumsum differencing (empty gram segments count 0 naturally); the
-        # old clamped reduceat undercounted the doc before a trailing
-        # zero-gram doc (ADVICE r2)
-        cs = np.concatenate(([0], np.cumsum(hit)))
-        counts = cs[gptr[1:]] - cs[gptr[:-1]]
+        counts = _overlap_counts(batch.column(content_col), bg, ngram)
         keep = counts >= min_overlap
         return pa.table(
             {
@@ -995,6 +980,48 @@ def contamination_check(
         )
 
     return ds.map_batches(f, batch_format="pyarrow").sort(id_col)
+
+
+def _overlap_counts(col, bench_sorted: np.ndarray, ngram: int) -> np.ndarray:
+    """Per-doc count of word-n-grams present in the sorted benchmark set.
+
+    cumsum differencing (empty gram segments count 0 naturally); the old
+    clamped reduceat undercounted the doc before a trailing zero-gram doc
+    (ADVICE r2)."""
+    from ..stages.texthash import flat_utf8, ngram_hashes, token_hashes
+
+    data, offs = flat_utf8(col)
+    th, tptr = token_hashes(data, offs)
+    gh, gptr = ngram_hashes(th, tptr, ngram)
+    if len(bench_sorted) and len(gh):
+        pos = np.clip(np.searchsorted(bench_sorted, gh), 0, len(bench_sorted) - 1)
+        hit = (bench_sorted[pos] == gh).astype(np.int64)
+    else:
+        hit = np.zeros(len(gh), dtype=np.int64)
+    cs = np.concatenate(([0], np.cumsum(hit)))
+    return cs[gptr[1:]] - cs[gptr[:-1]]
+
+
+def decontaminate(
+    ds,
+    benchmark_grams: np.ndarray,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    min_overlap: int = 1,
+):
+    """The filtering twin of :func:`contamination_check`: returns the rows
+    (all columns) that are NOT contamination candidates — the stage a
+    curation pipeline actually chains."""
+    bench = np.sort(np.asarray(benchmark_grams, dtype=np.uint64))
+    ref = ray.put(bench) if ray.is_initialized() else bench
+
+    def f(batch: pa.Table) -> pa.Table:
+        bg = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        counts = _overlap_counts(batch.column(content_col), bg, ngram)
+        return batch.filter(pa.array(counts < min_overlap))
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def benchmark_grams_of(ds, content_col: str = "text", id_col: str = "doc_id", ids=(), ngram: int = 3) -> np.ndarray:

@@ -752,3 +752,38 @@ def test_ivf_layout_matches_in_memory(ray_session, emb, tmp_path):
     got = set(zip(idx["query_id"], idx["vec_id"]))
     ref = set(zip(exact["query_id"], exact["vec_id"]))
     assert len(got & ref) / len(ref) >= 0.5
+
+
+def test_curation_pipeline_stages_bind(ray_session):
+    """The composed curation pipeline must apply all three stages: quality
+    filter, decontamination, and dedup each remove specific docs."""
+    import ray.data
+
+    from rasterflow.pipelines.curation import curation_keep_list
+    from rasterflow.pipelines.dedup import benchmark_grams_of
+
+    def weave(prefix):
+        # stopwords interleaved with doc-unique neighbors: stop_ratio binds
+        # but no 3-gram is shared across different prefixes
+        stops = ["the", "and", "of", "to", "in", "is", "a"]
+        toks = []
+        for i, st_ in enumerate(stops):
+            toks += [f"{prefix}{2 * i}", st_]
+        toks += [f"{prefix}tail{j}" for j in range(6)]
+        return " ".join(toks)
+
+    texts = [
+        weave("b"),             # 0: bench
+        "tiny doc",             # 1: fails min_tok
+        weave("c"),             # 2: kept
+        weave("c"),             # 3: dup of 2
+        ("x1 y2 z3 " * 12),     # 4: fails stop_ratio
+        weave("b"),             # 5: contaminated copy of bench
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts}))
+    bench = benchmark_grams_of(ds, ids=(0,))
+    out = curation_keep_list(
+        ds, bench, min_tok=10, min_stop_ratio=0.05, min_overlap=2
+    ).to_pandas()
+    got = dict(zip(out["doc_id"], out["n"]))
+    assert got == {2: 2}  # only the clean pair survives, deduped to doc 2
