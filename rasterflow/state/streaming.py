@@ -91,6 +91,10 @@ def read_log(out_dir: str | Path, columns: list[str] | None = None, filter=None)
         for f in e.get("files", [])
         if f["name"].endswith(".parquet")
     ]
+    if not files:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.table({}))
     kwargs: dict = {}
     if columns is not None:
         kwargs["columns"] = columns
