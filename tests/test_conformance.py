@@ -139,3 +139,22 @@ def test_constraint_filter_matches_pandas(small_pts, ray_session):
     exp = tbl[(tbl["t"] >= 1357100000) & (tbl["lang"] == "en")]
     assert len(out) == len(exp)
     assert set(out["url"]) == set(exp["url"])
+
+
+def test_driver_contract_consistency():
+    """Every queries() entry has an oracle_sql() twin except the five
+    documented approximate operators (recall/error pinned in pytest instead
+    of SQL); no oracle exists without its query."""
+    import __ray_entry__ as E
+
+    qs = set(E.queries())
+    osql = set(E.oracle_sql())
+    assert osql <= qs, f"orphan oracles: {sorted(osql - qs)}"
+    approximate = {
+        "approx_distinct_users",   # HLL sketch
+        "embed_neardup_lsh",       # hyperplane LSH (recall-pinned)
+        "embed_topk_ivf",          # IVF probing (recall-pinned)
+        "minhash_lsh_pairs",       # MinHash banding (recall-pinned)
+        "simhash_pairs",           # SimHash banding (pigeonhole-pinned)
+    }
+    assert qs - osql == approximate, f"undocumented rows-only queries: {sorted(qs - osql - approximate)}"
