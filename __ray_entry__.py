@@ -582,8 +582,13 @@ def _q_asof_purchase_click(sf_dir: str):
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
     )
-    purchases = ev.filter(expr="event_type == 'purchase'")
-    clicks = ev.filter(expr="event_type == 'click'")
+    # one parquet scan: materialize the (small) filtered union, then derive
+    # both sides from the shared blocks instead of re-reading per side
+    base = ev.filter(
+        expr="event_type == 'purchase' or event_type == 'click'"
+    ).materialize()
+    purchases = base.filter(expr="event_type == 'purchase'")
+    clicks = base.filter(expr="event_type == 'click'")
     out = asof_join(
         purchases, clicks, key="user_id", ts_col="ts",
         left_cols=["event_id"], right_cols=["event_id"],

@@ -74,24 +74,27 @@ def asof_join(
     # TYPED-null-padded on the other, so differing left/right column sets
     # work (union requires identical schemas)
     allcols = list(dict.fromkeys(lcols + rcols))
-    ls, rs = left_ds.schema(), right_ds.schema()
+    coltype: dict = {}
+    if set(lcols) != set(rcols):
+        # only resolve schemas (which may execute a small pipeline) when one
+        # side actually needs typed null padding
+        ls, rs = left_ds.schema(), right_ds.schema()
 
-    def _pa_type(t):
-        # pandas-backed datasets report numpy dtypes, Arrow-backed report
-        # pa.DataType; object (string) columns fall back to pa.string()
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, TypeError):
-            return pa.string()
+        def _pa_type(t):
+            # pandas-backed datasets report numpy dtypes, Arrow-backed report
+            # pa.DataType; object (string) columns fall back to pa.string()
+            if isinstance(t, pa.DataType):
+                return t
+            try:
+                return pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                return pa.string()
 
-    coltype = {}
-    for c in allcols:
-        if c in ls.names:
-            coltype[c] = _pa_type(ls.types[ls.names.index(c)])
-        else:
-            coltype[c] = _pa_type(rs.types[rs.names.index(c)])
+        for c in allcols:
+            if c in ls.names:
+                coltype[c] = _pa_type(ls.types[ls.names.index(c)])
+            else:
+                coltype[c] = _pa_type(rs.types[rs.names.index(c)])
 
     def tag(side: int, cols: list[str]):
         def f(b: pa.Table) -> pa.Table:
@@ -106,9 +109,13 @@ def asof_join(
 
         return f
 
+    from ..util import coalesce_small
+
     tagged_l = left_ds.map_batches(tag(0, lcols), batch_format="pyarrow")
     tagged_r = right_ds.map_batches(tag(1, rcols), batch_format="pyarrow")
-    both = tagged_l.union(tagged_r)
+    # the union concatenates both sides' block lists; coalesce before the
+    # groupby shuffle so it schedules a handful of tasks, not blocks×parts
+    both = coalesce_small(tagged_l.union(tagged_r), 8)
 
     rvalue_cols = [c for c in rcols if c != key]
 
