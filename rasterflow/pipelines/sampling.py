@@ -135,7 +135,7 @@ def column_quantiles_select(
     """Exact quantiles for ARBITRARY columns — no bounded-distinct assumption
     (the upgrade named in :func:`column_quantiles`'s scale note).
 
-    Distributed selection: sample candidate pivots from the active value
+    Distributed selection: sample candidate pivots from each active value
     interval, count exact ranks below each pivot in one vectorized pass
     (per-batch sort + ``searchsorted`` over all pivots at once), narrow each
     quantile's interval to the bucket containing its rank, and repeat until
@@ -146,6 +146,11 @@ def column_quantiles_select(
     value IS the answer).  O(log) passes, driver memory ≤ samples +
     ``max_collect``.
 
+    Two pass-count economies (round 3): the total row count comes from a
+    sentinel +inf pivot in the first count pass (no separate count pass),
+    and quantiles sharing an interval (always true in round one) share one
+    sample/count slot instead of duplicating work per quantile.
+
     Same rank definition as :func:`column_quantiles`: smallest v with
     cumulative count ≥ ceil(q·n).
     """
@@ -155,29 +160,7 @@ def column_quantiles_select(
         c = b.column(col)
         if isinstance(c, pa.ChunkedArray):
             c = c.combine_chunks()
-        v = c.drop_null().to_numpy(zero_copy_only=False)
-        return v
-
-    def count_rows(b: pa.Table) -> pa.Table:
-        return pa.table({"n": pa.array([len(_vals(b))], type=pa.int64())})
-
-    n = 0
-    for b in ds.map_batches(count_rows, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        n += int(np.asarray(b.column("n")).sum())
-    if n == 0:
-        return ray.data.from_arrow(
-            pa.table({"q": pa.array(list(map(float, qs)), type=pa.float64()), "value": pa.array([None] * len(qs))})
-        )
-
-    ranks = [max(1, math.ceil(q * float(n))) for q in qs]
-    # per-quantile state: (lo, hi] interval, exact count of rows ≤ lo, done value
-    lo = [None] * len(qs)  # None = -inf
-    hi = [None] * len(qs)  # None = +inf
-    cnt_lo = [0] * len(qs)
-    cnt_hi = [n] * len(qs)
-    answer: list = [None] * len(qs)
+        return c.drop_null().to_numpy(zero_copy_only=False)
 
     def in_interval(v: np.ndarray, l, h) -> np.ndarray:
         m = np.ones(len(v), dtype=bool)
@@ -187,22 +170,39 @@ def column_quantiles_select(
             m &= v <= h
         return v[m]
 
+    nq = len(qs)
+    lo: list = [None] * nq  # None = -inf
+    hi: list = [None] * nq  # None = +inf
+    cnt_lo = [0] * nq
+    cnt_hi: list = [None] * nq  # None = unknown until the first count pass
+    answer: list = [None] * nq
+    done = [False] * nq
+    ranks: list = []
+    n = None
+
     for _ in range(max_rounds):
-        open_q = [i for i in range(len(qs)) if answer[i] is None]
+        open_q = [i for i in range(nq) if not done[i]]
         if not open_q:
             break
-        # quantiles whose bucket is small enough: collect + select exactly
-        small = [i for i in open_q if cnt_hi[i] - cnt_lo[i] <= max_collect]
+        small = [
+            i for i in open_q if cnt_hi[i] is not None and cnt_hi[i] - cnt_lo[i] <= max_collect
+        ]
         if small:
-            intervals = [(lo[i], hi[i]) for i in small]
+            uniq: dict = {}
+            for i in small:
+                uniq.setdefault((lo[i], hi[i]), []).append(i)
+            intervals = list(uniq)
 
             def collect(b: pa.Table, iv=tuple(intervals)) -> pa.Table:
                 v = _vals(b)
                 outs = [in_interval(v, l, h) for (l, h) in iv]
                 which = np.repeat(np.arange(len(iv)), [len(o) for o in outs])
-                return pa.table({"w": pa.array(which.astype(np.int32)), "v": pa.array(np.concatenate(outs) if outs else np.empty(0))})
+                return pa.table(
+                    {"w": pa.array(which.astype(np.int32)),
+                     "v": pa.array(np.concatenate(outs) if outs else np.empty(0))}
+                )
 
-            got: dict[int, list] = {i: [] for i in range(len(intervals))}
+            got: dict[int, list] = {j: [] for j in range(len(intervals))}
             for b in ds.map_batches(collect, batch_format="pyarrow").iter_batches(
                 batch_format="pyarrow", batch_size=None
             ):
@@ -210,12 +210,18 @@ def column_quantiles_select(
                 v = b.column("v").to_numpy(zero_copy_only=False)
                 for j in range(len(intervals)):
                     got[j].append(v[w == j])
-            for j, i in enumerate(small):
+            for j, iv in enumerate(intervals):
                 vals = np.sort(np.concatenate(got[j])) if got[j] else np.empty(0)
-                answer[i] = vals[ranks[i] - cnt_lo[i] - 1]
+                for i in uniq[iv]:
+                    answer[i] = vals[ranks[i] - cnt_lo[i] - 1]
+                    done[i] = True
             continue
-        # otherwise: sample pivots inside each open interval, exact-count them
-        intervals = [(lo[i], hi[i]) for i in open_q]
+
+        # pivot round over the UNIQUE open intervals (shared across quantiles)
+        uniq = {}
+        for i in open_q:
+            uniq.setdefault((lo[i], hi[i]), []).append(i)
+        intervals = list(uniq)
 
         def sample(b: pa.Table, iv=tuple(intervals)) -> pa.Table:
             v = _vals(b)
@@ -230,7 +236,10 @@ def column_quantiles_select(
                 else:
                     outs.append(sv)
             which = np.repeat(np.arange(len(iv)), [len(o) for o in outs])
-            return pa.table({"w": pa.array(which.astype(np.int32)), "v": pa.array(np.concatenate(outs) if outs else np.empty(0))})
+            return pa.table(
+                {"w": pa.array(which.astype(np.int32)),
+                 "v": pa.array(np.concatenate(outs) if outs else np.empty(0))}
+            )
 
         samp: dict[int, list] = {j: [] for j in range(len(intervals))}
         for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(
@@ -241,25 +250,33 @@ def column_quantiles_select(
             for j in range(len(intervals)):
                 samp[j].append(v[w == j])
         pivots: list[np.ndarray] = []
-        for j, i in enumerate(open_q):
+        for j, iv in enumerate(intervals):
             sv = np.unique(np.concatenate(samp[j])) if samp[j] else np.empty(0)
-            if len(sv) <= 1:
-                # degenerate interval: every remaining value is identical —
-                # that value is the answer at any rank inside the bucket
-                answer[i] = sv[0] if len(sv) else hi[i]
+            if len(sv) <= 1 and n is not None:
+                # degenerate interval: every remaining value identical — that
+                # value is the answer at any rank inside the bucket
+                for i in uniq[iv]:
+                    answer[i] = sv[0] if len(sv) else hi[i]
+                    done[i] = True
+                pivots.append(np.empty(0))
+                continue
+            if len(sv) == 0:
                 pivots.append(np.empty(0))
                 continue
             take = np.unique(np.linspace(0, len(sv) - 1, num=min(256, len(sv))).astype(np.int64))
             pivots.append(sv[take])
-        flat_p = np.concatenate([p for p in pivots if len(p)]) if any(len(p) for p in pivots) else None
-        if flat_p is None:
+
+        parts = [p for p in pivots if len(p)]
+        sentinel = n is None
+        if not parts and not sentinel:
             continue
-        offs = np.concatenate(([0], np.cumsum([len(p) for p in pivots])))
+        flat_p = np.concatenate(parts) if parts else np.empty(0)
+        if sentinel:
+            flat_p = np.append(flat_p, np.inf)  # counts ALL rows: total n
 
         def countp(b: pa.Table, piv=flat_p) -> pa.Table:
             v = np.sort(_vals(b))
-            c = np.searchsorted(v, piv, side="right").astype(np.int64)
-            return pa.table({"c": pa.array(c)})
+            return pa.table({"c": pa.array(np.searchsorted(v, piv, side="right").astype(np.int64))})
 
         tot = np.zeros(len(flat_p), dtype=np.int64)
         for b in ds.map_batches(countp, batch_format="pyarrow").iter_batches(
@@ -267,21 +284,35 @@ def column_quantiles_select(
         ):
             # blocks may concatenate several per-batch count vectors
             tot += b.column("c").to_numpy(zero_copy_only=False).reshape(-1, len(flat_p)).sum(axis=0)
-        for j, i in enumerate(open_q):
+        if sentinel:
+            n = int(tot[-1])
+            tot, flat_p = tot[:-1], flat_p[:-1]
+            if n == 0:
+                for i in range(nq):
+                    done[i] = True
+                break
+            ranks = [max(1, math.ceil(q * float(n))) for q in qs]
+            for i in range(nq):
+                if cnt_hi[i] is None:
+                    cnt_hi[i] = n
+        offs = np.concatenate(([0], np.cumsum([len(p) for p in pivots])))
+        for j, iv in enumerate(intervals):
             p = pivots[j]
             if len(p) == 0:
                 continue
             c = tot[offs[j] : offs[j + 1]]
-            r = ranks[i]
-            # narrow to the bucket containing rank r
-            pos = int(np.searchsorted(c, r))
-            if pos < len(p):
-                hi[i] = p[pos]
-                cnt_hi[i] = int(c[pos])
-            if pos > 0:
-                lo[i] = p[pos - 1]
-                cnt_lo[i] = int(c[pos - 1])
-    if any(a is None for a in answer):  # pragma: no cover - defensive
+            for i in uniq[iv]:
+                if done[i]:
+                    continue
+                r = ranks[i]
+                pos = int(np.searchsorted(c, r))
+                if pos < len(p):
+                    hi[i] = p[pos]
+                    cnt_hi[i] = int(c[pos])
+                if pos > 0:
+                    lo[i] = p[pos - 1]
+                    cnt_lo[i] = int(c[pos - 1])
+    if not all(done):  # pragma: no cover - defensive
         raise RuntimeError("quantile selection did not converge")
     return ray.data.from_arrow(
         pa.table({"q": pa.array(list(map(float, qs)), type=pa.float64()), "value": pa.array(list(answer))})
