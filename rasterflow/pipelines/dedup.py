@@ -115,22 +115,15 @@ def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id", verify: b
             }
         )
 
-    def regroup(g: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            g.groupby(content_col, sort=False)
-            .agg(**{id_col: (id_col, "min"), "n": (id_col, "size")})
-            .reset_index(drop=True)
-        )
-        out["n"] = out["n"].astype(np.int64)
-        return out[[id_col, "n"]]
-
-    verified = (
-        coalesce_small(ds.map_batches(hot_rows, batch_format="pyarrow"), 4)
-        .groupby("content_hash")
-        .map_groups(regroup, batch_format="pandas")
-        # back to arrow blocks so the union with single_ds is homogeneous
-        .map_batches(lambda t: t.select([id_col, "n"]), batch_format="pyarrow")
-    )
+    # regroup by (hash, text) with the hash-partitioned vectorized reduce —
+    # NOT per-hash-group map_groups, whose ~1 ms/group dispatch dominates
+    # when collisions-to-verify number in the tens of thousands (round-3
+    # scale smoke: 200k docs / 60k multi-occurrence hashes, 27 s -> 8 s)
+    verified = grouped_aggregate(
+        coalesce_small(ds.map_batches(hot_rows, batch_format="pyarrow"), 4),
+        ["content_hash", content_col],
+        {id_col: (id_col, "min"), "n": (id_col, "count")},
+    ).map_batches(lambda t: t.select([id_col, "n"]), batch_format="pyarrow")
     return single_ds.union(verified).sort(id_col)
 
 
