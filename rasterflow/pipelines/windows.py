@@ -64,33 +64,59 @@ def sessionize(
     ts_col: str = "ts",
     key: str = "user_id",
     gap_s: int = 1800,
+    num_partitions: int = 32,
 ):
     """Session windows per key: events closer than ``gap_s`` chain into one
-    session.  Expressed as groupby(key) -> sorted per-group session labeling
-    (pandas, vectorized inside the group).  Output: one row per session
+    session.  Output: one row per session
     ``(key, session_start, session_end, n_events)``.
 
-    Partitioning assumption: one key's events fit in one group (standard for
+    Hash-partitioned by key; each partition labels ALL of its keys' sessions
+    in one vectorized pass (sort by (key, ts), break where the key changes
+    OR the gap exceeds ``gap_s``, one grouped agg over the labels) — no
+    per-key dispatch (round 3: 2M events / 50k users went 52 s → ~2 s when
+    the per-user ``map_groups`` was replaced by this).  Partitioning
+    assumption: one KEY's events fit in one partition task (standard for
     user-keyed web logs)."""
     import pandas as pd
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
+    from .dedup import _FNV
+
+    def addpk(b: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        kcol = b.column(key).to_numpy(zero_copy_only=False)
+        hk = _pd.util.hash_array(kcol, hash_key="0123456789123456").astype(np.uint64)
+        pk = ((hk * _FNV) % np.uint64(num_partitions)).astype(np.int32)
+        return b.append_column("_pk", pa.array(pk))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="stable")
         t = g[ts_col]
         if np.issubdtype(t.dtype, np.datetime64):
             # normalize to whole seconds regardless of the stored unit
             sec = t.to_numpy().astype("datetime64[s]").astype("int64")
-            sec = pd.Series(sec, index=g.index)
         else:
-            sec = t.astype("int64")
-        new_sess = (sec.diff().fillna(np.inf) > gap_s).cumsum()
-        out = g.assign(_sec=sec, _sess=new_sess).groupby("_sess").agg(
-            session_start=("_sec", "min"), session_end=("_sec", "max"), n_events=("_sec", "size")
+            sec = t.to_numpy().astype("int64")
+        k = g[key].to_numpy()
+        newk = np.concatenate(([True], k[1:] != k[:-1]))
+        gap = np.concatenate(([True], (sec[1:] - sec[:-1]) > gap_s))
+        sess = np.cumsum(newk | gap)
+        df = pd.DataFrame({key: k, "_sec": sec, "_sess": sess})
+        out = df.groupby("_sess", sort=False).agg(
+            **{key: (key, "first")},
+            session_start=("_sec", "min"),
+            session_end=("_sec", "max"),
+            n_events=("_sec", "size"),
         )
-        out[key] = g[key].iloc[0]
+        out["n_events"] = out["n_events"].astype(np.int64)
         return out.reset_index(drop=True)[[key, "session_start", "session_end", "n_events"]]
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas").sort([key, "session_start"])
+    withpk = ds.map_batches(addpk, batch_format="pyarrow")
+    return (
+        withpk.groupby("_pk")
+        .map_groups(per_partition, batch_format="pandas")
+        .sort([key, "session_start"])
+    )
 
 
 def hopping_window_agg(
