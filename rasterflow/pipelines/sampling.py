@@ -99,6 +99,31 @@ def column_quantiles(ds, col: str, qs: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99)
     )
 
 
+def _grouped_head(partials, group_col: str, sort_cols: list[str], ascending: list[bool], k: int, out_cols: list[str], num_partitions: int = 32):
+    """Final head-k-per-group merge over pre-reduced partials, WITHOUT
+    per-group dispatch: hash-partition by group, then one vectorized
+    sort + ``groupby.head`` per partition handles all of its groups at once
+    (group cardinality can be millions of domains at web scale — the same
+    pathology fixed in sessionize)."""
+    import pandas as pd
+
+    from ..util import _hash_cols
+
+    def addpk(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group_col: b.column(group_col).to_numpy(zero_copy_only=False)})
+        pk = (_hash_cols(df, [group_col]) % np.uint64(num_partitions)).astype(np.int32)
+        return b.append_column("_pk", pa.array(pk))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=ascending, kind="stable")
+        return g.groupby(group_col, sort=False).head(k)[out_cols]
+
+    withpk = partials.map_batches(addpk, batch_format="pyarrow")
+    return withpk.groupby("_pk").map_groups(per_partition, batch_format="pandas").sort(
+        [group_col] + [c for c in out_cols if c != group_col][:1]
+    )
+
+
 def cap_per_group(ds, group_col: str, k: int, id_col: str = "doc_id"):
     """Keep at most ``k`` rows per group, by ascending id — the C4-style
     "cap documents per domain/source" curation rule (deterministic:
@@ -106,8 +131,7 @@ def cap_per_group(ds, group_col: str, k: int, id_col: str = "doc_id"):
 
     Same two-stage shape as :func:`top_k_per_group`: each batch keeps its
     own first-k per group, so the shuffle carries ≤ k·batches rows per
-    group; the final per-group merge is over tiny partials."""
-    import pandas as pd
+    group; the final merge is hash-partitioned, never per-group."""
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.select([group_col, id_col]).to_pandas()
@@ -115,13 +139,7 @@ def cap_per_group(ds, group_col: str, k: int, id_col: str = "doc_id"):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 8)
-
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(k)[[group_col, id_col]]
-
-    return partials.groupby(group_col).map_groups(per_group, batch_format="pandas").sort(
-        [group_col, id_col]
-    )
+    return _grouped_head(partials, group_col, [id_col], [True], k, [group_col, id_col])
 
 
 def column_quantiles_select(
@@ -340,11 +358,7 @@ def top_k_per_group(ds, group_col: str, score_col: str, k: int, id_col: str = "d
         return pa.Table.from_pandas(df, preserve_index=False)
 
     partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 8)
-
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([score_col, id_col], ascending=[False, True]).head(k)
-        return g[[group_col, id_col, score_col]]
-
-    return partials.groupby(group_col).map_groups(per_group, batch_format="pandas").sort(
-        [group_col, id_col]
+    return _grouped_head(
+        partials, group_col, [score_col, id_col], [False, True], k,
+        [group_col, id_col, score_col],
     )
