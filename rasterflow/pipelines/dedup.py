@@ -851,17 +851,26 @@ class SimHashStage:
             return np.zeros(n, dtype=np.uint64)
         # SimHash votes on individual bits — finalize to full avalanche
         th = mix64(th)
-        bits = ((th[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64)
         ntok = np.diff(indptr)
         # reduceat over NON-EMPTY doc starts only: the old clamped starts
         # truncated the preceding doc's segment when a batch ended with
         # zero-token docs (signatures depended on batch placement — ADVICE
         # r2).  Non-empty starts are strictly increasing and < len(th), and
         # each segment correctly extends to the next non-empty start.
+        #
+        # Per-bit-plane loop with ONE reused temp instead of a (tokens × 64)
+        # int64 bit matrix — the matrix was ~0.5 KB per token (1 GB for a
+        # 50k-doc batch), and its allocation dominated at 500k-doc scale
+        # (round-3 smoke: 140 s -> seconds).
         ne = ntok > 0
         ones = np.zeros((len(ntok), 64), dtype=np.int64)
         if ne.any():
-            ones[ne] = np.add.reduceat(bits, indptr[:-1][ne], axis=0)
+            starts = indptr[:-1][ne]
+            tmp = np.empty(len(th), dtype=np.uint64)
+            for b in range(64):
+                np.right_shift(th, np.uint64(b), out=tmp)
+                np.bitwise_and(tmp, np.uint64(1), out=tmp)
+                ones[ne, b] = np.add.reduceat(tmp.view(np.int64), starts)
         v = 2 * ones - ntok[:, None]
         sig = ((v > 0).astype(np.uint64) << self.bits[None, :]).sum(axis=1, dtype=np.uint64)
         sig[ntok == 0] = np.uint64(0)

@@ -99,22 +99,55 @@ def flat_utf8(col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     return data, offs
 
 
+_PB = 1 << 16
+_POW_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _powers(base: np.uint64, n: int) -> np.ndarray:
+    """``[base^0 .. base^(n-1)] mod 2^64`` via block decomposition:
+    ``base^i = small[i mod 2^16] * big[i div 2^16]``, written as ONE output
+    allocation + two streaming broadcast passes (a block-view copy of the
+    cached small table, then an in-place row multiply by the big strides).
+    Replaces an O(n) SEQUENTIAL cumprod whose loop-carried dependency ran at
+    ~25M elem/s and dominated PrefixHash construction (round-3 profiling of
+    ``fingerprint``); allocations matter as much as the op on this path, so
+    no index/temporary arrays are materialized."""
+    key = int(base)
+    small, big = _POW_CACHE.get(key, (None, None))
+    with np.errstate(over="ignore"):
+        if small is None:
+            small = np.empty(_PB, dtype=np.uint64)
+            small[0] = 1
+            np.cumprod(np.full(_PB - 1, base, dtype=np.uint64), out=small[1:])
+        nbig = (max(n, 1) - 1) // _PB + 1
+        if big is None or len(big) < nbig:
+            step = small[-1] * base  # base^_PB
+            big = np.empty(max(nbig, 64), dtype=np.uint64)
+            big[0] = 1
+            np.cumprod(np.full(len(big) - 1, step, dtype=np.uint64), out=big[1:])
+        _POW_CACHE[key] = (small, big)
+        out = np.empty(n, dtype=np.uint64)
+        nb = n // _PB
+        if nb:
+            v = out[: nb * _PB].reshape(nb, _PB)
+            v[:] = small
+            v *= big[:nb, None]
+        rem = n - nb * _PB
+        if rem:
+            np.multiply(small[:rem], big[nb], out=out[nb * _PB :])
+    return out
+
+
 class PrefixHash:
     """Cumulative polynomial-hash state over one flat byte buffer."""
 
     def __init__(self, data: np.ndarray):
         n = len(data)
         with np.errstate(over="ignore"):
-            pw = np.empty(n + 1, dtype=np.uint64)
-            pw[0] = 1
-            if n:
-                np.cumprod(np.full(n, P, dtype=np.uint64), out=pw[1:])
-            piw = np.empty(n, dtype=np.uint64)
-            if n:
-                piw[0] = 1
-                np.cumprod(np.full(n - 1, PINV, dtype=np.uint64), out=piw[1:])
+            pw = _powers(P, n + 1)
             c = np.zeros(n + 1, dtype=np.uint64)
             if n:
+                piw = _powers(PINV, n)
                 np.cumsum(data.astype(np.uint64) * piw, out=c[1:])
         self.pw = pw  # pw[i] = P^i
         self.c = c  # c[i] = sum_{t<i} b_t * P^-t
