@@ -866,11 +866,18 @@ class SimHashStage:
         ones = np.zeros((len(ntok), 64), dtype=np.int64)
         if ne.any():
             starts = indptr[:-1][ne]
-            tmp = np.empty(len(th), dtype=np.uint64)
-            for b in range(64):
-                np.right_shift(th, np.uint64(b), out=tmp)
-                np.bitwise_and(tmp, np.uint64(1), out=tmp)
-                ones[ne, b] = np.add.reduceat(tmp.view(np.int64), starts)
+            # byte-sliced bit planes: each plane is a uint8 pass (8x less
+            # memory traffic than uint64 planes; this stage is bandwidth-
+            # bound).  reduceat accumulates in int64 via dtype=, so long
+            # token segments cannot overflow the uint8 plane.
+            tb = th.view(np.uint8).reshape(-1, 8)  # little-endian bytes
+            tmp = np.empty(len(th), dtype=np.uint8)
+            for j in range(8):
+                colj = np.ascontiguousarray(tb[:, j])
+                for k in range(8):
+                    np.right_shift(colj, k, out=tmp)
+                    np.bitwise_and(tmp, 1, out=tmp)
+                    ones[ne, 8 * j + k] = np.add.reduceat(tmp, starts, dtype=np.int64)
         v = 2 * ones - ntok[:, None]
         sig = ((v > 0).astype(np.uint64) << self.bits[None, :]).sum(axis=1, dtype=np.uint64)
         sig[ntok == 0] = np.uint64(0)
