@@ -165,11 +165,33 @@ class MinHashSignatures:
         sh, indptr = window_hashes(data, offs, self.k)
         n = len(offs) - 1
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        starts = indptr[:-1]
+        if len(sh) == 0:
+            sigs[:] = self.b[None, :]
+            return sigs
+        # cache-blocked permutation loop (same trick as the PIP kernel's
+        # k-form blocking): run all num_perm permutations over one
+        # L3-resident shingle chunk before moving on, so the shingle array
+        # crosses DRAM once instead of once per permutation — the stage is
+        # bandwidth-bound (round-3 500k-doc smoke).  Chunks split on doc
+        # boundaries so every reduceat segment stays whole.
+        CH = 1 << 19  # ~4 MB of shingle hashes per chunk
+        tmp = np.empty(min(len(sh), 2 * CH + 1), dtype=np.uint64)
         with np.errstate(over="ignore"):
-            for p in range(self.num_perm):
-                v = sh * self.a[p] + self.b[p]
-                sigs[:, p] = np.minimum.reduceat(v, starts) if len(v) else self.b[p]
+            d0 = 0
+            while d0 < n:
+                d1 = int(np.searchsorted(indptr, indptr[d0] + CH, side="left"))
+                d1 = min(max(d1, d0 + 1), n)
+                s0, s1 = int(indptr[d0]), int(indptr[d1])
+                shc = sh[s0:s1]
+                st = indptr[d0:d1] - s0
+                if len(shc) > len(tmp):
+                    tmp = np.empty(len(shc), dtype=np.uint64)
+                tc = tmp[: len(shc)]
+                for p in range(self.num_perm):
+                    np.multiply(shc, self.a[p], out=tc)
+                    np.add(tc, self.b[p], out=tc)
+                    sigs[d0:d1, p] = np.minimum.reduceat(tc, st)
+                d0 = d1
         return sigs
 
     def signature(self, text: str) -> np.ndarray:
