@@ -118,6 +118,10 @@ class KnnShardActor:
         self.starts = starts
         self.ends = np.concatenate((starts[1:], [self.n]))
 
+    def ready(self) -> int:
+        """Construction barrier (the index build awaits this)."""
+        return self.n
+
     def _cell_points(self, cix: np.ndarray, ciy: np.ndarray) -> np.ndarray:
         ok = (cix >= 0) & (cix < self.nx) & (ciy >= 0) & (ciy < self.ny)
         lin = ciy[ok] * self.nx + cix[ok]
@@ -328,6 +332,9 @@ class KnnCellRingIndex:
         for si in range(num_shards):
             parts = [sp[si] for sp in splits if len(sp[si])]
             self.actors.append(KnnShardActor.remote(parts, id_col, cell) if parts else None)
+        # force the (parallel) shard constructions NOW: index build cost
+        # belongs to the build, not silently to the first query
+        ray.get([a.ready.remote() for a in self.actors if a is not None])
 
     def query(self, queries_xy: np.ndarray, k: int, return_routing: bool = False):
         """Distance-pruned kNN: nearest shard first, further shards only
