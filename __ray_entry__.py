@@ -238,12 +238,15 @@ def _q_embed_topk(sf_dir: str):
 
 
 def _q_embed_topk_ivf(sf_dir: str):
+    import ray
     import ray.data
 
     from rasterflow.pipelines.similarity import cosine_topk_ivf
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return cosine_topk_ivf(ds, _read_query_vecs(sf_dir), 10, nlist=8, nprobe=4)
+    # centroid build memoized per (job, dataset) — mirrors _KNN_INDEX_CACHE
+    key = (ray.get_runtime_context().get_job_id(), sf_dir)
+    return cosine_topk_ivf(ds, _read_query_vecs(sf_dir), 10, nlist=8, nprobe=4, cache_key=key)
 
 
 def _q_embed_neardup_brute(sf_dir: str):

@@ -737,13 +737,34 @@ def _edge_signature(edges) -> tuple[int, int]:
     return n, int(h)
 
 
-def _cc_large_small_star(pairs, id_col: str, max_rounds: int = 32):
+def _cc_large_small_star(pairs, id_col: str, max_rounds: int = 32, checkpoint_dir: str | None = None):
     """Distributed CC: alternate large/small-star rounds until the edge set
     is stable; at convergence every node holds one edge to its component's
     minimum id.  Converges in O(log²) rounds; near-dup graphs (dense
-    clique-ish clusters) typically stabilize in 2-3."""
+    clique-ish clusters) typically stabilize in 2-3.
+
+    ``checkpoint_dir`` (cluster-visible storage at scale): persist each
+    round's edge set as parquet and re-read it, instead of pinning it in the
+    object store with ``materialize()``.  Only the latest round is kept on
+    disk, so the object-store footprint per round is one streaming pass —
+    for dup graphs whose edge set exceeds cluster object store + spill."""
     import ray.data
 
+    def persist(e, rnd: int):
+        if checkpoint_dir is None:
+            return e.materialize()
+        import os
+        import shutil
+
+        path = os.path.join(checkpoint_dir, f"round={rnd}")
+        e.write_parquet(path)
+        prev_path = os.path.join(checkpoint_dir, f"round={rnd - 1}")
+        if rnd > 0 and os.path.isdir(prev_path):
+            shutil.rmtree(prev_path)
+        return ray.data.read_parquet(path)
+
+    # round 0 (the input pair stream) stays a materialize: it also feeds the
+    # empty-graph check, and an empty dataset round-trips poorly via parquet
     edges = pairs.map_batches(
         lambda t: pa.table({"u": t.column("id_b"), "v": t.column("id_a")}),
         batch_format="pyarrow",
@@ -753,9 +774,9 @@ def _cc_large_small_star(pairs, id_col: str, max_rounds: int = 32):
             pa.table({id_col: pa.array([], type=pa.int64()), "rep_id": pa.array([], type=pa.int64())})
         )
     prev = None
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         edges = _cc_star_round(edges, large=True)
-        edges = _cc_star_round(edges, large=False).materialize()
+        edges = persist(_cc_star_round(edges, large=False), rnd + 1)
         sig = _edge_signature(edges)
         if sig == prev:
             break
@@ -789,6 +810,7 @@ def neardup_clusters(
     threshold: float = 0.5,
     concurrency=(1, 8),
     distributed: bool = False,
+    checkpoint_dir: str | None = None,
 ):
     """Near-duplicate clusters: connected components over the EXACT n-gram
     Jaccard pair graph, with the minimum doc id as each cluster's
@@ -805,13 +827,15 @@ def neardup_clusters(
     fraction of the corpus).  ``distributed=True`` switches to the
     large-star/small-star iterative CC (Kiveris et al., SoCC'14) over the
     pair Dataset — no driver-side graph at all — for corpora where even the
-    dup graph exceeds driver memory."""
+    dup graph exceeds driver memory.  With ``checkpoint_dir`` set, each star
+    round checkpoints its edge set to parquet instead of the object store
+    (resumable storage footprint for dup graphs beyond cluster disk spill)."""
     pairs = ngram_jaccard_pairs(
         ds, content_col=content_col, id_col=id_col, ngram=ngram, threshold=threshold,
         concurrency=concurrency,
     )
     if distributed:
-        return _cc_large_small_star(pairs, id_col)
+        return _cc_large_small_star(pairs, id_col, checkpoint_dir=checkpoint_dir)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

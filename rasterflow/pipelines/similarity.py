@@ -109,6 +109,35 @@ def kmeans_lite(sample: np.ndarray, nlist: int, iters: int = 5, seed: int = 0) -
     return cent
 
 
+#: memo of (centroids, object-store ref) per caller-provided cache key —
+#: the embedding analogue of the persistent kNN cell index: repeated IVF
+#: queries over the same dataset pay only probing, not the sample +
+#: k-means + ray.put build.  Keys should include the Ray job id so refs
+#: from a dead session are never reused.
+_CENTROID_CACHE: dict = {}
+
+
+def _centroids_for(emb_ds, nlist: int, sample_size: int, emb_col: str, cache_key=None):
+    """Centroids for ``emb_ds`` (built once per ``cache_key`` when given).
+
+    Returns ``(cent, cent_ref)`` where ``cent_ref`` is the broadcast
+    object-store handle (``ray.put`` once — tasks gather, never re-ship)."""
+    full_key = None
+    if cache_key is not None:
+        full_key = (cache_key, nlist, sample_size, emb_col)
+        hit = _CENTROID_CACHE.get(full_key)
+        if hit is not None:
+            return hit
+    sample_tbl = emb_ds.limit(sample_size).to_pandas()
+    sample = np.stack(sample_tbl[emb_col].to_numpy())
+    cent = kmeans_lite(sample, nlist)
+    cent_ref = ray.put(cent) if ray.is_initialized() else cent
+    if full_key is not None:
+        _CENTROID_CACHE.clear()  # one live centroid set: don't pin stale refs
+        _CENTROID_CACHE[full_key] = (cent, cent_ref)
+    return cent, cent_ref
+
+
 def cosine_topk_ivf(
     emb_ds,
     query_vecs: np.ndarray,
@@ -118,17 +147,17 @@ def cosine_topk_ivf(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     sample_size: int = 2048,
+    cache_key=None,
 ):
     """IVF-style approximate top-k: probe only the nprobe closest centroids.
 
     Centroids come from a deterministic limit-sample of the dataset; each
-    batch scores only its rows assigned to probed clusters."""
-    sample_tbl = emb_ds.limit(sample_size).to_pandas()
-    sample = np.stack(sample_tbl[emb_col].to_numpy())
-    cent = kmeans_lite(sample, nlist)
+    batch scores only its rows assigned to probed clusters.  Pass
+    ``cache_key`` (e.g. ``(job_id, dataset_path)``) to reuse the centroid
+    build across repeated queries over the same dataset."""
+    cent, cent_ref = _centroids_for(emb_ds, nlist, sample_size, emb_col, cache_key)
     qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
     probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
-    cent_ref = ray.put(cent) if ray.is_initialized() else cent
     probes_ref = ray.put(probes) if ray.is_initialized() else probes
 
     class IvfPartial:
@@ -198,13 +227,10 @@ def ivf_ingest(
     support predicate pushdown just like ``pcell`` in the spatial layout."""
     import os
 
-    sample_tbl = emb_ds.limit(sample_size).to_pandas()
-    sample = np.stack(sample_tbl[emb_col].to_numpy())
-    cent = kmeans_lite(sample, nlist)
+    cent, cent_ref = _centroids_for(emb_ds, nlist, sample_size, emb_col)
     os.makedirs(out_dir, exist_ok=True)
     # "_" prefix: parquet dataset discovery ignores it as a sidecar
     np.save(os.path.join(out_dir, "_centroids.npy"), cent)
-    cent_ref = ray.put(cent) if ray.is_initialized() else cent
 
     def assign(b: pa.Table) -> pa.Table:
         c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref

@@ -232,6 +232,31 @@ def test_cosine_topk_ivf_recall(emb):
     assert recall >= 0.8
 
 
+def test_cosine_topk_ivf_centroid_cache(emb, monkeypatch):
+    """Same cache_key -> one centroid build, identical results (TODO r3)."""
+    import rasterflow.pipelines.similarity as sim
+
+    ds, base = emb
+    q = base[:2]
+    calls = {"n": 0}
+    real = sim.kmeans_lite
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sim, "kmeans_lite", counting)
+    sim._CENTROID_CACHE.clear()
+    a = cosine_topk_ivf(ds, q, 5, nlist=8, nprobe=4, cache_key="t").to_pandas()
+    b = cosine_topk_ivf(ds, q, 5, nlist=8, nprobe=4, cache_key="t").to_pandas()
+    assert calls["n"] == 1
+    pd.testing.assert_frame_equal(a, b)
+    # no key -> rebuilt every call, same results
+    c = cosine_topk_ivf(ds, q, 5, nlist=8, nprobe=4).to_pandas()
+    assert calls["n"] == 2
+    pd.testing.assert_frame_equal(a, c)
+
+
 def test_embedding_neardup(emb):
     ds, base = emb
     out = embedding_neardup_pairs(ds, threshold=0.95).to_pandas()
@@ -336,6 +361,36 @@ def test_neardup_clusters_distributed_matches_driver(ray_session):
     pd.testing.assert_frame_equal(
         drv.reset_index(drop=True), dist.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_star_cc_parquet_checkpoints(ray_session, tmp_path):
+    """checkpoint_dir: star rounds persist to parquet (only the newest round
+    kept on disk) and the result is identical to the in-object-store path."""
+    import os
+
+    import ray.data
+
+    from rasterflow.pipelines.dedup import neardup_clusters
+
+    texts = []
+    for c in range(4):
+        base = [f"c{c}w{k}" for k in range(8)]
+        for v in range(4):
+            doc = list(base)
+            doc[v % len(doc)] = f"c{c}var{v}"
+            texts.append(" ".join(doc))
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts}))
+    ck = str(tmp_path / "cc_ck")
+    dist = neardup_clusters(ds, threshold=0.4, concurrency=2, distributed=True).to_pandas()
+    ckpt = neardup_clusters(
+        ds, threshold=0.4, concurrency=2, distributed=True, checkpoint_dir=ck
+    ).to_pandas()
+    assert len(dist) > 0
+    pd.testing.assert_frame_equal(
+        dist.reset_index(drop=True), ckpt.reset_index(drop=True), check_dtype=False
+    )
+    rounds = [d for d in os.listdir(ck) if d.startswith("round=")]
+    assert len(rounds) == 1  # superseded checkpoints are pruned
 
 
 def test_top_tokens_exact(ray_session):
