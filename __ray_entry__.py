@@ -742,8 +742,58 @@ def _q_bounds_contain(sf_dir: str):
     )
 
 
+def _q_join_cust_orders(sf_dir: str):
+    """Partitioned (fact ⋈ fact) hash join: customer ⋈ orders, per-nation
+    order count + max price.  Exercises relational.hash_join — both sides
+    shuffle once on the key; no broadcast side."""
+    import ray.data
+
+    from rasterflow.pipelines.relational import hash_join
+    from rasterflow.util import grouped_aggregate
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["c_custkey", "o_totalprice"]), batch_format="pyarrow"
+    )
+    j = hash_join(cust, orders, on="c_custkey", left_cols=["c_nationkey"], right_cols=["o_totalprice"])
+    agg = grouped_aggregate(
+        j, "c_nationkey", {"n_orders": ("o_totalprice", "count"), "max_price": ("o_totalprice", "max")}
+    )
+    return agg.sort("c_nationkey")
+
+
+def _q_repetition_stats(sf_dir: str):
+    from rasterflow.pipelines.textstats import repetition_stats
+
+    return repetition_stats(_docs(sf_dir)).sort("doc_id")
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    from rasterflow.pipelines.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir), k=3)
+
+
+def _q_weighted_sample(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import weighted_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, weight_col="n_chars", scale=400).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "join_cust_orders": _q_join_cust_orders,
+        "repetition_stats": _q_repetition_stats,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "weighted_sample": _q_weighted_sample,
         "bounds_agg": _q_bounds_agg,
         "bounds_contain": _q_bounds_contain,
         "window_agg": _q_window_agg,
@@ -865,6 +915,94 @@ SELECT doc_id, bucket,
             WHEN bucket < {test_pct + val_pct} THEN 'val'
             ELSE 'train' END AS split
 FROM b ORDER BY doc_id
+"""
+
+
+def _weighted_sample_sql(scale: int = 400) -> str:
+    """SQL replica of sampling.weighted_sample: same mulrot_hash64 chain as
+    split_assign, mod 10000, thresholded by the integer weight rule."""
+    M64 = "18446744073709551616::HUGEINT"
+    M32 = "4294967296"
+
+    def mulmod(z: str, c: int) -> str:
+        return (
+            f"(((({z}) // {M32}) * {c}) % {M32} * {M32}"
+            f" + (({z}) % {M32}) * {c}) % {M64}"
+        )
+
+    def rotl32(z: str) -> str:
+        return f"((({z}) * {M32}) % {M64} + ({z}) // {M32})"
+
+    z1 = mulmod("CAST(doc_id AS HUGEINT)", 0x9E3779B97F4A7C15)
+    return f"""
+WITH s1 AS (SELECT doc_id, n_chars, {z1} AS z FROM documents),
+s2 AS (SELECT doc_id, n_chars, {rotl32('z')} AS z FROM s1),
+s3 AS (SELECT doc_id, n_chars, {mulmod('z', 0xBF58476D1CE4E5B9)} AS z FROM s2),
+s4 AS (SELECT doc_id, n_chars, {rotl32('z')} AS z FROM s3),
+s5 AS (SELECT doc_id, n_chars, {mulmod('z', 0x94D049BB133111EB)} AS z FROM s4)
+SELECT doc_id, n_chars
+FROM s5
+WHERE CAST(z % 10000 AS BIGINT) < LEAST(10000, n_chars * 10000 // {scale})
+ORDER BY doc_id
+"""
+
+
+# toks CTE shared by the repetition/tf-idf oracles: whitespace tokens with
+# positions, empties filtered exactly like the Ray kernels
+_TOKS_CTE = r"""toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok,
+         generate_subscripts(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), 1) AS pos
+  FROM documents
+)"""
+
+
+def _repetition_stats_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(count(DISTINCT tok) AS BIGINT) AS nd
+        FROM toks GROUP BY doc_id),
+big AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+bgm AS (SELECT doc_id, max(c) AS mc
+        FROM (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg)
+        GROUP BY doc_id),
+runs AS (SELECT doc_id, tok,
+                pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+         FROM toks),
+rmax AS (SELECT doc_id, max(rl) AS mr
+         FROM (SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, tok, grp)
+         GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(c.n_tok, 0) AS n_tok,
+       CASE WHEN COALESCE(c.n_tok, 0) > 0
+            THEN CAST(c.n_tok - c.nd AS DOUBLE) / c.n_tok ELSE 0.0 END AS dup_frac,
+       CASE WHEN COALESCE(c.n_tok, 0) >= 2
+            THEN CAST(COALESCE(m.mc, 0) AS DOUBLE) / (c.n_tok - 1) ELSE 0.0 END AS top2_frac,
+       COALESCE(r.mr, 0) AS max_run
+FROM documents d
+LEFT JOIN cnt c USING (doc_id)
+LEFT JOIN bgm m USING (doc_id)
+LEFT JOIN rmax r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def _tfidf_sql(k: int = 3) -> str:
+    return f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+r AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(n.n / df.df) DESC, tf.tok) AS rn
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tf, df FROM r WHERE rn <= {k} ORDER BY doc_id, tok
 """
 
 
@@ -1069,6 +1207,14 @@ def oracle_sql() -> dict[str, str]:
     nx = ORACLE_GRID.nx
     qx, qy, r = RADIUS_Q
     return {
+        "join_cust_orders": """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders, max(o_totalprice) AS max_price
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+        "repetition_stats": _repetition_stats_sql(),
+        "tfidf_top_terms": _tfidf_sql(3),
+        "weighted_sample": _weighted_sample_sql(400),
         "window_agg": """
 SELECT (epoch_us(ts) // 1000000) // 3600 AS "window",
        count(*) AS n, count(DISTINCT user_id) AS nd_user_id

@@ -1,5 +1,5 @@
 """Relational operators Ray Data lacks as first-class citizens: broadcast
-hash join and as-of join.
+hash join, partitioned (fact ⋈ fact) hash join, and as-of join.
 
 Both follow the engine's standing scale doctrine:
 
@@ -47,6 +47,77 @@ def broadcast_join(
         return b.join(s, keys=keys, join_type=join_type)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    on: str | list[str],
+    left_cols: list[str],
+    right_cols: list[str],
+    num_partitions: int = 32,
+):
+    """Partitioned inner hash join — for when BOTH sides are too large to
+    broadcast (fact ⋈ fact).  Each side is shuffled ONCE on a hash of the
+    key (``num_partitions`` buckets); matching keys land in the same
+    partition, which joins with one vectorized ``pandas.merge``.  No
+    driver-side materialization; skew lives in the key distribution, so
+    pick ``num_partitions`` ≥ cluster cores for hot-key dilution.
+
+    ``left_cols`` / ``right_cols`` are the value columns kept from each side
+    (key columns are always kept once); they must not overlap."""
+    from ..util import _hash_cols, coalesce_small
+
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = list(dict.fromkeys(keys + left_cols))
+    rcols = list(dict.fromkeys(keys + right_cols))
+    allcols = list(dict.fromkeys(lcols + rcols))
+    coltype: dict = {}
+    if set(lcols) != set(rcols):
+        ls, rs = left_ds.schema(), right_ds.schema()
+
+        def _pa_type(t):
+            if isinstance(t, pa.DataType):
+                return t
+            try:
+                return pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                return pa.string()
+
+        for c in allcols:
+            src = ls if c in ls.names else rs
+            coltype[c] = _pa_type(src.types[src.names.index(c)])
+
+    def tag(side: int, cols: list[str]):
+        def f(b: pa.Table) -> pa.Table:
+            out = {}
+            for c in allcols:
+                out[c] = b.column(c) if c in cols else pa.nulls(len(b), type=coltype[c])
+            out["_side"] = pa.array(np.full(len(b), side, dtype=np.int8))
+            df = pd.DataFrame(
+                {k: b.column(k).to_numpy(zero_copy_only=False) for k in keys}
+            )
+            pk = (_hash_cols(df, keys) % np.uint64(num_partitions)).astype(np.int32)
+            out["_pk"] = pa.array(pk)
+            return pa.table(out)
+
+        return f
+
+    tagged_l = left_ds.map_batches(tag(0, lcols), batch_format="pyarrow")
+    tagged_r = right_ds.map_batches(tag(1, rcols), batch_format="pyarrow")
+    both = coalesce_small(tagged_l.union(tagged_r), 8)
+    out_cols = keys + [c for c in left_cols if c not in keys] + [
+        c for c in right_cols if c not in keys
+    ]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["_side"] == 0][lcols]
+        rf = g[g["_side"] == 1][rcols]
+        if len(lf) == 0 or len(rf) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
+        return pd.merge(lf, rf, on=keys, how="inner")[out_cols]
+
+    return both.groupby("_pk").map_groups(merge, batch_format="pandas")
 
 
 def asof_join(

@@ -62,6 +62,35 @@ def split_assign(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def weighted_sample(
+    ds,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    scale: int = 400,
+    seed: int = 0,
+):
+    """Deterministic importance-weighted Bernoulli downsample: keep a row
+    with probability ``min(1, weight/scale)`` — the "sample long/high-value
+    documents preferentially" curation step — decided by a pure hash of the
+    id, so the result is reproducible, embarrassingly parallel, and
+    resumable (no RNG state, no global pass).
+
+    Keep rule (all-integer, exactly replicated by the SQL oracle):
+    ``mulrot_hash64(id + seed) % 10000 < min(10000, weight*10000 // scale)``.
+    Output: the surviving ``(id, weight)`` rows."""
+    from ..stages.texthash import mulrot_hash64
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            bucket = (mulrot_hash64(ids.astype(np.uint64) + np.uint64(seed)) % np.uint64(10000)).astype(np.int64)
+        thresh = np.minimum(10000, w * 10000 // scale)
+        return b.select([id_col, weight_col]).filter(pa.array(bucket < thresh))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def column_quantiles(ds, col: str, qs: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99)):
     """Exact quantiles: smallest v with cumulative count ≥ ceil(q·n).
 
@@ -337,7 +366,10 @@ def column_quantiles_select(
     )
 
 
-def top_k_per_group(ds, group_col: str, score_col: str, k: int, id_col: str = "doc_id"):
+def top_k_per_group(
+    ds, group_col: str, score_col: str, k: int, id_col: str = "doc_id",
+    extra_cols: list[str] | tuple[str, ...] = (),
+):
     """Per-group top-k rows by score — the data-curation "keep the best N
     documents per language/source" selection.
 
@@ -348,17 +380,21 @@ def top_k_per_group(ds, group_col: str, score_col: str, k: int, id_col: str = "d
     per-group merge then runs over tiny partials.  Ties break
     deterministically by (score desc, id asc) at BOTH stages, so the result
     is stable under any partitioning and matches the SQL window oracle.
+    ``extra_cols`` are carried through unchanged (they never affect order).
     """
     import pandas as pd
 
+    cols = [group_col, id_col, score_col] + [
+        c for c in extra_cols if c not in (group_col, id_col, score_col)
+    ]
+
     def partial(b: pa.Table) -> pa.Table:
-        df = b.select([group_col, id_col, score_col]).to_pandas()
+        df = b.select(cols).to_pandas()
         df = df.sort_values([score_col, id_col], ascending=[False, True])
         df = df.groupby(group_col, sort=False).head(k)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 8)
     return _grouped_head(
-        partials, group_col, [score_col, id_col], [False, True], k,
-        [group_col, id_col, score_col],
+        partials, group_col, [score_col, id_col], [False, True], k, cols,
     )

@@ -148,6 +148,149 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _doc_tokens(b: pa.Table, text_col: str):
+    """Whitespace tokens of a batch as (doc_idx, token-codes, vocab, n_docs)
+    — empties filtered exactly like the SQL oracle's list_filter, token
+    identity by EXACT string equality (pandas factorize, vectorized C)."""
+    import pandas as pd
+
+    splits = pc.split_pattern_regex(b.column(text_col), r"\s+")
+    lens = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(splits)
+    doc_idx = np.repeat(np.arange(len(b)), lens)
+    toks = flat.to_numpy(zero_copy_only=False)
+    mask = toks != ""
+    codes, vocab = pd.factorize(toks[mask])
+    return doc_idx[mask], codes, vocab, len(b)
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition signals, word-level (the corpus has no line
+    structure): per doc —
+
+    - ``n_tok``: whitespace token count
+    - ``dup_frac``: fraction of token occurrences that repeat an earlier
+      token (``1 - distinct/total``; 0 for empty docs)
+    - ``top2_frac``: share of the most frequent word bigram among all
+      bigrams (0 when < 2 tokens)
+    - ``max_run``: longest run of the same consecutive token (0 when empty)
+
+    One vectorized pass per batch: factorized token codes, bigram keys by
+    code pairing, run/group reductions via lexsort + boundary flags — no
+    per-doc loop.  Fractions are single int/int float64 divisions, so they
+    hash-match the SQL oracle bit-for-bit."""
+
+    def f(b: pa.Table) -> pa.Table:
+        doc_idx, codes, vocab, n = _doc_tokens(b, text_col)
+        v = np.int64(len(vocab))
+        ntok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        # distinct tokens per doc: unique (doc, code) pairs
+        if len(codes):
+            uniq = np.unique(doc_idx.astype(np.int64) * v + codes)
+            ndist = np.bincount((uniq // v).astype(np.intp), minlength=n).astype(np.int64)
+        else:
+            ndist = np.zeros(n, dtype=np.int64)
+        dup_frac = np.where(ntok > 0, (ntok - ndist) / np.maximum(ntok, 1), 0.0)
+        # bigrams: adjacent same-doc code pairs
+        top2 = np.zeros(n, dtype=np.int64)
+        max_run = np.zeros(n, dtype=np.int64)
+        if len(codes) > 1:
+            adj = doc_idx[1:] == doc_idx[:-1]
+            bdoc = doc_idx[:-1][adj].astype(np.int64)
+            bkey = codes[:-1][adj].astype(np.int64) * v + codes[1:][adj]
+            if len(bkey):
+                order = np.lexsort((bkey, bdoc))
+                bd, bk = bdoc[order], bkey[order]
+                newg = np.concatenate(([True], (bd[1:] != bd[:-1]) | (bk[1:] != bk[:-1])))
+                starts = np.flatnonzero(newg)
+                counts = np.diff(np.append(starts, len(bk)))
+                np.maximum.at(top2, bd[starts].astype(np.intp), counts)
+            # token runs: consecutive same (doc, code)
+            same = adj & (codes[1:] == codes[:-1])
+            newr = np.concatenate(([True], ~same))
+            rstarts = np.flatnonzero(newr)
+            rlens = np.diff(np.append(rstarts, len(codes)))
+            np.maximum.at(max_run, doc_idx[rstarts].astype(np.intp), rlens)
+        elif len(codes) == 1:
+            max_run[doc_idx[0]] = 1
+        top2_frac = np.where(ntok >= 2, top2 / np.maximum(ntok - 1, 1), 0.0)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "n_tok": pa.array(ntok),
+                "dup_frac": pa.array(dup_frac),
+                "top2_frac": pa.array(top2_frac),
+                "max_run": pa.array(max_run),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def doc_term_freq(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, tok, tf) — one row per distinct (doc, token), vectorized:
+    factorized codes + one lexsort per batch, no per-doc loop."""
+
+    def f(b: pa.Table) -> pa.Table:
+        doc_idx, codes, vocab, n = _doc_tokens(b, text_col)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        if not len(codes):
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "tok": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                }
+            )
+        v = np.int64(len(vocab))
+        key = doc_idx.astype(np.int64) * v + codes
+        uniq, tf = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                id_col: pa.array(ids[(uniq // v).astype(np.intp)]),
+                "tok": pa.array(vocab[(uniq % v).astype(np.intp)].tolist(), type=pa.string()),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def tfidf_top_terms(
+    ds, k: int = 3, text_col: str = "text", id_col: str = "doc_id", num_partitions: int = 32
+):
+    """Per-doc top-k terms by tf·idf (idf = ln(N/df)) — the "what is this
+    document about" signal of a curation pipeline.
+
+    Plan (no driver-side vocabulary): per-batch (doc, tok, tf) partials →
+    document frequency by a token-hash grouped sum → token-partitioned
+    :func:`~rasterflow.pipelines.relational.hash_join` of tf with df (at web
+    scale the vocabulary is join-sized, not broadcast-sized) → per-doc
+    partial top-k.  The score is float internally but the OUTPUT is the
+    integer (tf, df) pair plus the token, so the oracle hash never compares
+    transcendental floats across engines; ties break by token ascending."""
+    from ..util import grouped_aggregate
+    from .relational import hash_join
+    from .sampling import top_k_per_group
+
+    n_docs = ds.count()
+    tf = doc_term_freq(ds, text_col=text_col, id_col=id_col)
+    df = grouped_aggregate(tf, "tok", {"df": (id_col, "count")}, num_partitions=num_partitions)
+    joined = hash_join(tf, df, on="tok", left_cols=[id_col, "tf"], right_cols=["df"],
+                       num_partitions=num_partitions)
+
+    def score(b: pa.Table) -> pa.Table:
+        tfv = b.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = b.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.append_column("tfidf", pa.array(tfv * np.log(n_docs / dfv)))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    top = top_k_per_group(scored, id_col, "tfidf", k, id_col="tok", extra_cols=["tf", "df"])
+    return top.map_batches(
+        lambda t: t.select([id_col, "tok", "tf", "df"]), batch_format="pyarrow"
+    )
+
+
 def top_tokens(ds, text_col: str = "text", k: int = 50):
     """Corpus-wide exact top-k tokens by frequency (heavy hitters, exact).
 

@@ -842,3 +842,118 @@ def test_curation_pipeline_stages_bind(ray_session):
     ).to_pandas()
     got = dict(zip(out["doc_id"], out["n"]))
     assert got == {2: 2}  # only the clean pair survives, deduped to doc 2
+
+
+def test_hash_join_matches_pandas_merge(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.relational import hash_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 400), "lv": np.arange(400)})
+    right = pd.DataFrame({"k": rng.integers(0, 60, 300), "rv": np.arange(300) * 10})
+    got = (
+        hash_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(3),
+            on="k",
+            left_cols=["lv"],
+            right_cols=["rv"],
+            num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, on="k")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)[["k", "lv", "rv"]]
+    )
+    pd.testing.assert_frame_equal(got.astype({"k": "int64", "lv": "int64", "rv": "int64"}), exp)
+
+
+def test_repetition_stats_reference(ray_session):
+    import collections
+
+    import ray.data
+
+    from rasterflow.pipelines.textstats import repetition_stats
+
+    texts = [
+        "a b c d",            # all distinct
+        "a a a b",            # run of 3, dup
+        "x y x y x y",        # bigram 'x y' x3 + 'y x' x2 -> top2 = 3/5
+        "",                   # empty
+        "solo",               # one token
+        "  padded   text  ",  # whitespace edges
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts}))
+    got = repetition_stats(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    for i, t in enumerate(texts):
+        toks = [x for x in t.split() if x]
+        n = len(toks)
+        assert got.loc[i, "n_tok"] == n
+        dup = (n - len(set(toks))) / n if n else 0.0
+        assert got.loc[i, "dup_frac"] == pytest.approx(dup, abs=0)
+        bigs = collections.Counter(zip(toks, toks[1:]))
+        top2 = max(bigs.values()) / (n - 1) if n >= 2 else 0.0
+        assert got.loc[i, "top2_frac"] == pytest.approx(top2, abs=0)
+        mr, cur = 0, 0
+        prev = None
+        for x in toks:
+            cur = cur + 1 if x == prev else 1
+            prev = x
+            mr = max(mr, cur)
+        assert got.loc[i, "max_run"] == mr
+
+
+def test_tfidf_top_terms_small_corpus(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.textstats import tfidf_top_terms
+
+    # 'rare' appears in one doc, 'common' in all -> rare must outrank common
+    texts = [
+        "common rare common filler1",
+        "common filler2 filler2",
+        "common filler3",
+        "common filler4 filler4 filler4",
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(4), "text": texts}))
+    got = tfidf_top_terms(ds, k=2).to_pandas()
+    d0 = got[got["doc_id"] == 0]
+    assert list(d0["tok"]) == sorted(d0["tok"])  # output sorted by (doc, tok)
+    assert "rare" in set(d0["tok"])
+    assert set(got.columns) == {"doc_id", "tok", "tf", "df"}
+    # df of 'common' is 4, of 'rare' is 1
+    assert got[got["tok"] == "rare"]["df"].iloc[0] == 1
+    d3 = got[got["doc_id"] == 3]
+    assert "filler4" in set(d3["tok"])  # tf=3 of a df=1 token dominates
+
+
+def test_weighted_sample_deterministic_and_monotone(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import weighted_sample
+
+    n = 4000
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"doc_id": np.arange(n), "n_chars": rng.integers(0, 800, n)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    a = weighted_sample(ds, scale=400).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = weighted_sample(ds, scale=400).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # pure function of ids
+    kept = set(a["doc_id"])
+    # weight >= scale -> always kept; weight 0 -> never kept
+    always = df[df["n_chars"] >= 400]["doc_id"]
+    assert set(always).issubset(kept)
+    assert not (set(df[df["n_chars"] == 0]["doc_id"]) & kept)
+    # acceptance rate of the 100-199 band is well below the 600+ band
+    lo = df[(df["n_chars"] >= 100) & (df["n_chars"] < 200)]
+    hi = df[df["n_chars"] >= 600]
+    lo_rate = len(kept & set(lo["doc_id"])) / len(lo)
+    hi_rate = len(kept & set(hi["doc_id"])) / len(hi)
+    assert lo_rate < 0.6
+    assert hi_rate == 1.0
