@@ -779,6 +779,12 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir), k=3)
 
 
+def _q_substring_dups(sf_dir: str):
+    from rasterflow.pipelines.dedup import substring_dup_pairs
+
+    return substring_dup_pairs(_docs(sf_dir), min_len=30, k=20)
+
+
 def _q_weighted_sample(sf_dir: str):
     import ray.data
 
@@ -794,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "weighted_sample": _q_weighted_sample,
+        "substring_dups": _q_substring_dups,
         "bounds_agg": _q_bounds_agg,
         "bounds_contain": _q_bounds_contain,
         "window_agg": _q_window_agg,
@@ -1215,6 +1222,19 @@ GROUP BY c_nationkey ORDER BY c_nationkey
         "repetition_stats": _repetition_stats_sql(),
         "tfidf_top_terms": _tfidf_sql(3),
         "weighted_sample": _weighted_sample_sql(400),
+        # substring_dup_pairs is EXACT (winnowing guarantee + byte verify),
+        # so the all-window substring self-join is a true oracle
+        "substring_dups": """
+WITH subs AS (
+  SELECT doc_id, substring(text, s.g, 30) AS sub
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text) - 30 + 1)) AS g) s(g)
+  WHERE len(text) >= 30
+),
+d AS (SELECT DISTINCT doc_id, sub FROM subs)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM d a JOIN d b ON a.sub = b.sub AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "window_agg": """
 SELECT (epoch_us(ts) // 1000000) // 3600 AS "window",
        count(*) AS n, count(DISTINCT user_id) AS nd_user_id

@@ -1094,3 +1094,250 @@ def benchmark_grams_of(ds, content_col: str = "text", id_col: str = "doc_id", id
     th, tptr = token_hashes(data, offs)
     gh, _ = ngram_hashes(th, tptr, ngram)
     return np.unique(gh)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span duplicates (winnowing fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def _winnow_select(hm: np.ndarray, indptr: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing selection (Schleimer et al., SIGMOD'03): boolean mask over
+    the flat per-doc k-gram hash array marking, for every window of ``w``
+    consecutive k-grams, the (first) minimum — the fingerprint set whose
+    guarantee is that any shared substring of length ≥ w + k - 1 shares a
+    selected fingerprint.  Selection is a pure function of window CONTENT
+    (first-argmin tie rule over content hashes), so two docs sharing a
+    region select the same k-gram at the same relative offset.
+
+    Vectorized across doc boundaries: one sliding-window argmin over the
+    flat array, then windows crossing a boundary are dropped; docs with
+    fewer than ``w`` k-grams contribute their single overall argmin."""
+    n = len(hm)
+    sel = np.zeros(n, dtype=bool)
+    if n == 0:
+        return sel
+    nw = np.diff(indptr)
+    if n >= w:
+        sw = np.lib.stride_tricks.sliding_window_view(hm, w)
+        amin = sw.argmin(axis=1).astype(np.int64)
+        starts = np.arange(n - w + 1, dtype=np.int64)
+        doc_of = np.searchsorted(indptr, starts, side="right") - 1
+        valid = starts + w <= indptr[doc_of + 1]
+        sel[(starts + amin)[valid]] = True
+    shortd = np.flatnonzero((nw > 0) & (nw < w))
+    if len(shortd):
+        cnt = nw[shortd]
+        local = np.arange(int(cnt.sum())) - np.repeat(_cumsum0(cnt)[:-1], cnt)
+        segidx = np.repeat(indptr[shortd], cnt) + local
+        vals = hm[segidx]
+        minv = np.minimum.reduceat(vals, _cumsum0(cnt)[:-1])
+        docrep = np.repeat(np.arange(len(shortd)), cnt)
+        tpos = np.flatnonzero(vals == minv[docrep])
+        first = tpos[np.unique(docrep[tpos], return_index=True)[1]]
+        sel[segidx[first]] = True
+    return sel
+
+
+def winnow_fingerprints(ds, min_len: int, k: int, content_col: str = "text", id_col: str = "doc_id"):
+    """(doc, text) -> (band, band_hash, doc_id, pos) winnowed fingerprint
+    rows — 16 bytes of payload per selected k-gram (~2/(w+1) per char), the
+    only thing the candidate shuffle ever carries (text joins back later).
+    Docs shorter than ``min_len`` cannot hold a qualifying span and are
+    dropped at the source."""
+    w = min_len - k + 1
+    if w < 1:
+        raise ValueError("min_len must be >= k")
+
+    def f(b: pa.Table) -> pa.Table:
+        from ..stages.texthash import flat_utf8, mix64, window_hashes
+
+        data, offs = flat_utf8(b.column(content_col))
+        lens = np.diff(offs)
+        keep = np.flatnonzero(lens >= min_len)
+        empty = pa.table(
+            {
+                "band": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+            }
+        )
+        if not len(keep):
+            return empty
+        if len(keep) < len(lens):
+            col = b.column(content_col).take(pa.array(keep))
+            data, offs = flat_utf8(col)
+        h, indptr = window_hashes(data, offs, k)
+        hm = mix64(h)
+        sel = np.flatnonzero(_winnow_select(hm, indptr, w))
+        if not len(sel):
+            return empty
+        doc_of = np.searchsorted(indptr, sel, side="right") - 1
+        pos = sel - indptr[doc_of]
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)[keep][doc_of]
+        return pa.table(
+            {
+                "band": pa.array(np.zeros(len(sel), dtype=np.int32)),
+                "band_hash": pa.array(hm[sel].view(np.int64)),
+                id_col: pa.array(ids.astype(np.int64)),
+                "pos": pa.array(pos.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def substring_dup_pairs(
+    ds,
+    min_len: int = 30,
+    k: int = 20,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+    num_partitions: int = 32,
+):
+    """EXACT pairs of docs sharing ≥ ``min_len`` consecutive characters —
+    the substring-level dedup signal of Lee et al. (ACL'22, "Deduplicating
+    Training Data Makes Language Models Better"), built from public
+    winnowing fingerprints instead of a distributed suffix array.
+
+    Guarantees (and the SQL oracle checks) EXACTLY the predicate "docs a, b
+    share a common substring of length ≥ min_len":
+
+    - no false negatives: winnowing with window w = min_len - k + 1
+      guarantees any shared span of length ≥ w + k - 1 = min_len shares a
+      selected fingerprint at the same relative offset in both docs;
+    - no false positives: every candidate alignment is verified by EXACT
+      byte comparison (the anchor k-gram itself is re-compared, so even a
+      2^-64 hash collision cannot leak a wrong pair).
+
+    Plan: fingerprint rows (16 B each, ~2/(w+1) per char) → fp-bucket
+    candidate (doc, pos) pairs (same ``_grouped_run`` machinery as the LSH
+    family) → texts joined back via two partitioned
+    :func:`~rasterflow.pipelines.relational.hash_join` passes (the corpus
+    ships twice; snippets are NOT shipped with every fingerprint, which
+    would cost ~12× the text volume) → one vectorized anchored-extension
+    byte compare per batch → distinct (id_a, id_b).
+
+    ``max_bucket`` caps fingerprint buckets (boilerplate k-grams shared by
+    ~all docs) at the price of the exactness guarantee; ``None`` (default)
+    is exact.  Byte-level spans equal character-level spans for ASCII
+    corpora (multi-byte UTF-8 spans are measured in bytes)."""
+    from .relational import hash_join
+    from ..util import grouped_aggregate
+
+    fps = winnow_fingerprints(ds, min_len, k, content_col, id_col)
+
+    def pair_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "pos_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "pos_b": pd.Series(dtype="int64"),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        bh = g["band_hash"].to_numpy()
+        ids = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy()
+        ro = np.lexsort((pos, ids, bh))
+        bh, ids, pos = bh[ro], ids[ro], pos[ro]
+        nb = np.concatenate(([True], bh[1:] != bh[:-1]))
+        bucket_id = np.cumsum(nb) - 1
+        msize = np.bincount(bucket_id)
+        if max_bucket is not None:
+            rank = np.arange(len(bucket_id)) - _cumsum0(msize)[:-1][bucket_id]
+            keepm = rank < max_bucket
+            bh, ids, pos, bucket_id = bh[keepm], ids[keepm], pos[keepm], bucket_id[keepm]
+            nb = np.concatenate(([True], bucket_id[1:] != bucket_id[:-1]))
+            bucket_id = np.cumsum(nb) - 1
+            msize = np.bincount(bucket_id)
+        n = len(bh)
+        bstart = _cumsum0(msize)[:-1]
+        codes = _enumerate_group_pairs(np.arange(n, dtype=np.int64), bstart, msize, n)
+        if len(codes) == 0:
+            return empty
+        a = codes // n
+        b = codes % n
+        cross = ids[a] != ids[b]
+        a, b = a[cross], b[cross]
+        if not len(a):
+            return empty
+        return pd.DataFrame(
+            {"id_a": ids[a], "pos_a": pos[a], "id_b": ids[b], "pos_b": pos[b]}
+        )
+
+    cands = _grouped_run(fps, pair_group)
+
+    def rename(new_id: str, new_text: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({new_id: b.column(id_col), new_text: b.column(content_col)})
+
+        return f
+
+    docs_a = ds.map_batches(rename("id_a", "text_a"), batch_format="pyarrow")
+    docs_b = ds.map_batches(rename("id_b", "text_b"), batch_format="pyarrow")
+    j1 = hash_join(
+        cands, docs_a, on="id_a", left_cols=["pos_a", "id_b", "pos_b"],
+        right_cols=["text_a"], num_partitions=num_partitions,
+    )
+    j2 = hash_join(
+        j1, docs_b, on="id_b", left_cols=["id_a", "pos_a", "pos_b", "text_a"],
+        right_cols=["text_b"], num_partitions=num_partitions,
+    )
+
+    def _gather(data: np.ndarray, base: np.ndarray, step: int, width: int, limit: np.ndarray, sentinel: int) -> np.ndarray:
+        """(n, width) int16 matrix m[i, j] = data[base[i] + step*j] where
+        j < limit[i], else ``sentinel`` (per-side sentinels never compare
+        equal, so padding can't fake a match)."""
+        j = np.arange(width)
+        idx = base[:, None] + step * j[None, :]
+        valid = j[None, :] < limit[:, None]
+        out = np.full(idx.shape, sentinel, dtype=np.int16)
+        np.clip(idx, 0, len(data) - 1 if len(data) else 0, out=idx)
+        if len(data):
+            out[valid] = data[idx[valid]]
+        return out
+
+    def verify(b: pa.Table) -> pa.Table:
+        from ..stages.texthash import flat_utf8
+
+        empty = pa.table(
+            {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+        )
+        if len(b) == 0:
+            return empty
+        da, oa = flat_utf8(b.column("text_a"))
+        db, ob = flat_utf8(b.column("text_b"))
+        pa_ = b.column("pos_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        pb_ = b.column("pos_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        la = np.diff(oa)
+        lb = np.diff(ob)
+        left_w = min_len - 1
+        right_w = k + min_len - 1
+        llim = np.minimum(np.minimum(pa_, pb_), left_w)
+        rlim_a = np.minimum(la - pa_, right_w)
+        rlim_b = np.minimum(lb - pb_, right_w)
+        al = _gather(da, oa[:-1] + pa_ - 1, -1, left_w, llim, -1)
+        bl = _gather(db, ob[:-1] + pb_ - 1, -1, left_w, llim, -2)
+        ar = _gather(da, oa[:-1] + pa_, 1, right_w, rlim_a, -1)
+        br = _gather(db, ob[:-1] + pb_, 1, right_w, rlim_b, -2)
+        leftrun = np.cumprod(al == bl, axis=1).sum(axis=1)
+        rightrun = np.cumprod(ar == br, axis=1).sum(axis=1)
+        ok = (rightrun >= k) & (leftrun + rightrun >= min_len)
+        if not ok.any():
+            return empty
+        ia = b.column("id_a").to_numpy(zero_copy_only=False)[ok].astype(np.int64)
+        ib = b.column("id_b").to_numpy(zero_copy_only=False)[ok].astype(np.int64)
+        return pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib)})
+
+    verified = j2.map_batches(verify, batch_format="pyarrow")
+    out = grouped_aggregate(
+        verified, ["id_a", "id_b"], {"_n": ("id_a", "count")}, num_partitions=16
+    )
+    return out.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow").sort(
+        ["id_a", "id_b"]
+    )

@@ -88,6 +88,12 @@ def hash_join(
             src = ls if c in ls.names else rs
             coltype[c] = _pa_type(src.types[src.names.index(c)])
 
+    def _pd_dtype(c: str):
+        t = coltype.get(c)
+        if t is None or not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+            return np.dtype("object")
+        return np.dtype(t.to_pandas_dtype())
+
     def tag(side: int, cols: list[str]):
         def f(b: pa.Table) -> pa.Table:
             out = {}
@@ -114,8 +120,16 @@ def hash_join(
         lf = g[g["_side"] == 0][lcols]
         rf = g[g["_side"] == 1][rcols]
         if len(lf) == 0 or len(rf) == 0:
-            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
-        return pd.merge(lf, rf, on=keys, how="inner")[out_cols]
+            return pd.DataFrame({c: pd.Series(dtype=_pd_dtype(c)) for c in out_cols})
+        m = pd.merge(lf, rf, on=keys, how="inner")[out_cols]
+        # the union's typed-null padding upcast the other side's int columns
+        # to float (pandas NaN); the joined rows are all non-null, so restore
+        # the source dtypes exactly
+        for c in out_cols:
+            t = coltype.get(c)
+            if t is not None and pa.types.is_integer(t) and pd.api.types.is_float_dtype(m[c]):
+                m[c] = m[c].astype(np.dtype(t.to_pandas_dtype()))
+        return m
 
     return both.groupby("_pk").map_groups(merge, batch_format="pandas")
 

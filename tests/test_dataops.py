@@ -957,3 +957,75 @@ def test_weighted_sample_deterministic_and_monotone(ray_session):
     hi_rate = len(kept & set(hi["doc_id"])) / len(hi)
     assert lo_rate < 0.6
     assert hi_rate == 1.0
+
+
+def _py_substring_pairs(texts, L):
+    """Brute-force reference: pairs sharing any L-char substring."""
+    subs = []
+    for t in texts:
+        subs.append({t[i : i + L] for i in range(len(t) - L + 1)} if len(t) >= L else set())
+    out = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if subs[i] & subs[j]:
+                out.add((i, j))
+    return out
+
+
+def test_substring_dup_pairs_exact(ray_session):
+    """Winnowing + anchored byte verify must reproduce the brute-force
+    shared-L-substring predicate exactly: boundary spans (exactly L, L-1),
+    different offsets, internal repetition (argmin ties), and short docs."""
+    import ray.data
+
+    from rasterflow.pipelines.dedup import substring_dup_pairs
+
+    L = 30
+    shared = "the-exact-shared-span-0123456789"  # 32 chars > L
+    sub29 = "x" * 29
+    rep = "ab ab ab ab ab ab ab ab ab ab ab ab"  # internal repetition, 35 chars
+    texts = [
+        "prefix one " + shared + " tail A",
+        "a totally different beginning " + shared,          # shared at other offset
+        "no overlap here at all, nothing to see in this doc",
+        sub29 + " left part",                               # only 29 shared w/ 4
+        "right part " + sub29,                              # 29 < L: no pair
+        rep + " suffix one",
+        "other head " + rep,                                # rep is 35 >= L
+        "tiny",
+        "",
+        "exact-" + shared + "-middle-" + shared,            # two anchors, one pair each
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts}))
+    got = substring_dup_pairs(ds, min_len=L, k=20).to_pandas()
+    gp = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    exp = _py_substring_pairs(texts, L)
+    assert (0, 1) in exp and (5, 6) in exp and (3, 4) not in exp  # fixture sanity
+    assert gp == exp
+
+
+def test_substring_dup_pairs_parallelism_invariant(ray_session):
+    """Result must not depend on batch/partition placement."""
+    import ray.data
+
+    from rasterflow.pipelines.dedup import substring_dup_pairs
+
+    rng = np.random.default_rng(12)
+    words = [f"w{k:02d}" for k in range(25)]
+    texts = [" ".join(rng.choice(words, size=20)) for _ in range(60)]
+    span = "shared-common-core-span-ABCDEFGH"
+    for i in (5, 17, 40):
+        texts[i] = texts[i][:10] + span + texts[i][10:]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    a = (
+        substring_dup_pairs(ray.data.from_pandas(df), min_len=30, k=20)
+        .to_pandas().reset_index(drop=True)
+    )
+    b = (
+        substring_dup_pairs(ray.data.from_pandas(df).repartition(7), min_len=30, k=20)
+        .to_pandas().reset_index(drop=True)
+    )
+    exp = _py_substring_pairs(texts, 30)
+    assert {(5, 17), (5, 40), (17, 40)} <= set(zip(a["id_a"], a["id_b"]))
+    assert set(zip(a["id_a"], a["id_b"])) == exp
+    pd.testing.assert_frame_equal(a, b)
