@@ -779,6 +779,52 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir), k=3)
 
 
+def _q_cust_no_orders(sf_dir: str):
+    """Partitioned anti join: customers with no big order (> 450k) —
+    blocklist-subtraction shape at fact x fact scale, with the right side
+    pruned by a pushed-down row filter at the read."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from rasterflow.pipelines.relational import anti_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=_pc.field("o_totalprice") > 450000.0,
+    )
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow"
+    )
+    return anti_join(cust, orders, on="c_custkey", left_cols=["c_nationkey"]).sort("c_custkey")
+
+
+def _q_normalize_text(sf_dir: str):
+    from rasterflow.pipelines.textstats import normalize_text
+
+    return normalize_text(_docs(sf_dir)).sort("doc_id")
+
+
+def _q_corpus_summary(sf_dir: str):
+    """Multi-key rollup: per (source, lang) doc count + char sum (integer
+    accumulations — hash-safe across engines)."""
+    import ray.data
+
+    from rasterflow.util import grouped_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+    out = grouped_aggregate(
+        ds, ["source", "lang"],
+        {"n_docs": ("n_chars", "count"), "sum_chars": ("n_chars", "sum")},
+    )
+    return out.sort(["source", "lang"])
+
+
 def _q_substring_dups(sf_dir: str):
     from rasterflow.pipelines.dedup import substring_dup_pairs
 
@@ -801,6 +847,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "weighted_sample": _q_weighted_sample,
         "substring_dups": _q_substring_dups,
+        "cust_no_orders": _q_cust_no_orders,
+        "normalize_text": _q_normalize_text,
+        "corpus_summary": _q_corpus_summary,
         "bounds_agg": _q_bounds_agg,
         "bounds_contain": _q_bounds_contain,
         "window_agg": _q_window_agg,
@@ -1222,6 +1271,21 @@ GROUP BY c_nationkey ORDER BY c_nationkey
         "repetition_stats": _repetition_stats_sql(),
         "tfidf_top_terms": _tfidf_sql(3),
         "weighted_sample": _weighted_sample_sql(400),
+        "cust_no_orders": """
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+ORDER BY c_custkey
+""",
+        "normalize_text": r"""
+SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+FROM documents ORDER BY doc_id
+""",
+        "corpus_summary": """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source, lang ORDER BY source, lang
+""",
         # substring_dup_pairs is EXACT (winnowing guarantee + byte verify),
         # so the all-window substring self-join is a true oracle
         "substring_dups": """

@@ -49,28 +49,14 @@ def broadcast_join(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def hash_join(
-    left_ds,
-    right_ds,
-    on: str | list[str],
-    left_cols: list[str],
-    right_cols: list[str],
-    num_partitions: int = 32,
-):
-    """Partitioned inner hash join — for when BOTH sides are too large to
-    broadcast (fact ⋈ fact).  Each side is shuffled ONCE on a hash of the
-    key (``num_partitions`` buckets); matching keys land in the same
-    partition, which joins with one vectorized ``pandas.merge``.  No
-    driver-side materialization; skew lives in the key distribution, so
-    pick ``num_partitions`` ≥ cluster cores for hot-key dilution.
-
-    ``left_cols`` / ``right_cols`` are the value columns kept from each side
-    (key columns are always kept once); they must not overlap."""
+def _tagged_key_partition(left_ds, right_ds, keys, lcols, rcols, num_partitions):
+    """Shared shuffle plan for the partitioned join family: null-pad each
+    side to one schema, tag with ``_side``, hash-partition on the key, and
+    union — each side moves through the exchange exactly once.  Returns
+    ``(both, coltype)`` where ``coltype`` maps column -> source Arrow type
+    (used to restore dtypes that pandas NaN-padding upcast)."""
     from ..util import _hash_cols, coalesce_small
 
-    keys = [on] if isinstance(on, str) else list(on)
-    lcols = list(dict.fromkeys(keys + left_cols))
-    rcols = list(dict.fromkeys(keys + right_cols))
     allcols = list(dict.fromkeys(lcols + rcols))
     coltype: dict = {}
     if set(lcols) != set(rcols):
@@ -87,12 +73,6 @@ def hash_join(
         for c in allcols:
             src = ls if c in ls.names else rs
             coltype[c] = _pa_type(src.types[src.names.index(c)])
-
-    def _pd_dtype(c: str):
-        t = coltype.get(c)
-        if t is None or not (pa.types.is_integer(t) or pa.types.is_floating(t)):
-            return np.dtype("object")
-        return np.dtype(t.to_pandas_dtype())
 
     def tag(side: int, cols: list[str]):
         def f(b: pa.Table) -> pa.Table:
@@ -111,7 +91,50 @@ def hash_join(
 
     tagged_l = left_ds.map_batches(tag(0, lcols), batch_format="pyarrow")
     tagged_r = right_ds.map_batches(tag(1, rcols), batch_format="pyarrow")
-    both = coalesce_small(tagged_l.union(tagged_r), 8)
+    return coalesce_small(tagged_l.union(tagged_r), 8), coltype
+
+
+def _restore_int_dtypes(m: pd.DataFrame, cols, coltype: dict) -> pd.DataFrame:
+    """Undo the NaN-upcast of int columns introduced by typed-null padding
+    (the surviving rows are all non-null)."""
+    for c in cols:
+        t = coltype.get(c)
+        if t is not None and pa.types.is_integer(t) and pd.api.types.is_float_dtype(m[c]):
+            m[c] = m[c].astype(np.dtype(t.to_pandas_dtype()))
+    return m
+
+
+def _typed_empty(cols, coltype: dict) -> pd.DataFrame:
+    def dt(c):
+        t = coltype.get(c)
+        if t is None or not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+            return np.dtype("object")
+        return np.dtype(t.to_pandas_dtype())
+
+    return pd.DataFrame({c: pd.Series(dtype=dt(c)) for c in cols})
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    on: str | list[str],
+    left_cols: list[str],
+    right_cols: list[str],
+    num_partitions: int = 32,
+):
+    """Partitioned inner hash join — for when BOTH sides are too large to
+    broadcast (fact ⋈ fact).  Each side is shuffled ONCE on a hash of the
+    key (``num_partitions`` buckets); matching keys land in the same
+    partition, which joins with one vectorized ``pandas.merge``.  No
+    driver-side materialization; skew lives in the key distribution, so
+    pick ``num_partitions`` ≥ cluster cores for hot-key dilution.
+
+    ``left_cols`` / ``right_cols`` are the value columns kept from each side
+    (key columns are always kept once); they must not overlap."""
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = list(dict.fromkeys(keys + left_cols))
+    rcols = list(dict.fromkeys(keys + right_cols))
+    both, coltype = _tagged_key_partition(left_ds, right_ds, keys, lcols, rcols, num_partitions)
     out_cols = keys + [c for c in left_cols if c not in keys] + [
         c for c in right_cols if c not in keys
     ]
@@ -120,16 +143,41 @@ def hash_join(
         lf = g[g["_side"] == 0][lcols]
         rf = g[g["_side"] == 1][rcols]
         if len(lf) == 0 or len(rf) == 0:
-            return pd.DataFrame({c: pd.Series(dtype=_pd_dtype(c)) for c in out_cols})
+            return _typed_empty(out_cols, coltype)
         m = pd.merge(lf, rf, on=keys, how="inner")[out_cols]
-        # the union's typed-null padding upcast the other side's int columns
-        # to float (pandas NaN); the joined rows are all non-null, so restore
-        # the source dtypes exactly
-        for c in out_cols:
-            t = coltype.get(c)
-            if t is not None and pa.types.is_integer(t) and pd.api.types.is_float_dtype(m[c]):
-                m[c] = m[c].astype(np.dtype(t.to_pandas_dtype()))
-        return m
+        return _restore_int_dtypes(m, out_cols, coltype)
+
+    return both.groupby("_pk").map_groups(merge, batch_format="pandas")
+
+
+def anti_join(
+    left_ds,
+    right_ds,
+    on: str | list[str],
+    left_cols: list[str],
+    num_partitions: int = 32,
+):
+    """Partitioned anti join: left rows whose key has NO match on the right
+    — the set-subtraction primitive of curation pipelines ("drop documents
+    whose id/hash/url appears in the blocklist") when the blocklist is too
+    large to broadcast (``decontaminate`` covers the broadcast case).
+
+    Same single-shuffle plan as :func:`hash_join`; the right side ships
+    only its key columns."""
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = list(dict.fromkeys(keys + left_cols))
+    both, coltype = _tagged_key_partition(left_ds, right_ds, keys, lcols, keys, num_partitions)
+    out_cols = lcols
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["_side"] == 0][lcols]
+        if len(lf) == 0:
+            return _typed_empty(out_cols, coltype)
+        rf = g[g["_side"] == 1][keys].drop_duplicates()
+        if len(rf):
+            m = lf.merge(rf, on=keys, how="left", indicator=True)
+            lf = m[m["_merge"] == "left_only"][lcols]
+        return _restore_int_dtypes(lf, out_cols, coltype)
 
     return both.groupby("_pk").map_groups(merge, batch_format="pandas")
 

@@ -148,6 +148,21 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Canonical text normalization (the pre-dedup cleanup step): lowercase,
+    collapse whitespace runs to one space, trim.  Pure Arrow/RE2 kernels —
+    and DuckDB's regexp functions are RE2 too, so the oracle matches the
+    output strings byte-for-byte."""
+
+    def f(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(b.column(text_col))
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({id_col: b.column(id_col), "norm_text": t})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _doc_tokens(b: pa.Table, text_col: str):
     """Whitespace tokens of a batch as (doc_idx, token-codes, vocab, n_docs)
     — empties filtered exactly like the SQL oracle's list_filter, token

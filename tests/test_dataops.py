@@ -1029,3 +1029,46 @@ def test_substring_dup_pairs_parallelism_invariant(ray_session):
     assert {(5, 17), (5, 40), (17, 40)} <= set(zip(a["id_a"], a["id_b"]))
     assert set(zip(a["id_a"], a["id_b"])) == exp
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_anti_join_matches_pandas(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.relational import anti_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame({"k": rng.integers(0, 40, 300), "v": np.arange(300)})
+    right = pd.DataFrame({"k": rng.integers(0, 40, 50)})
+    got = (
+        anti_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(2),
+            on="k",
+            left_cols=["v"],
+            num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    blocked = set(right["k"])
+    exp = (
+        left[~left["k"].isin(blocked)]
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)[["k", "v"]]
+    )
+    pd.testing.assert_frame_equal(got.astype({"k": "int64", "v": "int64"}), exp)
+
+
+def test_normalize_text_reference(ray_session):
+    import re
+
+    import ray.data
+
+    from rasterflow.pipelines.textstats import normalize_text
+
+    texts = ["  Hello   WORLD  ", "a\tb\nc", "", "MiXeD  CaSe"]
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts}))
+    got = normalize_text(ds).to_pandas().sort_values("doc_id")
+    exp = [re.sub(r"\s+", " ", t.lower()).strip() for t in texts]
+    assert list(got["norm_text"]) == exp
