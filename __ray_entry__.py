@@ -840,6 +840,80 @@ def _q_weighted_sample(sf_dir: str):
     return weighted_sample(ds, weight_col="n_chars", scale=400).sort("doc_id")
 
 
+STRATA_RATES = {"en": 40, "zh": 100, "de": 100, "es": 100, "fr": 100}
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Rebalance the language mix: downsample the dominant language to 40%,
+    keep the rest — decided by a pure hash of doc_id (split_assign's mixer),
+    so the SQL oracle replays the assignment bit-for-bit."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import stratified_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return stratified_sample(ds, STRATA_RATES, group_col="lang").sort("doc_id")
+
+
+def _q_rank_per_lang(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import rank_in_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return rank_in_group(ds, group_col="lang", order_col="n_chars", ascending=False)
+
+
+def _q_event_lag(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.windows import lag_deltas
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return lag_deltas(ds, ts_col="ts", key="user_id", id_col="event_id")
+
+
+REDACT_PATTERN = r"\b(the|a)\b"
+
+
+def _q_redact_terms(sf_dir: str):
+    from rasterflow.pipelines.textstats import regex_redact
+
+    return regex_redact(_docs(sf_dir), REDACT_PATTERN, "<T>").sort("doc_id")
+
+
+def _q_bigram_top(sf_dir: str):
+    from rasterflow.pipelines.textstats import bigram_top
+
+    return bigram_top(_docs(sf_dir), k=20)
+
+
+def _q_props_k_by_type(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.textstats import json_int_field_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return json_int_field_agg(ds, field="k", src_col="props", group_col="event_type")
+
+
+def _q_lang_chars_quantiles(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return group_quantiles(ds, "n_chars", "lang", qs=(0.25, 0.5, 0.9))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "join_cust_orders": _q_join_cust_orders,
@@ -897,6 +971,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_agg": _q_events_time_agg,
         "dedup_exact_prefix": _q_dedup_exact_prefix,
         "token_stats": _q_token_stats,
+        "stratified_sample": _q_stratified_sample,
+        "rank_per_lang": _q_rank_per_lang,
+        "event_lag": _q_event_lag,
+        "redact_terms": _q_redact_terms,
+        "bigram_top": _q_bigram_top,
+        "props_k_by_type": _q_props_k_by_type,
+        "lang_chars_quantiles": _q_lang_chars_quantiles,
     }
 
 
@@ -971,6 +1052,39 @@ SELECT doc_id, bucket,
             WHEN bucket < {test_pct + val_pct} THEN 'val'
             ELSE 'train' END AS split
 FROM b ORDER BY doc_id
+"""
+
+
+def _stratified_sample_sql(rates: dict[str, int], default_pct: int = 100) -> str:
+    """SQL replica of sampling.stratified_sample: the split_assign mulrot
+    chain mod 100, thresholded by the per-stratum keep percentage."""
+    M64 = "18446744073709551616::HUGEINT"
+    M32 = "4294967296"
+
+    def mulmod(z: str, c: int) -> str:
+        return (
+            f"(((({z}) // {M32}) * {c}) % {M32} * {M32}"
+            f" + (({z}) % {M32}) * {c}) % {M64}"
+        )
+
+    def rotl32(z: str) -> str:
+        return f"((({z}) * {M32}) % {M64} + ({z}) // {M32})"
+
+    z1 = mulmod("CAST(doc_id AS HUGEINT)", 0x9E3779B97F4A7C15)
+    case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(rates.items()))
+        + f" ELSE {default_pct} END"
+    )
+    return f"""
+WITH s1 AS (SELECT doc_id, lang, {z1} AS z FROM documents),
+s2 AS (SELECT doc_id, lang, {rotl32('z')} AS z FROM s1),
+s3 AS (SELECT doc_id, lang, {mulmod('z', 0xBF58476D1CE4E5B9)} AS z FROM s2),
+s4 AS (SELECT doc_id, lang, {rotl32('z')} AS z FROM s3),
+s5 AS (SELECT doc_id, lang, {mulmod('z', 0x94D049BB133111EB)} AS z FROM s4)
+SELECT doc_id, lang FROM s5
+WHERE CAST(z % 100 AS BIGINT) < {case}
+ORDER BY doc_id
 """
 
 
@@ -1632,5 +1746,51 @@ FROM documents GROUP BY substr(text, 1, 30) ORDER BY doc_id
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tok,
        len(regexp_extract_all(text, '\bthe\b')) AS n_the
 FROM documents ORDER BY doc_id
+""",
+        "stratified_sample": _stratified_sample_sql(STRATA_RATES),
+        "rank_per_lang": """
+SELECT lang, n_chars, doc_id,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+            AS BIGINT) AS rnk
+FROM documents ORDER BY doc_id
+""",
+        "event_lag": """
+SELECT event_id, user_id,
+       epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+FROM events ORDER BY event_id
+""",
+        "redact_terms": r"""
+SELECT doc_id, regexp_replace(text, '\b(the|a)\b', '<T>', 'g') AS red_text,
+       CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS BIGINT) AS n_hits
+FROM documents ORDER BY doc_id
+""",
+        "bigram_top": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok,
+         generate_subscripts(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), 1) AS pos
+  FROM documents
+)
+SELECT a.tok || ' ' || b.tok AS bigram, count(*) AS n
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
+""",
+        "props_k_by_type": r"""
+WITH e AS (
+  SELECT event_type,
+         TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type, CAST(count(v) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sum_k
+FROM e GROUP BY event_type ORDER BY event_type
+""",
+        "lang_chars_quantiles": """
+WITH c AS (SELECT lang, n_chars AS v, count(*) AS cnt FROM documents GROUP BY lang, n_chars),
+cum AS (SELECT lang, v, sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cc FROM c),
+tot AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+qs(q) AS (VALUES (0.25), (0.5), (0.9))
+SELECT t.lang, q,
+       (SELECT min(v) FROM cum WHERE cum.lang = t.lang AND cc >= CEIL(qs.q * t.n)) AS value
+FROM tot t CROSS JOIN qs ORDER BY lang, q
 """,
     }

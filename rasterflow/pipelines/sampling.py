@@ -91,6 +91,139 @@ def weighted_sample(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds,
+    rates: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_pct: int = 100,
+    seed: int = 0,
+):
+    """Deterministic per-stratum downsample: keep a row iff
+    ``mulrot_hash64(id + seed) % 100 < pct(group)`` — the "rebalance the
+    language/source mix" curation step, as a pure hash of the id (no RNG,
+    no global pass; identical across runs, cluster sizes and partitionings,
+    like :func:`split_assign`).
+
+    ``rates`` maps group value -> keep percentage (0..100); unlisted groups
+    keep ``default_pct``.  Output: the surviving ``(id, group)`` rows.
+    Embarrassingly parallel — one hash + one dictionary lookup per row, no
+    shuffle."""
+    from ..stages.texthash import mulrot_hash64
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            bucket = (
+                mulrot_hash64(ids.astype(np.uint64) + np.uint64(seed)) % np.uint64(100)
+            ).astype(np.int64)
+        import pandas as pd
+
+        g = pd.Series(b.column(group_col).to_numpy(zero_copy_only=False))
+        pct = g.map(rates).fillna(default_pct).to_numpy(dtype=np.int64)
+        return b.select([id_col, group_col]).filter(pa.array(bucket < pct))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def rank_in_group(
+    ds,
+    group_col: str,
+    order_col: str,
+    id_col: str = "doc_id",
+    ascending: bool = False,
+    num_partitions: int = 32,
+    out_col: str = "rnk",
+):
+    """Dense row-numbering per group: rank = position by
+    ``(order_col asc|desc, id asc)`` within the group — the full-table
+    window analogue of :func:`top_k_per_group` (which keeps only the head).
+
+    Hash-partitioned by group; each partition ranks ALL of its groups in one
+    vectorized sort + ``groupby.cumcount`` (never per-group dispatch).
+    Partitioning assumption: one GROUP's rows fit in one partition task —
+    the same assumption as sessionize, standard for language/domain strata.
+    Ties are impossible by construction (id breaks them), so the result is
+    stable under any partitioning and matches the SQL ROW_NUMBER oracle."""
+    import pandas as pd
+
+    from ..util import _hash_cols
+
+    def addpk(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group_col: b.column(group_col).to_numpy(zero_copy_only=False)})
+        pk = (_hash_cols(df, [group_col]) % np.uint64(num_partitions)).astype(np.int32)
+        return b.append_column("_pk", pa.array(pk))
+
+    cols = [group_col, order_col, id_col]
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, id_col], ascending=[ascending, True], kind="stable")
+        g[out_col] = g.groupby(group_col, sort=False).cumcount() + 1
+        return g[cols + [out_col]]
+
+    withpk = ds.map_batches(addpk, batch_format="pyarrow")
+    return (
+        withpk.groupby("_pk").map_groups(per_partition, batch_format="pandas").sort([id_col])
+    )
+
+
+def group_quantiles(
+    ds,
+    col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+):
+    """Exact PER-GROUP quantiles of a bounded-distinct column: smallest v
+    with within-group cumulative count ≥ ceil(q·n_group) — the grouped form
+    of :func:`column_quantiles`, same explicit-rank definition.
+
+    Per-batch ``(group, value)`` histogram partials → distributed grouped
+    sum (only distinct pairs cross the shuffle) → one driver pass over the
+    small reduced table (#groups × #distinct rows).  Output
+    ``(group, q, value)`` sorted by (group, q)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                group_col: b.column(group_col).to_numpy(zero_copy_only=False),
+                "v": b.column(col).to_numpy(zero_copy_only=False),
+            }
+        )
+        vc = df.groupby([group_col, "v"], sort=False).size().rename("cnt").reset_index()
+        vc["cnt"] = vc["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    red = grouped_aggregate(
+        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4),
+        [group_col, "v"],
+        {"cnt": ("cnt", "sum")},
+    )
+    pdf = red.to_pandas().sort_values([group_col, "v"]).reset_index(drop=True)
+    out_g, out_q, out_v = [], [], []
+    for gval, sub in pdf.groupby(group_col, sort=True):
+        cum = sub["cnt"].cumsum().to_numpy()
+        vals = sub["v"].to_numpy()
+        n = int(cum[-1])
+        for q in qs:
+            rank = max(1, math.ceil(q * float(n)))
+            i = int(np.searchsorted(cum, rank))
+            out_g.append(gval)
+            out_q.append(float(q))
+            out_v.append(vals[min(i, len(vals) - 1)])
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(out_g),
+                "q": pa.array(out_q, type=pa.float64()),
+                "value": pa.array(out_v),
+            }
+        )
+    )
+
+
 def column_quantiles(ds, col: str, qs: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99)):
     """Exact quantiles: smallest v with cumulative count ≥ ceil(q·n).
 

@@ -306,6 +306,112 @@ def tfidf_top_terms(
     )
 
 
+def regex_redact(
+    ds,
+    pattern: str,
+    replacement: str = "<X>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """PII-style regex redaction: replace every match of ``pattern`` with
+    ``replacement`` and count the hits per document.
+
+    Both kernels are single Arrow RE2 passes (``replace_substring_regex`` /
+    ``count_substring_regex``) — no Python per row; DuckDB's regexp functions
+    are RE2 too, so the oracle compares the redacted strings byte-for-byte.
+    Output: ``(id, red_text, n_hits)``.  Embarrassingly parallel, no
+    shuffle."""
+
+    def f(b: pa.Table) -> pa.Table:
+        t = b.column(text_col)
+        red = pc.replace_substring_regex(t, pattern, replacement)
+        hits = pc.cast(pc.count_substring_regex(t, pattern), pa.int64())
+        return pa.table({id_col: b.column(id_col), "red_text": red, "n_hits": hits})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def bigram_top(ds, text_col: str = "text", k: int = 20):
+    """Corpus-wide exact top-k word BIGRAMS — the n-gram LM / collocation
+    counting primitive.
+
+    Per batch: factorized token codes (shared :func:`_doc_tokens` kernel, so
+    tokenization matches the SQL oracle's ``string_split_regex``), adjacent
+    same-doc code pairs keyed as ``code*|V|+code`` ints, one ``np.unique``
+    over the int keys, then materialize only the batch's DISTINCT bigram
+    strings for the shuffle (same pre-aggregation shape as
+    :func:`top_tokens`).  Grouped sum → top-k with deterministic
+    (n desc, bigram asc) order."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc_idx, codes, vocab, _n = _doc_tokens(b, text_col)
+        if len(codes) < 2:
+            return pa.table(
+                {"bigram": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
+            )
+        adj = doc_idx[1:] == doc_idx[:-1]
+        v = np.int64(len(vocab))
+        bkey = codes[:-1][adj].astype(np.int64) * v + codes[1:][adj]
+        uk, cnt = np.unique(bkey, return_counts=True)
+        lhs = pd.Series(vocab[(uk // v).astype(np.intp)])
+        rhs = pd.Series(vocab[(uk % v).astype(np.intp)])
+        return pa.table(
+            {
+                "bigram": pa.array((lhs + " " + rhs).to_numpy(), type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from ..util import coalesce_small, grouped_aggregate
+
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4)
+    red = grouped_aggregate(partials, "bigram", {"n": ("n", "sum")})
+    return red.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def json_int_field_agg(
+    ds,
+    field: str = "k",
+    src_col: str = "props",
+    group_col: str = "event_type",
+):
+    """Extract an integer field from a JSON-string column and aggregate it
+    per group: ``(group, n, sum_<field>)`` — the "parse the properties blob"
+    step of event analytics, without a JSON parser in the hot path.
+
+    The extraction is one vectorized RE2 pass (``pc.extract_regex``) for the
+    ``"field": <int>`` shape; rows without the field contribute null (count
+    excludes them, like SQL SUM/COUNT of a null).  Per-batch partial sums →
+    distributed grouped sum: only (group, n, sum) rows cross the shuffle."""
+    import pandas as pd
+
+    pat = '"' + field + r'":\s*(?P<v>-?\d+)'
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b.column(src_col), pat)
+        vals = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        df = pd.DataFrame(
+            {
+                group_col: b.column(group_col).to_numpy(zero_copy_only=False),
+                "_v": vals.to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby(group_col, sort=False)["_v"].agg(n="count", s="sum").reset_index()
+        agg["n"] = agg["n"].astype(np.int64)
+        agg["s"] = agg["s"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ..util import coalesce_small, grouped_aggregate
+
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4)
+    out_sum = f"sum_{field}"
+    red = grouped_aggregate(
+        partials, group_col, {"n": ("n", "sum"), out_sum: ("s", "sum")}
+    )
+    return red.sort(group_col)
+
+
 def top_tokens(ds, text_col: str = "text", k: int = 50):
     """Corpus-wide exact top-k tokens by frequency (heavy hitters, exact).
 

@@ -119,6 +119,58 @@ def sessionize(
     )
 
 
+def lag_deltas(
+    ds,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    id_col: str = "event_id",
+    num_partitions: int = 32,
+    out_col: str = "delta_us",
+):
+    """Per-key inter-event gaps: for every event, microseconds since the
+    key's PREVIOUS event (null for the key's first) — the LAG window
+    primitive behind dwell-time / inter-arrival features.
+
+    Same plan shape as :func:`sessionize`: hash-partition by key, then each
+    partition computes ALL of its keys' lags in one vectorized pass (sort by
+    ``(key, ts, id)`` — id breaks timestamp ties deterministically — then one
+    ``diff`` masked at key boundaries); no per-key dispatch.  Partitioning
+    assumption: one key's events fit in one partition task.  Output:
+    ``(id, key, delta_us)``, every input row, sorted by id."""
+    import pandas as pd
+
+    from .dedup import _FNV
+
+    def addpk(b: pa.Table) -> pa.Table:
+        kcol = b.column(key).to_numpy(zero_copy_only=False)
+        hk = pd.util.hash_array(kcol, hash_key="0123456789123456").astype(np.uint64)
+        pk = ((hk * _FNV) % np.uint64(num_partitions)).astype(np.int32)
+        return b.select([id_col, key, ts_col]).append_column("_pk", pa.array(pk))
+
+    _PER_US = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="stable")
+        t = g[ts_col].to_numpy()
+        if np.issubdtype(t.dtype, np.datetime64):
+            us = t.astype("datetime64[us]").astype("int64")
+        else:
+            us = t.astype("int64")
+        k = g[key].to_numpy()
+        d = np.empty(len(us), dtype=np.float64)
+        if len(us):
+            d[0] = np.nan
+        if len(us) > 1:
+            d[1:] = np.where(k[1:] == k[:-1], (us[1:] - us[:-1]).astype(np.float64), np.nan)
+        out = pd.DataFrame({id_col: g[id_col].to_numpy(), key: k, out_col: d})
+        # nullable int64 so the first-event null survives with integer dtype
+        out[out_col] = out[out_col].astype("Int64")
+        return out
+
+    withpk = ds.map_batches(addpk, batch_format="pyarrow")
+    return withpk.groupby("_pk").map_groups(per_partition, batch_format="pandas").sort(id_col)
+
+
 def hopping_window_agg(
     ds,
     ts_col: str = "ts",

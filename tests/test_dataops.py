@@ -1072,3 +1072,176 @@ def test_normalize_text_reference(ray_session):
     got = normalize_text(ds).to_pandas().sort_values("doc_id")
     exp = [re.sub(r"\s+", " ", t.lower()).strip() for t in texts]
     assert list(got["norm_text"]) == exp
+
+
+def test_stratified_sample_pure_hash(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import stratified_sample
+    from rasterflow.stages.texthash import mulrot_hash64
+
+    rng = np.random.default_rng(3)
+    langs = np.array(["en", "de", "zh"])[rng.integers(0, 3, 500)]
+    df = pd.DataFrame({"doc_id": np.arange(500), "lang": langs})
+    rates = {"en": 40, "de": 100}
+    got = (
+        stratified_sample(
+            ray.data.from_pandas(df).repartition(4), rates, group_col="lang", default_pct=70
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    with np.errstate(over="ignore"):
+        bucket = (mulrot_hash64(df["doc_id"].to_numpy().astype(np.uint64)) % np.uint64(100)).astype(
+            np.int64
+        )
+    pct = pd.Series(langs).map(rates).fillna(70).to_numpy(dtype=np.int64)
+    exp = df[bucket < pct].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # strata actually downsample: en keeps ~40%, de everything
+    n_en_in = int((df["lang"] == "en").sum())
+    n_en_out = int((got["lang"] == "en").sum())
+    assert 0.25 < n_en_out / n_en_in < 0.55
+    assert int((got["lang"] == "de").sum()) == int((df["lang"] == "de").sum())
+
+
+def test_rank_in_group_matches_pandas(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import rank_in_group
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(400),
+            "lang": np.array(["en", "de", "fr", "zh"])[rng.integers(0, 4, 400)],
+            "n_chars": rng.integers(0, 50, 400),  # dense ties
+        }
+    )
+    got = (
+        rank_in_group(
+            ray.data.from_pandas(df).repartition(5), "lang", "n_chars", id_col="doc_id"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["n_chars", "doc_id"], ascending=[False, True]).copy()
+    exp["rnk"] = exp.groupby("lang", sort=False).cumcount() + 1
+    exp = exp.sort_values("doc_id").reset_index(drop=True)[["lang", "n_chars", "doc_id", "rnk"]]
+    pd.testing.assert_frame_equal(got.astype({"rnk": "int64"}), exp.astype({"rnk": "int64"}))
+
+
+def test_group_quantiles_explicit_rank(ray_session):
+    import math
+
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_quantiles
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "lang": np.array(["en", "de"])[rng.integers(0, 2, 600)],
+            "n_chars": rng.integers(0, 80, 600),
+        }
+    )
+    got = group_quantiles(
+        ray.data.from_pandas(df).repartition(4), "n_chars", "lang", qs=(0.25, 0.5, 0.9)
+    ).to_pandas()
+    for lang, sub in df.groupby("lang"):
+        v = np.sort(sub["n_chars"].to_numpy())
+        for q in (0.25, 0.5, 0.9):
+            rank = max(1, math.ceil(q * len(v)))
+            exp = v[rank - 1]
+            row = got[(got["lang"] == lang) & (got["q"] == q)]
+            assert int(row["value"].iloc[0]) == int(exp), (lang, q)
+
+
+def test_lag_deltas_matches_pandas(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.windows import lag_deltas
+
+    rng = np.random.default_rng(5)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 20, n),
+            "ts": pd.to_datetime(
+                np.sort(rng.integers(0, 10**9, n)).astype("int64"), unit="us"
+            ),
+        }
+    )
+    got = (
+        lag_deltas(ray.data.from_pandas(df).repartition(4))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    e = df.sort_values(["user_id", "ts", "event_id"])
+    us = e["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    exp_delta = pd.Series(us, index=e.index).groupby(e["user_id"]).diff()
+    exp = pd.DataFrame(
+        {"event_id": e["event_id"], "user_id": e["user_id"], "delta_us": exp_delta}
+    ).sort_values("event_id").reset_index(drop=True)
+    exp["delta_us"] = exp["delta_us"].astype("Int64")
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_regex_redact_reference(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.textstats import regex_redact
+
+    texts = ["the cat sat on a mat", "nothing here", "", "a the a the"]
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts}))
+    got = regex_redact(ds, r"\b(the|a)\b", "<T>").to_pandas().sort_values("doc_id")
+    assert list(got["red_text"]) == [
+        "<T> cat sat on <T> mat",
+        "nothing here",
+        "",
+        "<T> <T> <T> <T>",
+    ]
+    assert list(got["n_hits"]) == [2, 0, 0, 4]
+
+
+def test_bigram_top_matches_brute(ray_session):
+    from collections import Counter
+
+    import ray.data
+
+    from rasterflow.pipelines.textstats import bigram_top
+
+    rng = np.random.default_rng(13)
+    vocab = ["x", "y", "z", "w"]
+    texts = [
+        " ".join(vocab[i] for i in rng.integers(0, 4, rng.integers(0, 12)))
+        for _ in range(300)
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ).repartition(5)
+    got = bigram_top(ds, k=10).to_pandas()
+    c = Counter()
+    for t in texts:
+        toks = [w for w in t.split() if w]
+        c.update(" ".join(p) for p in zip(toks, toks[1:]))
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["bigram"], got["n"])) == exp
+
+
+def test_json_int_field_agg_matches_pandas(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.textstats import json_int_field_agg
+
+    props = ['{"k": 5}', '{"k": -2}', '{"j": 9}', '{"k": 7}', "not json"]
+    types = ["a", "a", "a", "b", "b"]
+    ds = ray.data.from_pandas(pd.DataFrame({"event_type": types, "props": props})).repartition(2)
+    got = json_int_field_agg(ds, field="k").to_pandas()
+    got = got.set_index("event_type")
+    assert got.loc["a", "n"] == 2 and got.loc["a", "sum_k"] == 3
+    assert got.loc["b", "n"] == 1 and got.loc["b", "sum_k"] == 7
