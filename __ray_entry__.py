@@ -914,6 +914,76 @@ def _q_lang_chars_quantiles(sf_dir: str):
     return group_quantiles(ds, "n_chars", "lang", qs=(0.25, 0.5, 0.9))
 
 
+def _q_uniform_sample(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import uniform_sample_k
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return uniform_sample_k(ds, k=200, extra_cols=("lang",))
+
+
+def _q_vocab_stats(sf_dir: str):
+    from rasterflow.pipelines.textstats import vocab_stats
+
+    return vocab_stats(_docs(sf_dir))
+
+
+def _q_rolling_value_sum(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.windows import rolling_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return rolling_sum(ds, window=5)
+
+
+def _q_session_error_counts(sf_dir: str):
+    """Composed range-join pipeline: sessionize ALL events, then count each
+    session's 'error' events by interval-joining the error subset back onto
+    the session bounds (non-overlapping per user by construction)."""
+    import ray.data
+
+    from rasterflow.pipelines.relational import interval_join
+    from rasterflow.pipelines.windows import sessionize
+    from rasterflow.util import grouped_aggregate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    sessions = sessionize(
+        ev.select_columns(["ts", "user_id"]), ts_col="ts", key="user_id", gap_s=1800
+    )
+
+    def errs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), pa.scalar("error")))
+        sec = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "sec": pa.array(sec),
+            }
+        )
+
+    err = ev.map_batches(errs, batch_format="pyarrow")
+    j = interval_join(
+        sessions,
+        err,
+        key="user_id",
+        start_col="session_start",
+        end_col="session_end",
+        ts_col="sec",
+        point_cols=["event_id"],
+    )
+    out = grouped_aggregate(
+        j, ["user_id", "session_start"], {"n_err": ("event_id", "size")}
+    )
+    return out.sort(["user_id", "session_start"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "join_cust_orders": _q_join_cust_orders,
@@ -978,6 +1048,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top": _q_bigram_top,
         "props_k_by_type": _q_props_k_by_type,
         "lang_chars_quantiles": _q_lang_chars_quantiles,
+        "uniform_sample": _q_uniform_sample,
+        "vocab_stats": _q_vocab_stats,
+        "rolling_value_sum": _q_rolling_value_sum,
+        "session_error_counts": _q_session_error_counts,
     }
 
 
@@ -1085,6 +1159,36 @@ s5 AS (SELECT doc_id, lang, {mulmod('z', 0x94D049BB133111EB)} AS z FROM s4)
 SELECT doc_id, lang FROM s5
 WHERE CAST(z % 100 AS BIGINT) < {case}
 ORDER BY doc_id
+"""
+
+
+def _uniform_sample_sql(k: int = 200) -> str:
+    """SQL replica of sampling.uniform_sample_k: order by the signed view of
+    the mulrot hash (the engine's int64 h column), id tiebreak, LIMIT k."""
+    M64 = "18446744073709551616::HUGEINT"
+    M32 = "4294967296"
+
+    def mulmod(z: str, c: int) -> str:
+        return (
+            f"(((({z}) // {M32}) * {c}) % {M32} * {M32}"
+            f" + (({z}) % {M32}) * {c}) % {M64}"
+        )
+
+    def rotl32(z: str) -> str:
+        return f"((({z}) * {M32}) % {M64} + ({z}) // {M32})"
+
+    z1 = mulmod("CAST(doc_id AS HUGEINT)", 0x9E3779B97F4A7C15)
+    return f"""
+WITH s1 AS (SELECT doc_id, lang, {z1} AS z FROM documents),
+s2 AS (SELECT doc_id, lang, {rotl32('z')} AS z FROM s1),
+s3 AS (SELECT doc_id, lang, {mulmod('z', 0xBF58476D1CE4E5B9)} AS z FROM s2),
+s4 AS (SELECT doc_id, lang, {rotl32('z')} AS z FROM s3),
+s5 AS (SELECT doc_id, lang, {mulmod('z', 0x94D049BB133111EB)} AS z FROM s4),
+h AS (SELECT doc_id, lang,
+             CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
+                       THEN z - {M64} ELSE z END AS BIGINT) AS h
+      FROM s5)
+SELECT doc_id, lang, h FROM h ORDER BY h, doc_id LIMIT {k}
 """
 
 
@@ -1792,5 +1896,55 @@ qs(q) AS (VALUES (0.25), (0.5), (0.9))
 SELECT t.lang, q,
        (SELECT min(v) FROM cum WHERE cum.lang = t.lang AND cc >= CEIL(qs.q * t.n)) AS value
 FROM tot t CROSS JOIN qs ORDER BY lang, q
+""",
+        "uniform_sample": _uniform_sample_sql(200),
+        "vocab_stats": r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+  FROM documents
+)
+SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM toks
+""",
+        "rolling_value_sum": """
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS roll_cents
+FROM e ORDER BY event_id
+""",
+        "session_error_counts": """
+WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events),
+s AS (
+  SELECT user_id, sec,
+         CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+                   OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+c AS (
+  SELECT user_id, sec,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY sec
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+),
+sess AS (
+  SELECT user_id, min(sec) AS session_start, max(sec) AS session_end
+  FROM c GROUP BY user_id, sess
+),
+err AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events
+  WHERE event_type = 'error'
+)
+SELECT s.user_id, s.session_start, CAST(count(*) AS BIGINT) AS n_err
+FROM sess s JOIN err ON err.user_id = s.user_id
+                    AND err.sec BETWEEN s.session_start AND s.session_end
+GROUP BY s.user_id, s.session_start
+ORDER BY s.user_id, s.session_start
 """,
     }

@@ -80,8 +80,12 @@ def bench_headline() -> tuple[float, float, int, list]:
     best = cold = None
     n_polys = 0
     stages = []
+    # min over 3 (was 2): the round-3 replacement box keeps improving for a
+    # third iteration (worker-pool ramp + turbo settle: 32 -> 15.7 -> 7.5 s
+    # observed), so 2 iterations understate the steady-state rate
+    iters = int(os.environ.get("GRAFT_HEADLINE_ITERS", "3"))
     try:
-        for _ in range(2):
+        for _ in range(iters):
             t0 = time.perf_counter()
             # prune at the read: the fixture carries a golden `text` copy of
             # the html content — reading it would double the scanned bytes
@@ -144,6 +148,13 @@ def bench_queries() -> dict[str, float]:
         "col_quantiles_cont",
         "source_cap",
         "curation_keep",
+        "stratified_sample",
+        "rank_per_lang",
+        "event_lag",
+        "redact_terms",
+        "bigram_top",
+        "substring_dups",
+        "tfidf_top_terms",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -182,6 +182,80 @@ def anti_join(
     return both.groupby("_pk").map_groups(merge, batch_format="pandas")
 
 
+def interval_join(
+    intervals_ds,
+    points_ds,
+    key: str,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    interval_cols: list[str] | None = None,
+    point_cols: list[str] | None = None,
+    num_partitions: int = 32,
+):
+    """Range join: each point row gains the (at most one) same-key interval
+    with ``start <= ts <= end`` (inner semantics — points in no interval are
+    dropped).  Intervals of one key must be NON-OVERLAPPING (sessions,
+    windows, validity ranges), which is what makes "at most one" true and
+    the search a binary search instead of an all-pairs expansion.
+
+    Plan: one shared hash-partition-by-key exchange (the
+    :func:`hash_join` shuffle plan); inside each partition ALL keys are
+    matched in one vectorized pass — both sides sorted by (key-code,
+    value-rank), candidate interval per point by a single ``searchsorted``
+    over rank-encoded composites, then an end-bound check.  No per-key
+    dispatch.  Partitioning assumption: one key's rows fit in one partition
+    task (the sessionize/lag assumption).
+
+    Output: ``(point_cols..., key, ts, interval_cols...)``.
+    """
+    interval_cols = list(interval_cols or [])
+    point_cols = list(point_cols or [])
+    lcols = list(dict.fromkeys([key, start_col, end_col] + interval_cols))
+    rcols = list(dict.fromkeys([key, ts_col] + point_cols))
+    out_cols = list(
+        dict.fromkeys(point_cols + [key, ts_col] + [start_col, end_col] + interval_cols)
+    )
+    both, coltype = _tagged_key_partition(
+        intervals_ds, points_ds, [key], lcols, rcols, num_partitions
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        iv = g[g["_side"] == 0]
+        pt = g[g["_side"] == 1]
+        if len(iv) == 0 or len(pt) == 0:
+            return _typed_empty(out_cols, coltype)
+        # key codes shared across both sides
+        kcodes, _ = pd.factorize(
+            np.concatenate([iv[key].to_numpy(), pt[key].to_numpy()])
+        )
+        ik, pk_ = kcodes[: len(iv)].astype(np.int64), kcodes[len(iv) :].astype(np.int64)
+        st = iv[start_col].to_numpy()
+        en = iv[end_col].to_numpy()
+        ts = pt[ts_col].to_numpy()
+        # rank-compress values so (key, value) packs into one int64:
+        # interval starts get even ranks, point ts odd (start <= ts wins ties)
+        uniq = np.unique(np.concatenate([st, ts]))
+        sr = np.searchsorted(uniq, st).astype(np.int64)
+        tr = np.searchsorted(uniq, ts).astype(np.int64)
+        m = np.int64(2 * len(uniq) + 2)
+        enc_iv = ik * m + sr * 2
+        enc_pt = pk_ * m + tr * 2 + 1
+        io = np.argsort(enc_iv, kind="stable")
+        cand = np.searchsorted(enc_iv[io], enc_pt, side="right") - 1
+        ok = cand >= 0
+        ci = io[np.maximum(cand, 0)]
+        ok &= (ik[ci] == pk_) & (ts <= en[ci])
+        pt_keep = pt.iloc[np.flatnonzero(ok)]
+        iv_rows = iv.iloc[ci[ok]]
+        out = {c: pt_keep[c].to_numpy() for c in point_cols + [key, ts_col]}
+        for c in [start_col, end_col] + interval_cols:
+            out[c] = iv_rows[c].to_numpy()
+        return _restore_int_dtypes(pd.DataFrame(out), out_cols, coltype)
+
+    return both.groupby("_pk").map_groups(merge, batch_format="pandas")
+
+
 def asof_join(
     left_ds,
     right_ds,

@@ -126,6 +126,40 @@ def stratified_sample(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def uniform_sample_k(
+    ds,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    extra_cols: tuple[str, ...] = (),
+):
+    """Exactly-k uniform sample without RNG state: the k rows with the
+    smallest ``(mulrot_hash64(id + seed), id)`` — a deterministic analogue of
+    reservoir sampling that is reproducible across runs, cluster sizes and
+    partitionings (same property as :func:`split_assign`).
+
+    Each batch pre-selects its own k smallest (a global winner is by
+    definition inside its batch's top-k), so the shuffle carries ≤ k·batches
+    narrow rows; the final ``sort.limit(k)`` runs over tiny partials.
+    Output: ``(id[, extra...], h)`` of the k winners, sorted by (h, id)."""
+    from ..stages.texthash import mulrot_hash64
+
+    cols = [id_col] + [c for c in extra_cols if c != id_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = mulrot_hash64(ids.astype(np.uint64) + np.uint64(seed)).astype(np.int64)
+        if len(ids) > k:
+            idx = np.lexsort((ids, h))[:k]
+            b = b.take(pa.array(idx))
+            h = h[idx]
+        return b.select(cols).append_column("h", pa.array(h))
+
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 8)
+    return partials.sort(["h", id_col]).limit(k)
+
+
 def rank_in_group(
     ds,
     group_col: str,

@@ -412,6 +412,56 @@ def json_int_field_agg(
     return red.sort(group_col)
 
 
+def vocab_stats(ds, text_col: str = "text"):
+    """Corpus-wide vocabulary size: one row
+    ``(n_vocab, n_tokens)`` — distinct whitespace tokens and total token
+    occurrences.
+
+    Per-batch ``value_counts`` collapses each batch to its distinct tokens
+    (the :func:`top_tokens` pre-aggregation), the grouped sum merges them,
+    and the final count/sum is an O(#distinct) aggregate — raw tokens never
+    cross the shuffle."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(b.column(text_col)))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = toks.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    from ..util import coalesce_small, grouped_aggregate
+
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4)
+    red = grouped_aggregate(partials, "token", {"n": ("n", "sum")})
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "n_vocab": pa.array([len(b)], type=pa.int64()),
+                "n_tokens": pa.array(
+                    [_pc.sum(b.column("n")).as_py() or 0], type=pa.int64()
+                ),
+            }
+        )
+
+    # one partial (n_vocab, n_tokens) row per reduced block, then one tiny sum
+    parts = red.map_batches(finalize, batch_format="pyarrow")
+    pdf = parts.to_pandas()
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_vocab": pa.array([int(pdf["n_vocab"].sum())], type=pa.int64()),
+                "n_tokens": pa.array([int(pdf["n_tokens"].sum())], type=pa.int64()),
+            }
+        )
+    )
+
+
 def top_tokens(ds, text_col: str = "text", k: int = 50):
     """Corpus-wide exact top-k tokens by frequency (heavy hitters, exact).
 

@@ -171,6 +171,58 @@ def lag_deltas(
     return withpk.groupby("_pk").map_groups(per_partition, batch_format="pandas").sort(id_col)
 
 
+def rolling_sum(
+    ds,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 5,
+    num_partitions: int = 32,
+    out_col: str = "roll_cents",
+):
+    """Per-key rolling sum over the last ``window`` events (ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW) — the moving-aggregate window frame.
+
+    Values are fixed-point: ``round(value·100)`` int64 cents, so the rolling
+    sum is exact integer arithmetic and hash-matches the SQL oracle
+    regardless of accumulation order (the float-sum rule in
+    ``points.py``'s oracle-plane design).  Same partition plan as
+    :func:`sessionize` / :func:`lag_deltas`; within a partition the frame
+    sum is one cumulative sum differenced at ``window`` lag, reset at key
+    boundaries — vectorized, no per-key dispatch."""
+    import pandas as pd
+
+    from .dedup import _FNV
+
+    def addpk(b: pa.Table) -> pa.Table:
+        kcol = b.column(key).to_numpy(zero_copy_only=False)
+        hk = pd.util.hash_array(kcol, hash_key="0123456789123456").astype(np.uint64)
+        pk = ((hk * _FNV) % np.uint64(num_partitions)).astype(np.int32)
+        return b.select([id_col, key, ts_col, value_col]).append_column("_pk", pa.array(pk))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="stable")
+        k = g[key].to_numpy()
+        cents = np.round(g[value_col].to_numpy() * 100.0).astype(np.int64)
+        n = len(cents)
+        cs = np.concatenate(([0], np.cumsum(cents)))
+        roll = cs[1:] - cs[np.maximum(np.arange(n) - window + 1, 0)]
+        # subtract the part of the frame that belongs to the previous key:
+        # positions < the key's first row contribute cs[start] - cs[frame_lo]
+        newk = np.concatenate(([True], k[1:] != k[:-1]))
+        seg_start = np.maximum.accumulate(np.where(newk, np.arange(n), 0))
+        lo = np.maximum(np.arange(n) - window + 1, 0)
+        cross = lo < seg_start
+        roll[cross] -= cs[seg_start[cross]] - cs[lo[cross]]
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(), key: k, out_col: roll}
+        )
+
+    withpk = ds.map_batches(addpk, batch_format="pyarrow")
+    return withpk.groupby("_pk").map_groups(per_partition, batch_format="pandas").sort(id_col)
+
+
 def hopping_window_agg(
     ds,
     ts_col: str = "ts",

@@ -1245,3 +1245,129 @@ def test_json_int_field_agg_matches_pandas(ray_session):
     got = got.set_index("event_type")
     assert got.loc["a", "n"] == 2 and got.loc["a", "sum_k"] == 3
     assert got.loc["b", "n"] == 1 and got.loc["b", "sum_k"] == 7
+
+
+def test_uniform_sample_k_deterministic(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import uniform_sample_k
+    from rasterflow.stages.texthash import mulrot_hash64
+
+    df = pd.DataFrame({"doc_id": np.arange(1000), "lang": ["x"] * 1000})
+    got = uniform_sample_k(
+        ray.data.from_pandas(df).repartition(6), k=50, extra_cols=("lang",)
+    ).to_pandas()
+    with np.errstate(over="ignore"):
+        h = mulrot_hash64(df["doc_id"].to_numpy().astype(np.uint64)).astype(np.int64)
+    order = np.lexsort((df["doc_id"].to_numpy(), h))[:50]
+    exp_ids = df["doc_id"].to_numpy()[order]
+    assert list(got["doc_id"]) == list(exp_ids)
+    assert len(got) == 50
+    # partition-invariance: different block structure, same sample
+    got2 = uniform_sample_k(
+        ray.data.from_pandas(df).repartition(2), k=50, extra_cols=("lang",)
+    ).to_pandas()
+    assert list(got2["doc_id"]) == list(got["doc_id"])
+
+
+def test_vocab_stats_matches_brute(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.textstats import vocab_stats
+
+    texts = ["a b b c", "", "c d  e", "a a a"]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ).repartition(3)
+    got = vocab_stats(ds).to_pandas()
+    allt = [w for t in texts for w in t.split() if w]
+    assert int(got["n_vocab"].iloc[0]) == len(set(allt))
+    assert int(got["n_tokens"].iloc[0]) == len(allt)
+
+
+def test_rolling_sum_matches_pandas(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.windows import rolling_sum
+
+    rng = np.random.default_rng(21)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 12, n),
+            "ts": pd.to_datetime(np.sort(rng.integers(0, 10**9, n)).astype("int64"), unit="us"),
+            "value": np.round(rng.uniform(0, 50, n), 2),
+        }
+    )
+    got = (
+        rolling_sum(ray.data.from_pandas(df).repartition(4), window=3)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    e = df.sort_values(["user_id", "ts", "event_id"])
+    cents = pd.Series(
+        np.round(e["value"].to_numpy() * 100).astype(np.int64), index=e.index, name="c"
+    )
+    exp_roll = (
+        cents.groupby(e["user_id"]).rolling(3, min_periods=1).sum().reset_index(level=0)
+    )
+    exp = pd.DataFrame(
+        {
+            "event_id": e["event_id"],
+            "user_id": e["user_id"],
+            "roll_cents": exp_roll["c"].astype(np.int64),
+        }
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_interval_join_matches_brute(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.relational import interval_join
+
+    rng = np.random.default_rng(31)
+    # non-overlapping intervals per key
+    ivs = []
+    for k in range(6):
+        t = 0
+        for s in range(rng.integers(1, 5)):
+            start = t + int(rng.integers(1, 20))
+            end = start + int(rng.integers(0, 15))
+            ivs.append((k, start, end, len(ivs)))
+            t = end
+    iv = pd.DataFrame(ivs, columns=["k", "start", "end", "iv_id"])
+    pt = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, 300),
+            "t": rng.integers(0, 80, 300),
+            "pt_id": np.arange(300),
+        }
+    )
+    got = (
+        interval_join(
+            ray.data.from_pandas(iv).repartition(3),
+            ray.data.from_pandas(pt).repartition(4),
+            key="k",
+            start_col="start",
+            end_col="end",
+            ts_col="t",
+            interval_cols=["iv_id"],
+            point_cols=["pt_id"],
+        )
+        .to_pandas()
+        .sort_values("pt_id")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for _, p in pt.iterrows():
+        m = iv[(iv["k"] == p["k"]) & (iv["start"] <= p["t"]) & (p["t"] <= iv["end"])]
+        assert len(m) <= 1
+        if len(m):
+            rows.append((p["pt_id"], p["k"], p["t"], m["start"].iloc[0], m["end"].iloc[0], m["iv_id"].iloc[0]))
+    exp = pd.DataFrame(rows, columns=["pt_id", "k", "t", "start", "end", "iv_id"])
+    exp = exp.sort_values("pt_id").reset_index(drop=True)
+    got = got[["pt_id", "k", "t", "start", "end", "iv_id"]].astype("int64")
+    pd.testing.assert_frame_equal(got, exp.astype("int64"))
