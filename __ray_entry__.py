@@ -494,6 +494,45 @@ def _q_audio_frames(sf_dir: str):
     return out.map_batches(energy, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_video_frames(sf_dir: str):
+    """Multimodal video frame-sampling pipeline: 32-frame stub payloads,
+    every 4th frame sampled, integer per-frame byte sums — hash-verified
+    end-to-end against the splitmix64 HUGEINT replica."""
+    import ray.data
+
+    from rasterflow.pipelines.multimodal import sample_video_frames
+    from rasterflow.sources.fixtures import payload_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def addp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column("video", payload_batch(ids, nbytes=1024, salt=4))
+
+    out = sample_video_frames(
+        ds.map_batches(addp, batch_format="pyarrow"),
+        payload_col="video",
+        id_col="doc_id",
+        total_frames=32,
+        num_frames=8,
+        concurrency=2,
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        col = t.column("frame_sums")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        fr = flat.reshape(len(col), -1) if len(col) else np.empty((0, 8), dtype=np.int64)
+        cols = {"doc_id": t.column("doc_id")}
+        for j in range(8):
+            cols[f"f{j}"] = pa.array(fr[:, j])
+        cols["checksum"] = t.column("checksum")
+        return pa.table(cols)
+
+    return out.map_batches(widen, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_top_docs_per_lang(sf_dir: str):
     import ray.data
 
@@ -1050,6 +1089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_chars_quantiles": _q_lang_chars_quantiles,
         "uniform_sample": _q_uniform_sample,
         "vocab_stats": _q_vocab_stats,
+        "video_frames": _q_video_frames,
         "rolling_value_sum": _q_rolling_value_sum,
         "session_error_counts": _q_session_error_counts,
     }
@@ -1418,6 +1458,28 @@ vals AS (
 )
 SELECT doc_id, ({chain}) / 16 AS mean_energy, GREATEST({glist}) AS peak_energy
 FROM vals ORDER BY doc_id
+"""
+
+
+def _video_frames_sql() -> str:
+    # 1024-byte payload = 32 frames x 32 bytes; sampled frames 0,4,...,28;
+    # per-frame feature = integer byte sum (all-BIGINT, hash-exact)
+    fsum = ",\n    ".join(
+        f"SUM(CASE WHEN pos // 32 = {4 * j} THEN byte ELSE 0 END) AS s{j}" for j in range(8)
+    )
+    fout = ",\n  ".join(f"CAST(s{j} AS BIGINT) AS f{j}" for j in range(8))
+    total = " + ".join(f"s{j}" for j in range(8))
+    return f"""
+WITH {_payload_bytes_cte(1024, salt=4).strip()},
+agg AS (
+  SELECT doc_id,
+    {fsum}
+  FROM pbytes GROUP BY doc_id
+)
+SELECT doc_id,
+  {fout},
+  CAST({total} AS BIGINT) AS checksum
+FROM agg ORDER BY doc_id
 """
 
 
@@ -1799,6 +1861,7 @@ FROM documents ORDER BY doc_id
         "decode_images": _decode_images_sql(),
         "resize_images": _resize_images_sql(),
         "audio_frames": _audio_frames_sql(),
+        "video_frames": _video_frames_sql(),
         "agg_poly_index": f"""
 WITH {GEO_CTE.strip()},
 {poly_edges_values_sql()},

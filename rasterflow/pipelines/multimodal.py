@@ -266,6 +266,80 @@ class AudioFrameSampleStage:
         )
 
 
+class VideoFrameSampleStage:
+    """binary video -> stride-sampled per-frame features (list<int64>).
+
+    STUB: a "video" is ``total_frames`` fixed-size byte frames back to back;
+    the sampled feature is the frame's byte sum.  A real deployment opens the
+    container once per actor (``__init__``) and decodes the same stride-
+    sampled keyframes; the Ray-side plumbing — fixed-stride selection, actor
+    pool, small batches for wide payloads, fixed-size-list output — is what
+    this stage exercises and what the oracle pins.
+    """
+
+    def __init__(
+        self,
+        payload_col: str = "video",
+        id_col: str = "url",
+        total_frames: int = 32,
+        num_frames: int = 8,
+    ):
+        assert total_frames % num_frames == 0
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.total_frames = total_frames
+        self.num_frames = num_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        T, F = self.total_frames, self.num_frames
+        sel = np.arange(F) * (T // F)
+        m = _fixed_payload_matrix(batch, self.payload_col)
+        if m is not None and m.shape[1] >= T and m.shape[1] % T == 0:
+            # batch-vectorized: reshape to (n, T, frame_bytes), one take+sum
+            fr = m.reshape(len(m), T, -1)[:, sel, :].astype(np.int64).sum(axis=2)
+        else:
+            payloads = _payload_arrays(batch, self.payload_col)
+            fr = np.zeros((len(payloads), F), dtype=np.int64)
+            for i, b in enumerate(payloads):
+                b = b or b"\0"
+                fsz = max(1, len(b) // T)
+                a = np.frombuffer(b.ljust(T * fsz, b"\0"), dtype=np.uint8)[: T * fsz]
+                fr[i] = a.reshape(T, fsz)[sel].astype(np.int64).sum(axis=1)
+        fr_arr = pa.FixedSizeListArray.from_arrays(pa.array(fr.ravel()), F)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "frame_sums": fr_arr,
+                "checksum": pa.array(fr.sum(axis=1)),
+            }
+        )
+
+
+def sample_video_frames(
+    ds,
+    payload_col: str = "video",
+    id_col: str = "url",
+    total_frames: int = 32,
+    num_frames: int = 8,
+    concurrency=(1, 4),
+    batch_size: int = 256,
+):
+    """Actor-pool video frame-sampling stage (small batches: wide payloads)."""
+    return ds.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs=dict(
+            payload_col=payload_col,
+            id_col=id_col,
+            total_frames=total_frames,
+            num_frames=num_frames,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def decode_images(
     ds,
     payload_col: str = "image",

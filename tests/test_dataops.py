@@ -1371,3 +1371,24 @@ def test_interval_join_matches_brute(ray_session):
     exp = exp.sort_values("pt_id").reset_index(drop=True)
     got = got[["pt_id", "k", "t", "start", "end", "iv_id"]].astype("int64")
     pd.testing.assert_frame_equal(got, exp.astype("int64"))
+
+
+def test_video_frames_vectorized_equals_rowwise_and_brute():
+    from rasterflow.pipelines.multimodal import VideoFrameSampleStage
+    from rasterflow.sources.fixtures import payload_batch
+
+    ids = np.arange(9)
+    fixed = payload_batch(ids, nbytes=1024, salt=4)
+    var = pa.array([bytes(v.as_py()) for v in fixed], type=pa.binary())
+    tf = pa.table({"doc_id": ids, "video": fixed})
+    tv = pa.table({"doc_id": ids, "video": var})
+    st = VideoFrameSampleStage(payload_col="video", id_col="doc_id", total_frames=32, num_frames=8)
+    a, b = st(tf), st(tv)
+    assert a.column("frame_sums").to_pylist() == b.column("frame_sums").to_pylist()
+    assert a.column("checksum").to_pylist() == b.column("checksum").to_pylist()
+    # brute: frame j = bytes [32*(4j), 32*(4j)+32)
+    for i, v in enumerate(fixed):
+        raw = np.frombuffer(bytes(v.as_py()), dtype=np.uint8)
+        exp = [int(raw[32 * (4 * j): 32 * (4 * j) + 32].sum()) for j in range(8)]
+        assert a.column("frame_sums").to_pylist()[i] == exp
+        assert a.column("checksum").to_pylist()[i] == sum(exp)
