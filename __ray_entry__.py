@@ -1023,6 +1023,33 @@ def _q_session_error_counts(sf_dir: str):
     return out.sort(["user_id", "session_start"])
 
 
+def _q_corpus_rollup(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.relational import rollup_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+    return rollup_aggregate(
+        ds,
+        ["source", "lang"],
+        {"n_docs": ("n_chars", "count"), "sum_chars": ("n_chars", "sum")},
+    )
+
+
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _q_lang_pivot(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.relational import pivot_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    return pivot_counts(ds, row_key="source", col_key="lang", col_values=LANGS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "join_cust_orders": _q_join_cust_orders,
@@ -1092,6 +1119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": _q_video_frames,
         "rolling_value_sum": _q_rolling_value_sum,
         "session_error_counts": _q_session_error_counts,
+        "corpus_rollup": _q_corpus_rollup,
+        "lang_pivot": _q_lang_pivot,
     }
 
 
@@ -2009,5 +2038,23 @@ FROM sess s JOIN err ON err.user_id = s.user_id
                     AND err.sec BETWEEN s.session_start AND s.session_end
 GROUP BY s.user_id, s.session_start
 ORDER BY s.user_id, s.session_start
+""",
+        "corpus_rollup": """
+SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+ORDER BY COALESCE(source, 'ALL'), COALESCE(lang, 'ALL')
+""",
+        "lang_pivot": """
+SELECT source,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+       CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_other
+FROM documents GROUP BY source ORDER BY source
 """,
     }

@@ -182,6 +182,99 @@ def anti_join(
     return both.groupby("_pk").map_groups(merge, batch_format="pandas")
 
 
+def rollup_aggregate(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    all_label: str = "ALL",
+):
+    """Hierarchical (ROLLUP) aggregation: one output row per prefix level of
+    ``keys`` — (k1, k2, ...), (k1, ALL, ...), ..., (ALL, ALL, ...) — the
+    drill-down summary table of corpus reporting.
+
+    The FINEST level is the only one computed from the raw data (one
+    distributed :func:`grouped_aggregate` pass); every coarser level is
+    re-aggregated from the finest level's already-reduced rows, so raw rows
+    cross the shuffle exactly once regardless of how many levels roll up.
+    Rolled-up key slots carry ``all_label`` (not NULL — deterministic sort
+    order in every engine).  All agg fns must be re-aggregable from their
+    partials (sum/count→sum, min→min, max→max)."""
+    from ..util import grouped_aggregate
+
+    finest = grouped_aggregate(ds, keys, aggs)
+    # re-agg spec over the finest partials: counts become sums of counts
+    reagg = {
+        out: (out, "sum" if fn in ("sum", "count", "size") else fn)
+        for out, (_c, fn) in aggs.items()
+    }
+
+    def relabel(level: int):
+        # keep keys[:level], overwrite the rest with the ALL sentinel
+        def f(b: pa.Table) -> pa.Table:
+            out = {}
+            for i, k in enumerate(keys):
+                out[k] = (
+                    b.column(k)
+                    if i < level
+                    else pa.array([all_label] * len(b), type=pa.string())
+                )
+            for out_col in aggs:
+                out[out_col] = b.column(out_col)
+            return pa.table(out)
+
+        return f
+
+    levels = [finest]
+    for lvl in range(len(keys) - 1, -1, -1):
+        coarser = grouped_aggregate(
+            finest.map_batches(relabel(lvl), batch_format="pyarrow"), keys, reagg
+        )
+        levels.append(coarser)
+    out = levels[0]
+    for x in levels[1:]:
+        out = out.union(x)
+    return out.sort(keys)
+
+
+def pivot_counts(
+    ds,
+    row_key: str,
+    col_key: str,
+    col_values: list[str],
+    other_label: str = "other",
+):
+    """Wide one-hot pivot: one output row per ``row_key`` value with a count
+    column per listed ``col_key`` value (``n_<value>``) plus ``n_<other>``
+    for unlisted values — the contingency-table / mixture-report shape.
+
+    Per-batch conditional partial counts (one vectorized comparison per
+    column value) collapse each batch to its distinct row keys, then one
+    distributed grouped sum — column cardinality is fixed by the caller, so
+    the shuffle is |row keys| × (len(col_values)+2) ints, never raw rows."""
+    import pandas as pd
+
+    from ..util import coalesce_small, grouped_aggregate
+
+    ncols = [f"n_{v}" for v in col_values] + [f"n_{other_label}"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        rk = b.column(row_key).to_numpy(zero_copy_only=False)
+        cv = b.column(col_key).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({row_key: rk})
+        hit = np.zeros(len(b), dtype=bool)
+        for v, nc in zip(col_values, ncols):
+            m = cv == v
+            df[nc] = m.astype(np.int64)
+            hit |= m
+        df[ncols[-1]] = (~hit).astype(np.int64)
+        agg = df.groupby(row_key, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4)
+    red = grouped_aggregate(partials, row_key, {nc: (nc, "sum") for nc in ncols})
+    return red.sort(row_key)
+
+
 def interval_join(
     intervals_ds,
     points_ds,

@@ -1392,3 +1392,71 @@ def test_video_frames_vectorized_equals_rowwise_and_brute():
         exp = [int(raw[32 * (4 * j): 32 * (4 * j) + 32].sum()) for j in range(8)]
         assert a.column("frame_sums").to_pylist()[i] == exp
         assert a.column("checksum").to_pylist()[i] == sum(exp)
+
+
+def test_rollup_aggregate_matches_pandas(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.relational import rollup_aggregate
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "source": np.array(["s1", "s2", "s3"])[rng.integers(0, 3, 500)],
+            "lang": np.array(["en", "de"])[rng.integers(0, 2, 500)],
+            "n": rng.integers(1, 100, 500),
+        }
+    )
+    got = (
+        rollup_aggregate(
+            ray.data.from_pandas(df).repartition(4),
+            ["source", "lang"],
+            {"cnt": ("n", "count"), "s": ("n", "sum")},
+        )
+        .to_pandas()
+        .sort_values(["source", "lang"])
+        .reset_index(drop=True)
+    )
+    fine = df.groupby(["source", "lang"], as_index=False).agg(cnt=("n", "count"), s=("n", "sum"))
+    mid = df.groupby(["source"], as_index=False).agg(cnt=("n", "count"), s=("n", "sum"))
+    mid["lang"] = "ALL"
+    top = pd.DataFrame({"source": ["ALL"], "lang": ["ALL"], "cnt": [len(df)], "s": [df["n"].sum()]})
+    exp = (
+        pd.concat([fine, mid, top], ignore_index=True)[["source", "lang", "cnt", "s"]]
+        .sort_values(["source", "lang"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["source", "lang", "cnt", "s"]].astype({"cnt": "int64", "s": "int64"}),
+        exp.astype({"cnt": "int64", "s": "int64"}),
+    )
+
+
+def test_pivot_counts_matches_crosstab(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.relational import pivot_counts
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame(
+        {
+            "source": np.array(["a", "b"])[rng.integers(0, 2, 400)],
+            "lang": np.array(["en", "de", "xx"])[rng.integers(0, 3, 400)],
+        }
+    )
+    got = (
+        pivot_counts(
+            ray.data.from_pandas(df).repartition(3),
+            row_key="source",
+            col_key="lang",
+            col_values=["en", "de"],
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    ct = pd.crosstab(df["source"], df["lang"])
+    for _, r in got.iterrows():
+        assert r["n_en"] == ct.loc[r["source"], "en"]
+        assert r["n_de"] == ct.loc[r["source"], "de"]
+        assert r["n_other"] == ct.loc[r["source"], "xx"]
