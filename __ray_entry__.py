@@ -1023,6 +1023,28 @@ def _q_session_error_counts(sf_dir: str):
     return out.sort(["user_id", "session_start"])
 
 
+def _q_rolling_time_sum(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.windows import rolling_sum_time
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return rolling_sum_time(ds, window_s=3600)
+
+
+def _q_funnel_users(sf_dir: str):
+    import ray.data
+
+    from rasterflow.pipelines.windows import funnel_users
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+    return funnel_users(ds, stages=("view", "click", "purchase"))
+
+
 def _q_corpus_rollup(sf_dir: str):
     import ray.data
 
@@ -1121,6 +1143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_error_counts": _q_session_error_counts,
         "corpus_rollup": _q_corpus_rollup,
         "lang_pivot": _q_lang_pivot,
+        "rolling_time_sum": _q_rolling_time_sum,
+        "funnel_users": _q_funnel_users,
     }
 
 
@@ -2056,5 +2080,38 @@ SELECT source,
        CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END)
             AS BIGINT) AS n_other
 FROM documents GROUP BY source ORDER BY source
+""",
+        # RANGE frame on epoch SECONDS (the engine truncates to seconds the
+        # same way), peers included — exact integer cents
+        "rolling_time_sum": """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY sec
+                             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS roll_cents
+FROM e ORDER BY event_id
+""",
+        "funnel_users": """
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id AND epoch_us(e.ts) > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id AND epoch_us(e.ts) > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id, t1, t2, t3
+FROM v JOIN c ON c.user_id = v.user_id JOIN p ON p.user_id = v.user_id
+ORDER BY v.user_id
 """,
     }

@@ -223,6 +223,131 @@ def rolling_sum(
     return withpk.groupby("_pk").map_groups(per_partition, batch_format="pandas").sort(id_col)
 
 
+def rolling_sum_time(
+    ds,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window_s: int = 3600,
+    num_partitions: int = 32,
+    out_col: str = "roll_cents",
+):
+    """Per-key rolling sum over a TIME window (RANGE BETWEEN window_s
+    PRECEDING AND CURRENT ROW on epoch seconds): every row's sum covers all
+    of its key's rows with ``t in [t_i - window_s, t_i]`` — peers with equal
+    timestamps are all included, exactly the SQL RANGE-frame rule.
+
+    Fixed-point cents like :func:`rolling_sum` (exact integer result).  Per
+    partition: one (key, t) sort, one cumulative sum, and ONE vectorized
+    ``searchsorted`` over rank-encoded (key, t) composites to find each
+    row's frame start — the same no-per-key-dispatch trick as
+    :func:`rasterflow.pipelines.relational.interval_join`."""
+    import pandas as pd
+
+    from .dedup import _FNV
+
+    def addpk(b: pa.Table) -> pa.Table:
+        kcol = b.column(key).to_numpy(zero_copy_only=False)
+        hk = pd.util.hash_array(kcol, hash_key="0123456789123456").astype(np.uint64)
+        pk = ((hk * _FNV) % np.uint64(num_partitions)).astype(np.int32)
+        return b.select([id_col, key, ts_col, value_col]).append_column("_pk", pa.array(pk))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="stable")
+        t = g[ts_col].to_numpy()
+        if np.issubdtype(t.dtype, np.datetime64):
+            sec = t.astype("datetime64[s]").astype("int64")
+        else:
+            sec = t.astype("int64")
+        kcodes, _u = pd.factorize(g[key].to_numpy())
+        kcodes = kcodes.astype(np.int64)
+        cents = np.round(g[value_col].to_numpy() * 100.0).astype(np.int64)
+        n = len(cents)
+        cs = np.concatenate(([0], np.cumsum(cents)))
+        # frame end: RANGE includes PEERS — the last index with the same
+        # (key, sec); frame start: first index with sec >= t_i - window_s
+        uniq = np.unique(sec)
+        sr = np.searchsorted(uniq, sec).astype(np.int64)
+        lb = np.searchsorted(uniq, sec - window_s).astype(np.int64)
+        m = np.int64(len(uniq) + 1)
+        enc = kcodes * m + sr  # sorted ascending (rows sorted by (key, sec))
+        lo = np.searchsorted(enc, kcodes * m + lb, side="left")
+        hi = np.searchsorted(enc, enc, side="right")
+        roll = cs[hi] - cs[lo]
+        return pd.DataFrame({id_col: g[id_col].to_numpy(), key: g[key].to_numpy(), out_col: roll})
+
+    withpk = ds.map_batches(addpk, batch_format="pyarrow")
+    return withpk.groupby("_pk").map_groups(per_partition, batch_format="pandas").sort(id_col)
+
+
+def funnel_users(
+    ds,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+    key: str = "user_id",
+    type_col: str = "event_type",
+    num_partitions: int = 32,
+):
+    """Ordered funnel matching: keys that performed ``stages`` in strict
+    temporal order — ``t1 = min ts(stage1)``, ``t2 = min ts(stage2) with
+    ts > t1``, ... — the sequential-pattern primitive of event analytics.
+
+    One hash-partition exchange; within a partition each stage is one
+    filtered ``groupby(key).min`` over epoch-microsecond ints (greedy
+    earliest-completion is the standard funnel semantics and is what the
+    SQL oracle's chained MIN subqueries compute).  Output: one row per
+    completing key, ``(key, t1..tN)`` epoch-µs, sorted by key."""
+    import pandas as pd
+
+    from .dedup import _FNV
+
+    def addpk(b: pa.Table) -> pa.Table:
+        kcol = b.column(key).to_numpy(zero_copy_only=False)
+        hk = pd.util.hash_array(kcol, hash_key="0123456789123456").astype(np.uint64)
+        pk = ((hk * _FNV) % np.uint64(num_partitions)).astype(np.int32)
+        return b.select([key, ts_col, type_col]).append_column("_pk", pa.array(pk))
+
+    tcols = [f"t{i + 1}" for i in range(len(stages))]
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[ts_col].to_numpy()
+        if np.issubdtype(t.dtype, np.datetime64):
+            us = t.astype("datetime64[us]").astype("int64")
+        else:
+            us = t.astype("int64")
+        df = pd.DataFrame({key: g[key].to_numpy(), "_us": us, "_ty": g[type_col].to_numpy()})
+        cur = None  # Series: key -> completion time of the previous stage
+        for stage in stages:
+            s = df[df["_ty"] == stage]
+            if cur is not None:
+                prev = s[key].map(cur)
+                s = s[s["_us"] > prev.fillna(np.inf)]
+            cur = s.groupby(key)["_us"].min()
+            if not len(cur):
+                break
+        if cur is None or not len(cur):
+            return pd.DataFrame(
+                {key: pd.Series(dtype=df[key].dtype)}
+                | {c: pd.Series(dtype="int64") for c in tcols}
+            )
+        # replay to collect every stage's time for the completing keys
+        keep = cur.index
+        out = {key: np.asarray(keep)}
+        prev = None
+        for i, stage in enumerate(stages):
+            s = df[df["_ty"] == stage]
+            s = s[s[key].isin(keep)]
+            if prev is not None:
+                s = s[s["_us"] > s[key].map(prev)]
+            prev = s.groupby(key)["_us"].min()
+            out[tcols[i]] = prev.loc[keep].to_numpy()
+        return pd.DataFrame(out)
+
+    withpk = ds.map_batches(addpk, batch_format="pyarrow")
+    return withpk.groupby("_pk").map_groups(per_partition, batch_format="pandas").sort(key)
+
+
 def hopping_window_agg(
     ds,
     ts_col: str = "ts",

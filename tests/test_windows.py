@@ -97,3 +97,90 @@ def test_hopping_window_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True).astype("int64"), exp.astype("int64")
     )
+
+
+def test_rolling_sum_time_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rasterflow.pipelines.windows import rolling_sum_time
+
+    rng = np.random.default_rng(23)
+    n = 400
+    # coarse seconds so time windows and PEER ties are actually exercised
+    sec = np.sort(rng.integers(0, 500, n))
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 8, n),
+            "ts": pd.to_datetime(sec * 10**6, unit="us"),
+            "value": np.round(rng.uniform(0, 20, n), 2),
+        }
+    )
+    got = (
+        rolling_sum_time(ray.data.from_pandas(df).repartition(4), window_s=60)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    exp_vals = []
+    for i in range(n):
+        m = (
+            (df["user_id"] == df["user_id"][i])
+            & (sec >= sec[i] - 60)
+            & (sec <= sec[i])
+        )
+        exp_vals.append(int(cents[m.to_numpy()].sum()))
+    exp = pd.DataFrame(
+        {"event_id": df["event_id"], "user_id": df["user_id"], "roll_cents": exp_vals}
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_funnel_users_matches_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rasterflow.pipelines.windows import funnel_users
+
+    rng = np.random.default_rng(29)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 30, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**8, n), unit="us"),
+            "event_type": np.array(["view", "click", "purchase", "error"])[
+                rng.integers(0, 4, n)
+            ],
+        }
+    )
+    got = (
+        funnel_users(ray.data.from_pandas(df).repartition(4))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    rows = []
+    for u in sorted(df["user_id"].unique()):
+        m = df["user_id"] == u
+        t1c = us[(m & (df["event_type"] == "view")).to_numpy()]
+        if not len(t1c):
+            continue
+        t1 = t1c.min()
+        t2c = us[(m & (df["event_type"] == "click")).to_numpy()]
+        t2c = t2c[t2c > t1]
+        if not len(t2c):
+            continue
+        t2 = t2c.min()
+        t3c = us[(m & (df["event_type"] == "purchase")).to_numpy()]
+        t3c = t3c[t3c > t2]
+        if not len(t3c):
+            continue
+        rows.append((u, t1, t2, int(t3c.min())))
+    exp = pd.DataFrame(rows, columns=["user_id", "t1", "t2", "t3"])
+    assert len(exp) > 5
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
