@@ -1045,6 +1045,36 @@ def _q_funnel_users(sf_dir: str):
     return funnel_users(ds, stages=("view", "click", "purchase"))
 
 
+def _q_hash_vectorize(sf_dir: str):
+    """Hashed bag-of-words features (rows-only: bucket assignment has no SQL
+    replica; exact features pinned by pytest brute-force).  The summary
+    columns exposed here (n_tok, nnz, fmax) make the rows-only check
+    schema-stable."""
+    from rasterflow.pipelines.textstats import hashing_vectorize
+
+    out = hashing_vectorize(_docs(sf_dir), dim=64)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        col = t.column("features")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = (
+            col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), -1)
+            if len(col)
+            else np.empty((0, 64), dtype=np.int32)
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tok": t.column("n_tok"),
+                "nnz": pa.array((m != 0).sum(axis=1).astype(np.int64)),
+                "fmax": pa.array(m.max(axis=1).astype(np.int64) if len(m) else np.empty(0, np.int64)),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_corpus_rollup(sf_dir: str):
     import ray.data
 
@@ -1145,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_pivot": _q_lang_pivot,
         "rolling_time_sum": _q_rolling_time_sum,
         "funnel_users": _q_funnel_users,
+        "hash_vectorize": _q_hash_vectorize,
     }
 
 

@@ -412,6 +412,44 @@ def json_int_field_agg(
     return red.sort(group_col)
 
 
+def hashing_vectorize(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+):
+    """Feature-hashing (hashed bag-of-words) vectorizer: each document
+    becomes a fixed ``dim``-bucket token-count vector
+    (``bucket = mix64(token_hash) % dim``) — the HashingVectorizer
+    primitive that feeds hashed features to downstream similarity / model
+    stages without a vocabulary pass.
+
+    Fully vectorized per batch: one flat-buffer token-hash pass
+    (:func:`rasterflow.stages.texthash.token_hashes` — no per-doc loop),
+    one ``np.bincount`` over ``doc_idx·dim + bucket``.  Output:
+    ``(id, features fixed_size_list<int32>[dim], n_tok)``.  Embarrassingly
+    parallel, no shuffle; approximate only in the hashing-trick sense
+    (bucket collisions), deterministic across runs and partitionings."""
+
+    def f(b: pa.Table) -> pa.Table:
+        from ..stages.texthash import flat_utf8, mix64, token_hashes
+
+        data, offs = flat_utf8(b.column(text_col))
+        th, indptr = token_hashes(data, offs)
+        n = len(b)
+        with np.errstate(over="ignore"):
+            bucket = (mix64(th) % np.uint64(dim)).astype(np.int64)
+        tok_doc = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        counts = np.bincount(tok_doc * dim + bucket, minlength=n * dim).astype(np.int32)
+        feats = pa.FixedSizeListArray.from_arrays(pa.array(counts), dim)
+        ntok = np.diff(indptr).astype(np.int64)
+        return pa.table(
+            {id_col: b.column(id_col), "features": feats, "n_tok": pa.array(ntok)}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def vocab_stats(ds, text_col: str = "text"):
     """Corpus-wide vocabulary size: one row
     ``(n_vocab, n_tokens)`` — distinct whitespace tokens and total token

@@ -142,9 +142,9 @@ def test_constraint_filter_matches_pandas(small_pts, ray_session):
 
 
 def test_driver_contract_consistency():
-    """Every queries() entry has an oracle_sql() twin except the five
-    documented approximate operators (recall/error pinned in pytest instead
-    of SQL); no oracle exists without its query."""
+    """Every queries() entry has an oracle_sql() twin except the six
+    documented approximate operators (recall/error/collision behavior pinned
+    in pytest instead of SQL); no oracle exists without its query."""
     import __ray_entry__ as E
 
     qs = set(E.queries())
@@ -156,5 +156,6 @@ def test_driver_contract_consistency():
         "embed_topk_ivf",          # IVF probing (recall-pinned)
         "minhash_lsh_pairs",       # MinHash banding (recall-pinned)
         "simhash_pairs",           # SimHash banding (pigeonhole-pinned)
+        "hash_vectorize",          # hashing trick (brute-force-pinned)
     }
     assert qs - osql == approximate, f"undocumented rows-only queries: {sorted(qs - osql - approximate)}"

@@ -1460,3 +1460,39 @@ def test_pivot_counts_matches_crosstab(ray_session):
         assert r["n_en"] == ct.loc[r["source"], "en"]
         assert r["n_de"] == ct.loc[r["source"], "de"]
         assert r["n_other"] == ct.loc[r["source"], "xx"]
+
+
+def test_hashing_vectorize_matches_brute(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.textstats import hashing_vectorize
+    from rasterflow.stages.texthash import P, mix64
+
+    texts = ["the cat sat", "", "  ", "a a a b", "zz yy zz"]
+    dim = 16
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ).repartition(3)
+    got = hashing_vectorize(ds, dim=dim).to_pandas().sort_values("doc_id")
+
+    def tok_hash(tok: bytes) -> np.uint64:
+        # token_hashes is the UNSEEDED rolling polynomial (no FNV offset;
+        # doc_hashes adds the seed, token hashing does not)
+        with np.errstate(over="ignore"):
+            h = np.uint64(0)
+            for byte in tok:
+                h = h * np.uint64(P) + np.uint64(byte)
+        return h
+
+    for i, t in enumerate(texts):
+        exp = np.zeros(dim, dtype=np.int64)
+        for tok in t.split():
+            with np.errstate(over="ignore"):
+                b = int(
+                    mix64(np.array([tok_hash(tok.encode())], dtype=np.uint64))[0]
+                    % np.uint64(dim)
+                )
+            exp[b] += 1
+        row = got[got["doc_id"] == i]
+        assert list(row["features"].iloc[0]) == list(exp), (i, t)
+        assert int(row["n_tok"].iloc[0]) == len(t.split())
