@@ -1075,6 +1075,33 @@ def _q_hash_vectorize(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_lineitem_semi_orders(sf_dir: str):
+    """Bloom-broadcast semi join: lineitems of expensive orders.  The order
+    keys collapse to a 512 KB bit filter broadcast once; survivors are
+    re-verified exactly, so the result is precise despite the approximate
+    filter."""
+    import ray.data
+
+    from rasterflow.pipelines.relational import bloom_semi_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def expensive(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("o_totalprice"), pa.scalar(400000.0)))
+        return b.rename_columns(["l_orderkey", "o_totalprice"]).select(["l_orderkey"])
+
+    right = orders.map_batches(expensive, batch_format="pyarrow")
+    out = bloom_semi_join(
+        li, right, on="l_orderkey", left_cols=["l_linenumber", "l_quantity"]
+    )
+    return out.sort(["l_orderkey", "l_linenumber"])
+
+
 def _q_corpus_rollup(sf_dir: str):
     import ray.data
 
@@ -1176,6 +1203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_time_sum": _q_rolling_time_sum,
         "funnel_users": _q_funnel_users,
         "hash_vectorize": _q_hash_vectorize,
+        "lineitem_semi_orders": _q_lineitem_semi_orders,
     }
 
 
@@ -2144,5 +2172,12 @@ p AS (
 SELECT v.user_id, t1, t2, t3
 FROM v JOIN c ON c.user_id = v.user_id JOIN p ON p.user_id = v.user_id
 ORDER BY v.user_id
+""",
+        "lineitem_semi_orders": """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000.0)
+ORDER BY l_orderkey, l_linenumber
 """,
     }

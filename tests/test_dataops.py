@@ -1496,3 +1496,55 @@ def test_hashing_vectorize_matches_brute(ray_session):
         row = got[got["doc_id"] == i]
         assert list(row["features"].iloc[0]) == list(exp), (i, t)
         assert int(row["n_tok"].iloc[0]) == len(t.split())
+
+
+def test_bloom_semi_join_exact(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.relational import bloom_semi_join
+
+    rng = np.random.default_rng(37)
+    left = pd.DataFrame({"k": rng.integers(0, 2000, 3000), "v": np.arange(3000)})
+    right = pd.DataFrame({"k": rng.integers(0, 400, 150)})
+    # tiny filter to force false positives through to the exact verify
+    got = (
+        bloom_semi_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(2),
+            on="k",
+            left_cols=["v"],
+            nbits=1 << 8,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    keys = set(right["k"])
+    exp = (
+        left[left["k"].isin(keys)].sort_values(["k", "v"]).reset_index(drop=True)[["k", "v"]]
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_bloom_semi_join_approx_superset(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.relational import bloom_semi_join
+
+    rng = np.random.default_rng(41)
+    left = pd.DataFrame({"k": rng.integers(0, 500, 1000), "v": np.arange(1000)})
+    right = pd.DataFrame({"k": rng.integers(0, 100, 60)})
+    got = (
+        bloom_semi_join(
+            ray.data.from_pandas(left).repartition(3),
+            ray.data.from_pandas(right).repartition(2),
+            on="k",
+            left_cols=["v"],
+            nbits=1 << 16,
+            exact=False,
+        )
+        .to_pandas()
+    )
+    keys = set(right["k"])
+    true_rows = set(left[left["k"].isin(keys)]["v"])
+    assert true_rows <= set(got["v"])  # no false negatives, ever
