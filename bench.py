@@ -155,6 +155,11 @@ def bench_queries() -> dict[str, float]:
         "bigram_top",
         "substring_dups",
         "tfidf_top_terms",
+        "rolling_time_sum",
+        "funnel_users",
+        "session_error_counts",
+        "lineitem_semi_orders",
+        "hash_vectorize",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -182,6 +182,11 @@ def anti_join(
     return both.groupby("_pk").map_groups(merge, batch_format="pandas")
 
 
+# per-worker-process cache of fetched Bloom bitsets (ObjectRef hex -> array);
+# stateless probe tasks reuse the zero-copy plasma view across batches
+_BLOOM_MEMO: dict = {}
+
+
 def bloom_semi_join(
     left_ds,
     right_ds,
@@ -232,7 +237,11 @@ def bloom_semi_join(
             np.bitwise_or.at(bits, w, bit)
         return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
 
-    parts = right_ds.map_batches(build_partial, batch_format="pyarrow").to_pandas()
+    # batch_size=None: ONE bitset partial per block (not per 1k-row batch),
+    # so the driver OR-fold sees blocks × nbits/8 bytes, nothing more
+    parts = right_ds.map_batches(
+        build_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
     bits = np.zeros(nwords, dtype=np.uint64)
     for raw in parts["bits"]:
         bits |= np.frombuffer(raw, dtype=np.uint64)
@@ -240,33 +249,43 @@ def bloom_semi_join(
 
     cols = list(dict.fromkeys([on] + left_cols))
 
-    class Probe:
-        def __init__(self, ref):
-            self.bits = ray.get(ref)
+    def probe(b: pa.Table) -> pa.Table:
+        # stateless task + per-worker memo (no actor-pool spin-up); ray.get
+        # of the plasma bitset is zero-copy after the first call per worker
+        bt = _BLOOM_MEMO.get(bits_ref.hex())
+        if bt is None:
+            bt = ray.get(bits_ref)
+            _BLOOM_MEMO[bits_ref.hex()] = bt
+        h1, h2 = probe_positions(b.column(on).to_numpy(zero_copy_only=False))
+        hit = (
+            (bt[(h1 >> np.uint64(6)).astype(np.int64)] >> (h1 & np.uint64(63)))
+            & (bt[(h2 >> np.uint64(6)).astype(np.int64)] >> (h2 & np.uint64(63)))
+            & np.uint64(1)
+        ).astype(bool)
+        return b.select(cols).filter(pa.array(hit))
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            h1, h2 = probe_positions(b.column(on).to_numpy(zero_copy_only=False))
-            bt = self.bits
-            hit = (
-                (bt[(h1 >> np.uint64(6)).astype(np.int64)] >> (h1 & np.uint64(63)))
-                & (bt[(h2 >> np.uint64(6)).astype(np.int64)] >> (h2 & np.uint64(63)))
-                & np.uint64(1)
-            ).astype(bool)
-            return b.select(cols).filter(pa.array(hit))
-
-    survivors = left_ds.map_batches(
-        Probe, fn_constructor_kwargs=dict(ref=bits_ref),
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
-    )
+    survivors = left_ds.map_batches(probe, batch_format="pyarrow", batch_size=None)
     if not exact:
         return survivors
     # exact verify: inner hash_join against the right's DISTINCT keys (semi
-    # semantics — distinct first so matches aren't duplicated)
-    from ..util import grouped_aggregate
+    # semantics — distinct first so matches aren't duplicated).  Per-batch
+    # pre-distinct collapses each right block to its unique keys BEFORE the
+    # grouped_aggregate shuffle, and both shuffle feeds are coalesced so the
+    # sort-based exchange schedules a handful of tasks, not blocks × parts.
+    from ..util import coalesce_small, grouped_aggregate
 
-    rkeys = grouped_aggregate(right_ds, on, {"_one": (on, "first")})
+    def batch_distinct(b: pa.Table) -> pa.Table:
+        k = b.column(on)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return pa.table({on: k.unique()})
+
+    rdistinct = coalesce_small(
+        right_ds.map_batches(batch_distinct, batch_format="pyarrow", batch_size=None), 8
+    )
+    rkeys = grouped_aggregate(rdistinct, on, {"_one": (on, "first")})
     return hash_join(
-        survivors, rkeys, on=on,
+        coalesce_small(survivors, 8), rkeys, on=on,
         left_cols=[c for c in cols if c != on], right_cols=[],
         num_partitions=num_partitions,
     ).select_columns(cols)
