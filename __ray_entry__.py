@@ -1075,6 +1075,14 @@ def _q_hash_vectorize(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Misra-Gries top tokens (rows-only: approximate with a returned error
+    bound; the MG guarantee is pinned in pytest against exact counts)."""
+    from rasterflow.pipelines.sketch import heavy_hitters_sketch
+
+    return heavy_hitters_sketch(_docs(sf_dir), k=500, top=20)
+
+
 def _q_lineitem_semi_orders(sf_dir: str):
     """Bloom-broadcast semi join: lineitems of expensive orders.  The order
     keys collapse to a 512 KB bit filter broadcast once; survivors are
@@ -1204,6 +1212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_users": _q_funnel_users,
         "hash_vectorize": _q_hash_vectorize,
         "lineitem_semi_orders": _q_lineitem_semi_orders,
+        "heavy_hitters": _q_heavy_hitters,
     }
 
 

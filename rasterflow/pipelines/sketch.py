@@ -1,4 +1,4 @@
-"""Mergeable sketches for cardinality at scale.
+"""Mergeable sketches for cardinality and frequency at scale.
 
 :func:`approx_count_distinct` — HyperLogLog (Flajolet et al. 2007, public
 algorithm) expressed Ray-Data-natively: each batch collapses to ONE row
@@ -97,4 +97,80 @@ def approx_count_distinct(ds, col: str, p: int = 12):
 
     return ray.data.from_arrow(
         pa.table({"n_distinct_est": pa.array([final.estimate()], type=pa.float64())})
+    )
+
+
+def heavy_hitters_sketch(
+    ds,
+    text_col: str = "text",
+    k: int = 200,
+    top: int = 20,
+):
+    """Misra-Gries heavy hitters over tokens (Misra & Gries 1982, public
+    algorithm): top tokens with BOUNDED state — each batch compresses to at
+    most ``k`` (token, weight) counters, so the shuffle carries
+    ``k × batches`` rows no matter how many distinct tokens exist.  The
+    scale path beside :func:`~rasterflow.pipelines.textstats.top_tokens`,
+    whose exchange is corpus-vocabulary-sized (fine for word vocabularies,
+    not for, e.g., trillion-distinct URL or n-gram keys).
+
+    Per batch: one Arrow tokenize + ``value_counts``, then the MG decrement
+    (subtract the (k+1)-th largest count from the survivors — the vectorized
+    equivalent of the counter-eviction loop).  Summaries merge by grouped
+    SUM, which preserves the MG guarantee additively: for every token,
+    ``est <= true <= est + n/k`` where n is the total token count — so every
+    token with true frequency above ``n/k`` is IN the result (no false
+    negatives above the threshold; error bound returned with the result).
+
+    Output: one row per reported token — ``(token, est, err_bound)`` — the
+    ``top`` largest estimates, plus the bound so consumers can see the
+    uncertainty.  Approximate by design: rows-only driver check; the
+    guarantee is pinned in pytest against exact counts.
+    """
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(b.column(text_col)))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        vc = toks.value_counts()
+        tok = vc.field("values").to_numpy(zero_copy_only=False)
+        cnt = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.int64(len(toks))
+        if len(cnt) > k:
+            order = np.argsort(-cnt, kind="stable")[: k + 1]
+            dec = cnt[order[-1]]
+            keep = order[:k]
+            tok, cnt = tok[keep], cnt[keep] - dec
+            m = cnt > 0
+            tok, cnt = tok[m], cnt[m]
+        # one sentinel row per batch (empty token) carries the batch's token
+        # total, so the global n for the error bound merges by the same sum
+        return pa.table(
+            {
+                "token": pa.concat_arrays([pa.array(tok, type=pa.string()), pa.array([""])]),
+                "est": pa.array(np.concatenate([cnt, [0]])),
+                "n": pa.array(np.concatenate([np.zeros(len(tok), dtype=np.int64), [n]])),
+            }
+        )
+
+    from ..util import coalesce_small, grouped_aggregate
+
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4)
+    red = grouped_aggregate(partials, "token", {"est": ("est", "sum"), "n": ("n", "sum")})
+    pdf = red.to_pandas()
+    n_total = int(pdf["n"].sum())
+    pdf = pdf[pdf["token"] != ""].sort_values(
+        ["est", "token"], ascending=[False, True], kind="stable"
+    ).head(top)
+    err = n_total // k
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "token": pa.array(pdf["token"].to_numpy(), type=pa.string()),
+                "est": pa.array(pdf["est"].to_numpy().astype(np.int64)),
+                "err_bound": pa.array(np.full(len(pdf), err, dtype=np.int64)),
+            }
+        )
     )

@@ -1548,3 +1548,36 @@ def test_bloom_semi_join_approx_superset(ray_session):
     keys = set(right["k"])
     true_rows = set(left[left["k"].isin(keys)]["v"])
     assert true_rows <= set(got["v"])  # no false negatives, ever
+
+
+def test_heavy_hitters_guarantee(ray_session):
+    from collections import Counter
+
+    import ray.data
+
+    from rasterflow.pipelines.sketch import heavy_hitters_sketch
+
+    rng = np.random.default_rng(43)
+    vocab = [f"w{j}" for j in range(3000)]
+    # zipf-ish: a few very hot tokens + a long tail, spread across batches
+    texts = []
+    for _ in range(800):
+        toks = ["hot1"] * int(rng.integers(2, 6)) + ["hot2"] * int(rng.integers(1, 4))
+        toks += [vocab[int(i)] for i in rng.integers(0, 3000, 25)]
+        texts.append(" ".join(toks))
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ).repartition(6)
+    k = 150
+    got = heavy_hitters_sketch(ds, k=k, top=30).to_pandas()
+    c = Counter(w for t in texts for w in t.split())
+    n = sum(c.values())
+    est = dict(zip(got["token"], got["est"]))
+    assert (got["err_bound"] == n // k).all()
+    # MG guarantee on reported tokens: est <= true <= est + n/k
+    for tok, e in est.items():
+        assert e <= c[tok] <= e + n // k, (tok, e, c[tok])
+    # every token with true count > n/k must be reported (top=30 >> #such)
+    for tok, true in c.items():
+        if true > n // k:
+            assert tok in est, (tok, true, n // k)
