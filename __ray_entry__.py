@@ -996,9 +996,14 @@ def _q_session_error_counts(sf_dir: str):
         ev.select_columns(["ts", "user_id"]), ts_col="ts", key="user_id", gap_s=1800
     )
 
+    _PER_SEC = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+
     def errs(b: pa.Table) -> pa.Table:
         b = b.filter(pc.equal(b.column("event_type"), pa.scalar("error")))
-        sec = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        # unit-aware epoch seconds (a ns-stored table would silently yield
+        # milliseconds with a fixed //1e6 — see SCALE.md §7a)
+        div = _PER_SEC[b.column("ts").type.unit]
+        sec = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False) // div
         return pa.table(
             {
                 "event_id": b.column("event_id"),
