@@ -73,3 +73,91 @@ def test_ring_orientation_invariance(seed, nv):
     fwd = points_in_ring(px, py, ring)
     rev = points_in_ring(px, py, ring[::-1].copy())
     np.testing.assert_array_equal(fwd, rev)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_interval_join_matching_kernel_property(seed):
+    """The rank-composite searchsorted inside interval_join must agree with
+    per-point brute force for arbitrary non-overlapping interval layouts —
+    exercised here through the same pandas-level merge path the partition
+    tasks run (no Ray session needed)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    ivs = []
+    for k in range(rng.integers(1, 6)):
+        t = int(rng.integers(-50, 0))
+        for _ in range(rng.integers(0, 6)):
+            start = t + int(rng.integers(1, 10))
+            end = start + int(rng.integers(0, 8))
+            ivs.append((k, start, end))
+            t = end
+    if not ivs:
+        ivs = [(0, 0, 0)]
+    iv = pd.DataFrame(ivs, columns=["k", "start", "end"])
+    pt = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, 60),
+            "t": rng.integers(-60, 60, 60),
+            "pid": np.arange(60),
+        }
+    )
+    # replicate the merge kernel: factorize keys, rank-compress, searchsorted
+    kcodes, _ = pd.factorize(np.concatenate([iv["k"].to_numpy(), pt["k"].to_numpy()]))
+    ik, pk_ = kcodes[: len(iv)].astype(np.int64), kcodes[len(iv):].astype(np.int64)
+    st_, en, ts = iv["start"].to_numpy(), iv["end"].to_numpy(), pt["t"].to_numpy()
+    uniq = np.unique(np.concatenate([st_, ts]))
+    sr = np.searchsorted(uniq, st_).astype(np.int64)
+    tr = np.searchsorted(uniq, ts).astype(np.int64)
+    m = np.int64(2 * len(uniq) + 2)
+    enc_iv = ik * m + sr * 2
+    enc_pt = pk_ * m + tr * 2 + 1
+    io = np.argsort(enc_iv, kind="stable")
+    cand = np.searchsorted(enc_iv[io], enc_pt, side="right") - 1
+    ok = cand >= 0
+    ci = io[np.maximum(cand, 0)]
+    ok &= (ik[ci] == pk_) & (ts <= en[ci])
+    got = {
+        (int(pt["pid"].iloc[i]), int(st_[ci[i]]))
+        for i in range(len(pt))
+        if ok[i]
+    }
+    exp = set()
+    for i in range(len(pt)):
+        mrow = iv[(iv["k"] == pt["k"].iloc[i]) & (iv["start"] <= pt["t"].iloc[i]) & (pt["t"].iloc[i] <= iv["end"])]
+        assert len(mrow) <= 1
+        if len(mrow):
+            exp.add((int(pt["pid"].iloc[i]), int(mrow["start"].iloc[0])))
+    assert got == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(5, 40))
+def test_misra_gries_partial_guarantee_property(seed, k):
+    """Per-batch MG compression invariant: for every token,
+    est <= true <= est + n/(k+1) (the per-batch half of the merged n/k
+    bound), for arbitrary count distributions."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    nvals = int(rng.integers(1, 120))
+    cnt = rng.integers(1, 50, nvals).astype(np.int64)
+    n = int(cnt.sum())
+    tok = np.array([f"t{j}" for j in range(nvals)])
+    # the kernel from sketch.heavy_hitters_sketch's partial
+    if len(cnt) > k:
+        order = np.argsort(-cnt, kind="stable")[: k + 1]
+        dec = cnt[order[-1]]
+        keep = order[:k]
+        ktok, kcnt = tok[keep], cnt[keep] - dec
+        m = kcnt > 0
+        ktok, kcnt = ktok[m], kcnt[m]
+    else:
+        ktok, kcnt = tok, cnt
+    est = dict(zip(ktok, kcnt))
+    true = dict(zip(tok, cnt))
+    for t_, c in true.items():
+        e = est.get(t_, 0)
+        assert e <= c <= e + n // (k + 1) + 1
