@@ -753,15 +753,24 @@ def _cc_large_small_star(pairs, id_col: str, max_rounds: int = 32, checkpoint_di
     def persist(e, rnd: int):
         if checkpoint_dir is None:
             return e.materialize()
-        import os
-        import shutil
+        # all checkpoint I/O goes through pyarrow.fs so remote checkpoint
+        # dirs (s3://, hdfs://) work — driver-local shutil would only clean
+        # the driver's disk
+        from pyarrow import fs as pafs
 
-        path = os.path.join(checkpoint_dir, f"round={rnd}")
-        e.write_parquet(path)
-        prev_path = os.path.join(checkpoint_dir, f"round={rnd - 1}")
-        if rnd > 0 and os.path.isdir(prev_path):
-            shutil.rmtree(prev_path)
-        return ray.data.read_parquet(path)
+        filesystem, root = pafs.FileSystem.from_uri(checkpoint_dir)
+        root = root.rstrip("/")
+        path = f"{root}/round={rnd}"
+        # a pre-existing round dir (rerun with the same checkpoint_dir)
+        # leaves stale uniquely-named fragments that read_parquet would
+        # merge with the fresh edges — delete it before writing
+        if filesystem.get_file_info(path).type != pafs.FileType.NotFound:
+            filesystem.delete_dir(path)
+        e.write_parquet(path, filesystem=filesystem)
+        prev_path = f"{root}/round={rnd - 1}"
+        if rnd > 0 and filesystem.get_file_info(prev_path).type != pafs.FileType.NotFound:
+            filesystem.delete_dir(prev_path)
+        return ray.data.read_parquet(path, filesystem=filesystem)
 
     # round 0 (the input pair stream) stays a materialize: it also feeds the
     # empty-graph check, and an empty dataset round-trips poorly via parquet

@@ -182,8 +182,10 @@ def anti_join(
     return both.groupby("_pk").map_groups(merge, batch_format="pandas")
 
 
-# per-worker-process cache of fetched Bloom bitsets (ObjectRef hex -> array);
-# stateless probe tasks reuse the zero-copy plasma view across batches
+# per-worker-process cache of the MOST RECENT fetched Bloom bitset
+# (ObjectRef hex -> array); single-entry — cleared before each insert so a
+# long-lived worker running many bloom_semi_join jobs doesn't pin one plasma
+# view per job for the process lifetime (the _CENTROID_CACHE rule)
 _BLOOM_MEMO: dict = {}
 
 
@@ -223,7 +225,15 @@ def bloom_semi_join(
 
     def probe_positions(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         with np.errstate(over="ignore"):
-            k = keys.astype(np.uint64)
+            if np.issubdtype(keys.dtype, np.integer):
+                k = keys.astype(np.uint64)
+            else:
+                # string / datetime / float keys: hash to uint64 first (same
+                # keyed hash as _hash_cols) — the advertised URL/blocklist
+                # decontamination case joins on string keys
+                k = pd.util.hash_array(keys, hash_key="0123456789123456").astype(
+                    np.uint64
+                )
             h1 = mix64(k) & mask
             h2 = mix64(k + S2) & mask
         return h1, h2
@@ -255,6 +265,7 @@ def bloom_semi_join(
         bt = _BLOOM_MEMO.get(bits_ref.hex())
         if bt is None:
             bt = ray.get(bits_ref)
+            _BLOOM_MEMO.clear()  # single-entry: drop any previous job's bitset
             _BLOOM_MEMO[bits_ref.hex()] = bt
         h1, h2 = probe_positions(b.column(on).to_numpy(zero_copy_only=False))
         hit = (
@@ -311,6 +322,18 @@ def rollup_aggregate(
     from ..util import grouped_aggregate
 
     finest = grouped_aggregate(ds, keys, aggs)
+    # the ALL sentinel is a string, so every key column must be string-typed
+    # across ALL levels or the union carries conflicting schemas — cast the
+    # finest level's keys once (coarser levels re-aggregate from it)
+    def cast_keys(df: pd.DataFrame) -> pd.DataFrame:
+        # Arrow's cast (not pandas astype) so int->string matches SQL's CAST;
+        # pandas batch format keeps the level datasets' block type uniform
+        # with grouped_aggregate's pandas output (union requires one type)
+        for k in keys:
+            df[k] = pa.Array.from_pandas(df[k]).cast(pa.string()).to_pandas()
+        return df[keys + list(aggs)]
+
+    finest = finest.map_batches(cast_keys, batch_format="pandas")
     # re-agg spec over the finest partials: counts become sums of counts
     reagg = {
         out: (out, "sum" if fn in ("sum", "count", "size") else fn)

@@ -19,6 +19,15 @@ import pyarrow as pa
 from ..util import grouped_aggregate
 
 
+def _cents_half_away(values: np.ndarray) -> np.ndarray:
+    """``round(value*100)`` as int64 cents with HALF-AWAY-FROM-ZERO ties —
+    the SQL ``round()`` rule (DuckDB, ANSI).  ``np.round`` is half-to-even,
+    which diverges from the oracle whenever ``value*100`` lands exactly on
+    .5; this rule is pinned by a tie-value test."""
+    v = np.asarray(values, dtype=np.float64) * 100.0
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
 def add_tumbling_window(ds, ts_col: str = "ts", size_s: int = 3600, out_col: str = "window"):
     """Adds the window ordinal = floor(epoch_seconds / size) as int64."""
 
@@ -204,7 +213,7 @@ def rolling_sum(
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, ts_col, id_col], kind="stable")
         k = g[key].to_numpy()
-        cents = np.round(g[value_col].to_numpy() * 100.0).astype(np.int64)
+        cents = _cents_half_away(g[value_col].to_numpy())
         n = len(cents)
         cs = np.concatenate(([0], np.cumsum(cents)))
         roll = cs[1:] - cs[np.maximum(np.arange(n) - window + 1, 0)]
@@ -262,7 +271,7 @@ def rolling_sum_time(
             sec = t.astype("int64")
         kcodes, _u = pd.factorize(g[key].to_numpy())
         kcodes = kcodes.astype(np.int64)
-        cents = np.round(g[value_col].to_numpy() * 100.0).astype(np.int64)
+        cents = _cents_half_away(g[value_col].to_numpy())
         n = len(cents)
         cs = np.concatenate(([0], np.cumsum(cents)))
         # frame end: RANGE includes PEERS — the last index with the same

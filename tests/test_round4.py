@@ -1,0 +1,202 @@
+"""Round-4 regression tests: the five ADVICE findings (string-key Bloom
+semi join, Bloom memo eviction, non-string ROLLUP keys, half-away cents
+rounding, checkpoint-dir reuse) plus fixtures for the round-4 directives."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_bloom_semi_join_string_keys(ray_session):
+    """ADVICE r3: probe_positions crashed on string keys (astype uint64);
+    URL/blocklist decontamination — the advertised use — joins on strings."""
+    import ray.data
+
+    from rasterflow.pipelines.relational import bloom_semi_join
+
+    rng = np.random.default_rng(43)
+    urls = [f"https://host{i}.example/p{i}" for i in range(500)]
+    left = pd.DataFrame(
+        {"url": [urls[i] for i in rng.integers(0, 500, 2000)], "v": np.arange(2000)}
+    )
+    right = pd.DataFrame({"url": [urls[i] for i in rng.integers(0, 80, 60)]})
+    got = (
+        bloom_semi_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(2),
+            on="url",
+            left_cols=["v"],
+            nbits=1 << 10,  # tiny: forces false positives through the verify
+        )
+        .to_pandas()
+        .sort_values(["url", "v"])
+        .reset_index(drop=True)
+    )
+    keys = set(right["url"])
+    exp = (
+        left[left["url"].isin(keys)]
+        .sort_values(["url", "v"])
+        .reset_index(drop=True)[["url", "v"]]
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_bloom_memo_single_entry(ray_session):
+    """ADVICE r3: _BLOOM_MEMO pinned one plasma view per job forever; it is
+    now single-entry (cleared before each insert)."""
+    import ray.data
+
+    from rasterflow.pipelines import relational
+    from rasterflow.pipelines.relational import bloom_semi_join
+
+    left = pd.DataFrame({"k": np.arange(100), "v": np.arange(100)})
+    for salt in range(3):
+        right = pd.DataFrame({"k": np.arange(salt, 50 + salt)})
+        bloom_semi_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="k",
+            left_cols=["v"],
+            exact=False,
+        ).materialize()
+    # driver-process memo (local-mode probes may run in-process too)
+    assert len(relational._BLOOM_MEMO) <= 1
+
+
+def test_rollup_aggregate_int_keys(ray_session):
+    """ADVICE r3: the ALL sentinel is a string, so int key columns made the
+    per-level union carry conflicting types and fail; keys are now cast."""
+    import ray.data
+
+    from rasterflow.pipelines.relational import rollup_aggregate
+
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame(
+        {
+            "week": rng.integers(1, 4, 300),
+            "status": rng.integers(200, 203, 300),
+            "n": rng.integers(1, 50, 300),
+        }
+    )
+    got = (
+        rollup_aggregate(
+            ray.data.from_pandas(df).repartition(3),
+            ["week", "status"],
+            {"cnt": ("n", "count"), "s": ("n", "sum")},
+        )
+        .to_pandas()
+        .sort_values(["week", "status"])
+        .reset_index(drop=True)
+    )
+    sdf = df.assign(week=df["week"].astype(str), status=df["status"].astype(str))
+    fine = sdf.groupby(["week", "status"], as_index=False).agg(
+        cnt=("n", "count"), s=("n", "sum")
+    )
+    mid = sdf.groupby(["week"], as_index=False).agg(cnt=("n", "count"), s=("n", "sum"))
+    mid["status"] = "ALL"
+    top = pd.DataFrame(
+        {"week": ["ALL"], "status": ["ALL"], "cnt": [len(df)], "s": [df["n"].sum()]}
+    )
+    exp = (
+        pd.concat([fine, mid, top], ignore_index=True)[["week", "status", "cnt", "s"]]
+        .sort_values(["week", "status"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["week", "status", "cnt", "s"]].astype({"cnt": "int64", "s": "int64"}),
+        exp.astype({"cnt": "int64", "s": "int64"}),
+    )
+
+
+def test_cents_half_away_ties():
+    """ADVICE r3: np.round is half-to-even; SQL round() is half-away.  Pin
+    the tie behavior on binary-exact .5 values (0.125*100 == 12.5)."""
+    from rasterflow.pipelines.windows import _cents_half_away
+
+    vals = np.array([0.125, 0.375, -0.125, -0.375, 1.0, 0.0, 2.005])
+    got = _cents_half_away(vals)
+    # np.round would give 12, 38(!), -12, -38 — even-rounded
+    assert list(got[:6]) == [13, 38, -13, -38, 100, 0]
+    # 2.005 is NOT binary-exact (2.005*100 = 200.49999...): floor+0.5 keeps
+    # whatever the float actually is; duckdb's round on the same double agrees
+    import duckdb
+
+    exp = duckdb.sql("SELECT CAST(round(2.005::DOUBLE * 100) AS BIGINT)").fetchone()[0]
+    assert got[6] == exp
+
+
+def test_rolling_sum_tie_values_match_oracle(ray_session):
+    """rolling_sum on values whose cents land exactly on .5 hash-matches the
+    DuckDB window oracle (the latent mismatch ADVICE flagged)."""
+    import duckdb
+    import ray.data
+
+    from rasterflow.pipelines.windows import rolling_sum
+
+    n = 60
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 5, n),
+            "ts": np.sort(rng.integers(0, 10_000, n)),
+            "value": rng.choice([0.125, 0.375, 0.625, 1.875, 2.0], n),
+        }
+    )
+    got = (
+        rolling_sum(ray.data.from_pandas(df).repartition(3), window=3)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    exp = con.sql(
+        """
+        SELECT event_id, user_id,
+               SUM(CAST(round(value*100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_cents
+        FROM events ORDER BY event_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "roll_cents"]].astype("int64"),
+        exp.astype("int64"),
+    )
+
+
+def test_cc_checkpoint_rerun_same_dir(ray_session, tmp_path):
+    """ADVICE r3: rerunning with the same checkpoint_dir merged stale
+    round-N fragments with fresh edges; round dirs are now deleted before
+    write, through pyarrow.fs."""
+    import ray.data
+
+    from rasterflow.pipelines.dedup import neardup_clusters
+
+    texts = (
+        ["alpha beta gamma delta epsilon zeta"] * 3
+        + ["one two three four five six seven"] * 2
+        + [f"unique text number {i} with words {i * 7} {i * 13}" for i in range(10)]
+    )
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ck = str(tmp_path / "cc")
+
+    def run():
+        return (
+            neardup_clusters(
+                ray.data.from_pandas(df).repartition(3),
+                threshold=0.5,
+                distributed=True,
+                checkpoint_dir=ck,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    first = run()
+    second = run()  # same dir: must not see the first run's fragments
+    pd.testing.assert_frame_equal(first, second)
+    assert len(first) > 0
