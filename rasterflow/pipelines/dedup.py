@@ -1197,6 +1197,34 @@ def winnow_fingerprints(ds, min_len: int, k: int, content_col: str = "text", id_
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _estimate_hot_fps(fps, threshold: int, topk: int = 64) -> dict[int, int]:
+    """Driver-side estimate of fingerprint-bucket sizes: each block emits its
+    top-``topk`` band_hash counts (≤ blocks×topk tiny rows), the driver sums.
+    Truncation only UNDER-estimates scattered mid-frequency grams — a missed
+    hot bucket falls back to the exact single-task path, so detection errors
+    cost balance, never correctness.  Returns {band_hash: est_count} for
+    buckets whose estimate exceeds ``threshold``."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        bh = b.column("band_hash").to_numpy(zero_copy_only=False)
+        u, c = np.unique(bh, return_counts=True)
+        if len(u) > topk:
+            keep = np.argpartition(c, -topk)[-topk:]
+            u, c = u[keep], c[keep]
+        return pa.table({"band_hash": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    parts = fps.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    if not len(parts):
+        return {}
+    tot = parts.groupby("band_hash")["n"].sum()
+    hot = tot[tot > threshold]
+    return {int(h): int(n) for h, n in hot.items()}
+
+
+# sb namespace for tiled hot-bucket tasks sits above the normal super-buckets
+_HOT_SB_SPACE = 1 << 20
+
+
 def substring_dup_pairs(
     ds,
     min_len: int = 30,
@@ -1205,6 +1233,7 @@ def substring_dup_pairs(
     id_col: str = "doc_id",
     max_bucket: int | None = None,
     num_partitions: int = 32,
+    tile_hot: int | None = 2048,
 ):
     """EXACT pairs of docs sharing ≥ ``min_len`` consecutive characters —
     the substring-level dedup signal of Lee et al. (ACL'22, "Deduplicating
@@ -1222,15 +1251,29 @@ def substring_dup_pairs(
       2^-64 hash collision cannot leak a wrong pair).
 
     Plan: fingerprint rows (16 B each, ~2/(w+1) per char) → fp-bucket
-    candidate (doc, pos) pairs (same ``_grouped_run`` machinery as the LSH
-    family) → texts joined back via two partitioned
-    :func:`~rasterflow.pipelines.relational.hash_join` passes (the corpus
-    ships twice; snippets are NOT shipped with every fingerprint, which
-    would cost ~12× the text volume) → one vectorized anchored-extension
-    byte compare per batch → distinct (id_a, id_b).
+    candidate (doc, pos) pairs → per-candidate-POSITION snippets (the
+    ±min_len context around each anchor, ~80 B) joined back via partitioned
+    :func:`~rasterflow.pipelines.relational.hash_join` passes — the
+    pair-sized shuffles carry snippets, never whole documents (snippets are
+    NOT shipped with every fingerprint either, which would cost ~12× the
+    text volume; they're extracted only for the distinct (doc, pos)
+    anchors that survive candidate generation) → one vectorized
+    anchored-extension byte compare per batch → distinct (id_a, id_b).
 
-    ``max_bucket`` caps fingerprint buckets (boilerplate k-grams shared by
-    ~all docs) at the price of the exactness guarantee; ``None`` (default)
+    Hot buckets (``tile_hot``, default 2048): a boilerplate k-gram shared by
+    m ≫ tile docs would make ONE partition task enumerate C(m,2) pairs.
+    With ``max_bucket=None`` the plan first estimates bucket sizes (one
+    extra pass over the fingerprint stream — per-block top-64 count
+    partials, a few KB to the driver) and REPLICATES each hot bucket's rows
+    into ceil(m/tile) × (ceil(m/tile)+1)/2 independent (i, j) tile-pair
+    tasks: every pair is still enumerated exactly once, but no task ever
+    materializes more than ~tile² candidate codes.  Exactness is
+    preserved — tiling only re-partitions the enumeration.  Detection is
+    approximate (per-block top-k): a missed hot bucket degrades to the
+    single-task path, never to a wrong answer.
+
+    ``max_bucket`` caps fingerprint buckets instead (forfeits the
+    no-false-negative guarantee) and disables tiling; ``None`` (default)
     is exact.  Byte-level spans equal character-level spans for ASCII
     corpora (multi-byte UTF-8 spans are measured in bytes)."""
     from .relational import hash_join
@@ -1279,23 +1322,242 @@ def substring_dup_pairs(
             {"id_a": ids[a], "pos_a": pos[a], "id_b": ids[b], "pos_b": pos[b]}
         )
 
-    cands = _grouped_run(fps, pair_group)
+    hot: dict[int, int] = {}
+    if max_bucket is None and tile_hot is not None:
+        # extra pass over the fingerprint stream (re-executes winnowing —
+        # CPU for bounded memory; the partials themselves are tiny)
+        hot = _estimate_hot_fps(fps, threshold=tile_hot)
 
-    def rename(new_id: str, new_text: str):
-        def f(b: pa.Table) -> pa.Table:
-            return pa.table({new_id: b.column(id_col), new_text: b.column(content_col)})
+    if hot:
+        from ..stages.texthash import mix64
+
+        hfp = np.sort(np.fromiter(hot.keys(), dtype=np.int64, count=len(hot)))
+        tiles = np.array(
+            [max(2, -(-hot[int(h)] // tile_hot)) for h in hfp], dtype=np.int64
+        )
+
+        def route(b: pa.Table) -> pa.Table:
+            bh = b.column("band_hash").to_numpy(zero_copy_only=False).astype(np.int64)
+            band = b.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+            ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = b.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+            ic = np.minimum(np.searchsorted(hfp, bh), len(hfp) - 1)
+            ish = hfp[ic] == bh
+            cold = np.flatnonzero(~ish)
+            hh = np.flatnonzero(ish)
+            with np.errstate(over="ignore"):
+                sbn = (
+                    (bh[cold].astype(np.uint64) * _FNV + band[cold])
+                    % np.uint64(NUM_SUPER_BUCKETS)
+                ).astype(np.int32)
+            parts = {
+                "band_hash": [bh[cold]],
+                id_col: [ids[cold]],
+                "pos": [pos[cold]],
+                "ti": [np.full(len(cold), -1, dtype=np.int32)],
+                "tj": [np.full(len(cold), -1, dtype=np.int32)],
+                "tile": [np.full(len(cold), -1, dtype=np.int32)],
+                "sb": [sbn],
+            }
+            if len(hh):
+                T = tiles[ic[hh]]
+                with np.errstate(over="ignore"):
+                    mytile = (
+                        mix64(ids[hh].astype(np.uint64) * _FNV + pos[hh].astype(np.uint64))
+                        % T.astype(np.uint64)
+                    ).astype(np.int64)
+                rep = np.repeat(hh, T)
+                total = int(T.sum())
+                j = np.arange(total, dtype=np.int64) - np.repeat(
+                    _cumsum0(T)[:-1], T
+                )
+                mt = np.repeat(mytile, T)
+                ti = np.minimum(mt, j)
+                tj = np.maximum(mt, j)
+                with np.errstate(over="ignore"):
+                    sbh = NUM_SUPER_BUCKETS + (
+                        mix64(
+                            bh[rep].astype(np.uint64) * _FNV
+                            + ti.astype(np.uint64) * np.uint64(0x9E3779B9)
+                            + tj.astype(np.uint64)
+                        )
+                        % np.uint64(_HOT_SB_SPACE)
+                    ).astype(np.int32)
+                parts["band_hash"].append(bh[rep])
+                parts[id_col].append(ids[rep])
+                parts["pos"].append(pos[rep])
+                parts["ti"].append(ti.astype(np.int32))
+                parts["tj"].append(tj.astype(np.int32))
+                parts["tile"].append(mt.astype(np.int32))
+                parts["sb"].append(sbh)
+            return pa.table({c: pa.array(np.concatenate(v)) for c, v in parts.items()})
+
+        def pair_group_tiled(g: pd.DataFrame) -> pd.DataFrame:
+            ti_all = g["ti"].to_numpy()
+            frames = []
+            cold = g[ti_all < 0]
+            if len(cold) >= 2:
+                frames.append(pair_group(cold))
+            h = g[ti_all >= 0]
+            if len(h) >= 2:
+                bh = h["band_hash"].to_numpy()
+                ids = h[id_col].to_numpy()
+                pos = h["pos"].to_numpy()
+                hti = h["ti"].to_numpy()
+                htj = h["tj"].to_numpy()
+                htl = h["tile"].to_numpy()
+                o = np.lexsort((pos, ids, htl, htj, hti, bh))
+                bh, ids, pos = bh[o], ids[o], pos[o]
+                hti, htj, htl = hti[o], htj[o], htl[o]
+                seg = np.flatnonzero(
+                    np.concatenate(
+                        (
+                            [True],
+                            (bh[1:] != bh[:-1])
+                            | (hti[1:] != hti[:-1])
+                            | (htj[1:] != htj[:-1]),
+                        )
+                    )
+                )
+                ends = np.append(seg[1:], len(bh))
+                for s, e in zip(seg, ends):
+                    if hti[s] == htj[s]:
+                        m = e - s
+                        if m < 2:
+                            continue
+                        iu, ju = np.triu_indices(m, 1)
+                        ia, ib = s + iu, s + ju
+                    else:
+                        am = htl[s:e] == hti[s]
+                        A = s + np.flatnonzero(am)
+                        B = s + np.flatnonzero(~am)
+                        if len(A) == 0 or len(B) == 0:
+                            continue
+                        ia = np.repeat(A, len(B))
+                        ib = np.tile(B, len(A))
+                    keep = ids[ia] != ids[ib]
+                    if not keep.any():
+                        continue
+                    ia, ib = ia[keep], ib[keep]
+                    swap = ids[ia] > ids[ib]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": np.where(swap, ids[ib], ids[ia]),
+                                "pos_a": np.where(swap, pos[ib], pos[ia]),
+                                "id_b": np.where(swap, ids[ia], ids[ib]),
+                                "pos_b": np.where(swap, pos[ia], pos[ib]),
+                            }
+                        )
+                    )
+            if not frames:
+                return pd.DataFrame(
+                    {
+                        "id_a": pd.Series(dtype="int64"),
+                        "pos_a": pd.Series(dtype="int64"),
+                        "id_b": pd.Series(dtype="int64"),
+                        "pos_b": pd.Series(dtype="int64"),
+                    }
+                )
+            return pd.concat(frames, ignore_index=True)
+
+        routed = coalesce_small(fps.map_batches(route, batch_format="pyarrow"), 32)
+        cands = (
+            routed.groupby("sb")
+            .map_groups(pair_group_tiled, batch_format="pandas")
+            .repartition(4)
+        )
+    else:
+        cands = _grouped_run(fps, pair_group)
+
+    # the candidate stream feeds three consumers (two position projections +
+    # the pair join) — materialize once instead of re-running fingerprinting
+    # and enumeration three times; 32 B/row, spills if large
+    cands = cands.materialize()
+
+    left_w = min_len - 1
+    right_w = k + min_len - 1
+
+    def side(ic_, pc_):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({id_col: t.column(ic_), "pos": t.column(pc_)})
 
         return f
 
-    docs_a = ds.map_batches(rename("id_a", "text_a"), batch_format="pyarrow")
-    docs_b = ds.map_batches(rename("id_b", "text_b"), batch_format="pyarrow")
+    positions = grouped_aggregate(
+        coalesce_small(
+            cands.map_batches(side("id_a", "pos_a"), batch_format="pyarrow").union(
+                cands.map_batches(side("id_b", "pos_b"), batch_format="pyarrow")
+            ),
+            8,
+        ),
+        [id_col, "pos"],
+        {"_n": (id_col, "count")},
+        num_partitions=16,
+    ).map_batches(
+        lambda t: t.select([id_col, "pos"]), batch_format="pyarrow"
+    )
+
+    docs = ds.map_batches(
+        lambda t: t.select([id_col, content_col]), batch_format="pyarrow"
+    )
+    snip_src = hash_join(
+        positions, docs, on=id_col, left_cols=["pos"], right_cols=[content_col],
+        num_partitions=num_partitions,
+    )
+
+    def extract_snip(b: pa.Table) -> pa.Table:
+        """(id, pos, text) -> (id, pos, ppos, snip): the ±extension window
+        around the anchor, as bytes (byte-offset slices may split UTF-8
+        codepoints; verification compares bytes)."""
+        from ..stages.texthash import flat_bytes
+
+        data, offs = flat_bytes(b.column(content_col))
+        pos = b.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = offs[:-1] + np.maximum(pos - left_w, 0)
+        e = np.minimum(offs[:-1] + pos + right_w, offs[1:])
+        lens = e - s
+        out_off = _cumsum0(lens)
+        idx = np.repeat(s, lens) + (
+            np.arange(out_off[-1], dtype=np.int64) - np.repeat(out_off[:-1], lens)
+        )
+        flat = np.ascontiguousarray(data[idx])
+        snip = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), len(lens), [None, pa.py_buffer(out_off), pa.py_buffer(flat)]
+        )
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "pos": b.column("pos"),
+                "ppos": pa.array(np.minimum(pos, left_w)),
+                "snip": snip,
+            }
+        )
+
+    snips = snip_src.map_batches(extract_snip, batch_format="pyarrow").materialize()
+
+    def rename_side(suffix: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    f"id_{suffix}": t.column(id_col),
+                    f"pos_{suffix}": t.column("pos"),
+                    f"ppos_{suffix}": t.column("ppos"),
+                    f"snip_{suffix}": t.column("snip"),
+                }
+            )
+
+        return f
+
+    snips_a = snips.map_batches(rename_side("a"), batch_format="pyarrow")
+    snips_b = snips.map_batches(rename_side("b"), batch_format="pyarrow")
     j1 = hash_join(
-        cands, docs_a, on="id_a", left_cols=["pos_a", "id_b", "pos_b"],
-        right_cols=["text_a"], num_partitions=num_partitions,
+        cands, snips_a, on=["id_a", "pos_a"], left_cols=["id_b", "pos_b"],
+        right_cols=["ppos_a", "snip_a"], num_partitions=num_partitions,
     )
     j2 = hash_join(
-        j1, docs_b, on="id_b", left_cols=["id_a", "pos_a", "pos_b", "text_a"],
-        right_cols=["text_b"], num_partitions=num_partitions,
+        j1, snips_b, on=["id_b", "pos_b"], left_cols=["id_a", "ppos_a", "snip_a"],
+        right_cols=["ppos_b", "snip_b"], num_partitions=num_partitions,
     )
 
     def _gather(data: np.ndarray, base: np.ndarray, step: int, width: int, limit: np.ndarray, sentinel: int) -> np.ndarray:
@@ -1312,21 +1574,23 @@ def substring_dup_pairs(
         return out
 
     def verify(b: pa.Table) -> pa.Table:
-        from ..stages.texthash import flat_utf8
+        # identical anchored-extension compare as over full texts: the
+        # snippet covers exactly the max extension range (left_w + k +
+        # right_w), and ppos is the anchor's offset within it, so every
+        # llim/rlim clamp is unchanged
+        from ..stages.texthash import flat_bytes
 
         empty = pa.table(
             {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
         )
         if len(b) == 0:
             return empty
-        da, oa = flat_utf8(b.column("text_a"))
-        db, ob = flat_utf8(b.column("text_b"))
-        pa_ = b.column("pos_a").to_numpy(zero_copy_only=False).astype(np.int64)
-        pb_ = b.column("pos_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        da, oa = flat_bytes(b.column("snip_a"))
+        db, ob = flat_bytes(b.column("snip_b"))
+        pa_ = b.column("ppos_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        pb_ = b.column("ppos_b").to_numpy(zero_copy_only=False).astype(np.int64)
         la = np.diff(oa)
         lb = np.diff(ob)
-        left_w = min_len - 1
-        right_w = k + min_len - 1
         llim = np.minimum(np.minimum(pa_, pb_), left_w)
         rlim_a = np.minimum(la - pa_, right_w)
         rlim_b = np.minimum(lb - pb_, right_w)

@@ -99,6 +99,26 @@ def flat_utf8(col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     return data, offs
 
 
+def flat_bytes(col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string OR binary column -> (flat uint8 buffer, int64 offsets).
+
+    Like :func:`flat_utf8` but casts to large_binary, so it also accepts
+    binary columns whose values are NOT valid UTF-8 (byte-offset text
+    snippets sliced mid-codepoint)."""
+    arr = pc.cast(col, pa.large_binary())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    buf = arr.buffers()[2]
+    data = np.frombuffer(buf, dtype=np.uint8) if buf is not None else np.empty(0, dtype=np.uint8)
+    if offs[0] != 0:
+        data = data[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+    else:
+        data = data[: offs[-1]]
+    return data, offs
+
+
 _PB = 1 << 16
 _POW_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 

@@ -47,6 +47,9 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = E.queries()
+    if len(sys.argv) > 2:  # optional comma-separated query-name filter
+        only = set(sys.argv[2].split(","))
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = E.oracle_sql()
     failures = 0
     for name, fn in qs.items():
