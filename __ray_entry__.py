@@ -943,14 +943,35 @@ def _q_props_k_by_type(sf_dir: str):
 
 
 def _q_lang_chars_quantiles(sf_dir: str):
+    """Per-language n_chars quantiles via the distributed selection path
+    (round 4: group_quantiles_select — no bounded-distinct assumption, no
+    driver histogram; identical rank rule to the old histogram path)."""
     import ray.data
 
-    from rasterflow.pipelines.sampling import group_quantiles
+    from rasterflow.pipelines.sampling import group_quantiles_select
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
     )
-    return group_quantiles(ds, "n_chars", "lang", qs=(0.25, 0.5, 0.9))
+    return group_quantiles_select(
+        ds, "n_chars", "lang", qs=(0.25, 0.5, 0.9), max_collect=50_000
+    )
+
+
+def _q_group_quantiles_cont(sf_dir: str):
+    """Per-event-type quantiles of a CONTINUOUS column (values effectively
+    all-distinct): the fixture the old driver-histogram path could not scale
+    to — exercises the (group, value) pivot selection end to end."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_quantiles_select
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return group_quantiles_select(
+        ds, "value", "event_type", qs=(0.25, 0.5, 0.9), max_collect=10_000
+    )
 
 
 def _q_uniform_sample(sf_dir: str):
@@ -1149,6 +1170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # additions, then the 24 round-3 entries the r3 driver file never
     # sampled, then the long-green remainder.
     return {
+        # -- round-4 additions (newest first) --
+        "group_quantiles_cont": _q_group_quantiles_cont,
         # -- round-3 entries absent from CORRECTNESS_r03 (driver sampled
         #    only the first 50 keys last round) --
         "filter_agg_rect": _q_filter_agg_rect,
@@ -2091,8 +2114,18 @@ cum AS (SELECT lang, v, sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cc FROM 
 tot AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
 qs(q) AS (VALUES (0.25), (0.5), (0.9))
 SELECT t.lang, q,
-       (SELECT min(v) FROM cum WHERE cum.lang = t.lang AND cc >= CEIL(qs.q * t.n)) AS value
+       (SELECT CAST(min(v) AS DOUBLE) FROM cum WHERE cum.lang = t.lang AND cc >= CEIL(qs.q * t.n)) AS value
 FROM tot t CROSS JOIN qs ORDER BY lang, q
+""",
+        "group_quantiles_cont": """
+WITH s AS (SELECT event_type, value AS v,
+                  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+qs(q) AS (VALUES (0.25), (0.5), (0.9))
+SELECT s.event_type, q, v AS value
+FROM s JOIN qs ON s.rn = GREATEST(1, CAST(CEIL(qs.q * s.n) AS BIGINT))
+ORDER BY event_type, q
 """,
         "uniform_sample": _uniform_sample_sql(200),
         "vocab_stats": r"""

@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -530,6 +531,268 @@ def column_quantiles_select(
         raise RuntimeError("quantile selection did not converge")
     return ray.data.from_arrow(
         pa.table({"q": pa.array(list(map(float, qs)), type=pa.float64()), "value": pa.array(list(answer))})
+    )
+
+
+def group_quantiles_select(
+    ds,
+    col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+    sample_per_batch: int = 256,
+    max_collect: int = 2_000_000,
+    max_rounds: int = 12,
+):
+    """Exact PER-GROUP quantiles for ARBITRARY value columns — the grouped
+    form of :func:`column_quantiles_select`, with NO bounded-distinct
+    assumption (upgrades :func:`group_quantiles`, whose driver histogram
+    materializes every distinct ``(group, value)`` pair — fatal for a
+    continuous per-group metric at web scale).
+
+    Same distributed selection, with the interval state keyed by
+    ``(group, quantile)``: one small inventory pass gives each group's row
+    count; each round samples candidate pivots per active (group, interval),
+    counts EXACT within-group ranks below every pivot in one
+    (group, value)-lexsorted pass per batch, and narrows.  The sample only
+    picks pivots — every narrowing decision uses exact counts, so results
+    are exact for any distribution.  Converges in O(log) passes; driver
+    memory is O(#groups × #qs) scalars plus ≤ ``max_collect`` collected
+    values, NOT O(#distinct).
+
+    Sizing: per-batch work holds a loop over ACTIVE groups (vectorized
+    searchsorted per group segment), so this is built for the
+    per-language / per-source / per-bucket reporting shape (10²–10⁴
+    groups).  Millions of groups want :func:`group_quantiles` (bounded
+    distinct) or a sketch.
+
+    Output ``(group, q, value)`` sorted by (group, q) — same rank rule as
+    :func:`column_quantiles`: smallest v with within-group cumulative
+    count ≥ ceil(q·n_group)."""
+    import ray.data
+
+    # pass 0: group inventory + exact row counts (one tiny row per group)
+    def cpartial(b: pa.Table) -> pa.Table:
+        gv = b.column(group_col).to_numpy(zero_copy_only=False)
+        vv = b.column(col).to_numpy(zero_copy_only=False)
+        ok = ~pd.isna(vv)
+        vc = pd.Series(gv[ok]).value_counts()
+        return pa.table(
+            {
+                group_col: pa.array(vc.index.to_numpy()),
+                "n": pa.array(vc.to_numpy().astype(np.int64)),
+            }
+        )
+
+    gcounts = (
+        grouped_aggregate(
+            coalesce_small(ds.map_batches(cpartial, batch_format="pyarrow"), 4),
+            group_col,
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()
+        .sort_values(group_col)
+        .reset_index(drop=True)
+    )
+    groups = gcounts[group_col].to_numpy()
+    ng = gcounts["n"].to_numpy().astype(np.int64)
+    G, nq = len(groups), len(qs)
+    if G == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    group_col: pa.array([], type=pa.string()),
+                    "q": pa.array([], type=pa.float64()),
+                    "value": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    gmap = {g: i for i, g in enumerate(groups)}
+    ranks = np.maximum(1, np.ceil(np.asarray(qs)[None, :] * ng[:, None])).astype(np.int64)
+
+    lo = np.full((G, nq), None, dtype=object)  # None = -inf
+    hi = np.full((G, nq), None, dtype=object)  # None = +inf
+    cnt_lo = np.zeros((G, nq), dtype=np.int64)
+    cnt_hi = np.broadcast_to(ng[:, None], (G, nq)).copy()
+    answer = np.full((G, nq), None, dtype=object)
+    done = np.zeros((G, nq), dtype=bool)
+
+    def _batch_sorted(b: pa.Table):
+        """(group codes, values) of the batch, lexsorted by (code, value);
+        rows with null values or unseen groups dropped."""
+        gv = b.column(group_col).to_numpy(zero_copy_only=False)
+        vv = b.column(col).to_numpy(zero_copy_only=False)
+        code = pd.Series(gv).map(gmap).to_numpy()
+        ok = ~(pd.isna(vv) | pd.isna(code))
+        code = code[ok].astype(np.int64)
+        v = vv[ok].astype(np.float64)
+        o = np.lexsort((v, code))
+        return code[o], v[o]
+
+    def _seg(code: np.ndarray, gi: int) -> tuple[int, int]:
+        return (
+            int(np.searchsorted(code, gi, side="left")),
+            int(np.searchsorted(code, gi, side="right")),
+        )
+
+    def _interval_slice(seg: np.ndarray, l, h) -> np.ndarray:
+        s = int(np.searchsorted(seg, l, side="right")) if l is not None else 0
+        e = int(np.searchsorted(seg, h, side="right")) if h is not None else len(seg)
+        return seg[s:e]
+
+    for _ in range(max_rounds):
+        open_idx = np.argwhere(~done)
+        if len(open_idx) == 0:
+            break
+        # interval -> member (g, qi) list, deduped (quantiles share work)
+        uniq: dict = {}
+        for gi, qi in open_idx:
+            uniq.setdefault((int(gi), lo[gi, qi], hi[gi, qi]), []).append((int(gi), int(qi)))
+        small = {
+            iv: mem
+            for iv, mem in uniq.items()
+            if cnt_hi[mem[0]] - cnt_lo[mem[0]] <= max_collect
+        }
+        if small:
+            intervals = list(small)
+
+            def collect(b: pa.Table, iv=tuple(intervals)) -> pa.Table:
+                code, v = _batch_sorted(b)
+                outs = []
+                for (gi, l, h) in iv:
+                    s, e = _seg(code, gi)
+                    outs.append(_interval_slice(v[s:e], l, h))
+                which = np.repeat(np.arange(len(iv)), [len(o) for o in outs])
+                return pa.table(
+                    {
+                        "w": pa.array(which.astype(np.int32)),
+                        "v": pa.array(
+                            np.concatenate(outs) if outs else np.empty(0)
+                        ),
+                    }
+                )
+
+            got: dict[int, list] = {j: [] for j in range(len(intervals))}
+            for b in ds.map_batches(collect, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            ):
+                w = np.asarray(b.column("w"))
+                v = b.column("v").to_numpy(zero_copy_only=False)
+                for j in range(len(intervals)):
+                    got[j].append(v[w == j])
+            for j, iv in enumerate(intervals):
+                vals = np.sort(np.concatenate(got[j])) if got[j] else np.empty(0)
+                for (gi, qi) in small[iv]:
+                    answer[gi, qi] = vals[ranks[gi, qi] - cnt_lo[gi, qi] - 1]
+                    done[gi, qi] = True
+            continue
+
+        intervals = list(uniq)
+
+        def sample(b: pa.Table, iv=tuple(intervals)) -> pa.Table:
+            code, v = _batch_sorted(b)
+            outs = []
+            for (gi, l, h) in iv:
+                s, e = _seg(code, gi)
+                sv = _interval_slice(v[s:e], l, h)  # already sorted
+                if len(sv):
+                    idx = np.unique(
+                        np.linspace(
+                            0, len(sv) - 1, num=min(sample_per_batch, len(sv))
+                        ).astype(np.int64)
+                    )
+                    sv = sv[idx]
+                outs.append(sv)
+            which = np.repeat(np.arange(len(iv)), [len(o) for o in outs])
+            return pa.table(
+                {
+                    "w": pa.array(which.astype(np.int32)),
+                    "v": pa.array(np.concatenate(outs) if outs else np.empty(0)),
+                }
+            )
+
+        samp: dict[int, list] = {j: [] for j in range(len(intervals))}
+        for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            w = np.asarray(b.column("w"))
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            for j in range(len(intervals)):
+                samp[j].append(v[w == j])
+        pivots: list[np.ndarray] = []
+        for j, iv in enumerate(intervals):
+            sv = np.unique(np.concatenate(samp[j])) if samp[j] else np.empty(0)
+            if len(sv) <= 1:
+                # degenerate interval: the per-batch linspace sample always
+                # includes each batch's min/max, so ≤1 unique sampled value
+                # means every remaining value is identical
+                for (gi, qi) in uniq[iv]:
+                    answer[gi, qi] = sv[0] if len(sv) else hi[gi, qi]
+                    done[gi, qi] = True
+                pivots.append(np.empty(0))
+                continue
+            take = np.unique(
+                np.linspace(0, len(sv) - 1, num=min(256, len(sv))).astype(np.int64)
+            )
+            pivots.append(sv[take])
+
+        parts = [(j, p) for j, p in enumerate(pivots) if len(p)]
+        if not parts:
+            continue
+        pg = np.concatenate(
+            [np.full(len(p), intervals[j][0], dtype=np.int64) for j, p in parts]
+        )
+        pv = np.concatenate([p for _j, p in parts])
+
+        def countp(b: pa.Table, pg=pg, pv=pv) -> pa.Table:
+            code, v = _batch_sorted(b)
+            c = np.empty(len(pv), dtype=np.int64)
+            for gi in np.unique(pg):
+                sel = pg == gi
+                s, e = _seg(code, gi)
+                c[sel] = np.searchsorted(v[s:e], pv[sel], side="right")
+            return pa.table({"c": pa.array(c)})
+
+        tot = np.zeros(len(pv), dtype=np.int64)
+        for b in ds.map_batches(countp, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            tot += (
+                b.column("c")
+                .to_numpy(zero_copy_only=False)
+                .reshape(-1, len(pv))
+                .sum(axis=0)
+            )
+        offs = np.concatenate(([0], np.cumsum([len(p) for p in pivots])))
+        for j, iv in enumerate(intervals):
+            p = pivots[j]
+            if len(p) == 0:
+                continue
+            c = tot[offs[j] : offs[j + 1]]
+            for (gi, qi) in uniq[iv]:
+                if done[gi, qi]:
+                    continue
+                r = ranks[gi, qi]
+                pos = int(np.searchsorted(c, r))
+                if pos < len(p):
+                    hi[gi, qi] = p[pos]
+                    cnt_hi[gi, qi] = int(c[pos])
+                if pos > 0:
+                    lo[gi, qi] = p[pos - 1]
+                    cnt_lo[gi, qi] = int(c[pos - 1])
+    if not done.all():  # pragma: no cover - defensive
+        raise RuntimeError("grouped quantile selection did not converge")
+
+    gout = np.repeat(groups, nq)
+    qout = np.tile(np.asarray(qs, dtype=np.float64), G)
+    vout = answer.reshape(-1)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(gout),
+                "q": pa.array(qout, type=pa.float64()),
+                "value": pa.array(list(vout)),
+            }
+        )
     )
 
 

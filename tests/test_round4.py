@@ -233,6 +233,77 @@ def test_substring_hot_gram_stress_uncapped(ray_session):
     assert len(out) == 0
 
 
+def test_group_quantiles_select_continuous(ray_session):
+    """Directive r3#3: per-group EXACT quantiles over a continuous column
+    (every value distinct) — the old group_quantiles driver histogram would
+    materialize all 450k (group, value) pairs; the selection path keeps
+    driver state at O(groups × qs) and must still be exactly right."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_quantiles_select
+
+    rng = np.random.default_rng(61)
+    sizes = {"en": 200_000, "de": 150_000, "xx": 100_001}
+    frames = [
+        pd.DataFrame({"lang": g, "v": rng.random(n) * 1000.0})
+        for g, n in sizes.items()
+    ]
+    df = pd.concat(frames, ignore_index=True)
+    qs = (0.25, 0.5, 0.9)
+    got = (
+        group_quantiles_select(
+            ray.data.from_pandas(df).repartition(8),
+            "v",
+            "lang",
+            qs=qs,
+            max_collect=5_000,  # force real pivot-narrowing rounds
+        )
+        .to_pandas()
+        .sort_values(["lang", "q"])
+        .reset_index(drop=True)
+    )
+    import math
+
+    for g, n in sizes.items():
+        sv = np.sort(df[df["lang"] == g]["v"].to_numpy())
+        for q in qs:
+            exp = sv[max(1, math.ceil(q * n)) - 1]
+            val = got[(got["lang"] == g) & (got["q"] == q)]["value"].iloc[0]
+            assert val == exp, (g, q, val, exp)
+
+
+def test_group_quantiles_select_matches_histogram_path(ray_session):
+    """Bounded-distinct fixture: the selection path and the histogram path
+    (group_quantiles) agree exactly, including heavy duplicate runs."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_quantiles, group_quantiles_select
+
+    rng = np.random.default_rng(67)
+    df = pd.DataFrame(
+        {
+            "g": np.array(["a", "b", "c"])[rng.integers(0, 3, 30_000)],
+            "v": rng.integers(0, 50, 30_000).astype(np.float64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    qs = (0.1, 0.5, 0.99)
+    a = (
+        group_quantiles_select(ds, "v", "g", qs=qs, max_collect=100)
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+    b = (
+        group_quantiles(ds, "v", "g", qs=qs)
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+    b.columns = ["g", "q", "value"]
+    pd.testing.assert_frame_equal(a.astype({"value": "float64"}), b.astype({"value": "float64"}))
+
+
 def test_cc_checkpoint_rerun_same_dir(ray_session, tmp_path):
     """ADVICE r3: rerunning with the same checkpoint_dir merged stale
     round-N fragments with fresh edges; round dirs are now deleted before
