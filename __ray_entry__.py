@@ -781,6 +781,28 @@ def _q_bounds_contain(sf_dir: str):
     )
 
 
+def _q_join_skew_types(sf_dir: str):
+    """Skew-salted hash join (round 4): every event joined to its type's
+    total count.  event_type has ~5 values, so EVERY key crosses the 2%
+    hot threshold — the whole join runs through the salted/replicated
+    partition path (left salted across 8 partitions per key, right totals
+    replicated) and must still be value-exact."""
+    import ray.data
+
+    from rasterflow.pipelines.relational import hash_join
+    from rasterflow.util import grouped_aggregate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    totals = grouped_aggregate(ev, "event_type", {"n_type": ("event_id", "count")})
+    j = hash_join(
+        ev, totals, on="event_type", left_cols=["event_id"], right_cols=["n_type"],
+        skew="auto",
+    )
+    return j.sort("event_id")
+
+
 def _q_join_cust_orders(sf_dir: str):
     """Partitioned (fact ⋈ fact) hash join: customer ⋈ orders, per-nation
     order count + max price.  Exercises relational.hash_join — both sides
@@ -1171,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-4 additions (newest first) --
+        "join_skew_types": _q_join_skew_types,
         "group_quantiles_cont": _q_group_quantiles_cont,
         # -- round-3 entries absent from CORRECTNESS_r03 (driver sampled
         #    only the first 50 keys last round) --
@@ -2116,6 +2139,13 @@ qs(q) AS (VALUES (0.25), (0.5), (0.9))
 SELECT t.lang, q,
        (SELECT CAST(min(v) AS DOUBLE) FROM cum WHERE cum.lang = t.lang AND cc >= CEIL(qs.q * t.n)) AS value
 FROM tot t CROSS JOIN qs ORDER BY lang, q
+""",
+        "join_skew_types": """
+WITH t AS (SELECT event_type, CAST(count(event_id) AS BIGINT) AS n_type
+           FROM events GROUP BY event_type)
+SELECT e.event_type, e.event_id, t.n_type
+FROM events e JOIN t USING (event_type)
+ORDER BY e.event_id
 """,
         "group_quantiles_cont": """
 WITH s AS (SELECT event_type, value AS v,

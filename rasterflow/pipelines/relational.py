@@ -49,12 +49,49 @@ def broadcast_join(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def _tagged_key_partition(left_ds, right_ds, keys, lcols, rcols, num_partitions):
+def _hot_keys_scan(ds, keys: list[str], frac: float, topk: int = 64) -> pd.DataFrame:
+    """Estimate heavy-hitter join keys: each block emits its top-``topk``
+    key counts plus its row count (≤ blocks×topk tiny rows to the driver).
+    Per-block truncation only UNDER-estimates scattered mid-frequency keys —
+    a missed hot key degrades to the unsalted path, never to a wrong
+    answer.  Returns the keys whose estimated share exceeds ``frac`` as a
+    DataFrame of key columns (possibly empty)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({k: b.column(k).to_numpy(zero_copy_only=False) for k in keys})
+        vc = df.value_counts().head(topk).reset_index(name="_n")
+        vc["_n"] = vc["_n"].astype(np.int64)
+        vc["_bt"] = np.int64(0)
+        if len(vc):
+            vc.iloc[0, vc.columns.get_loc("_bt")] = np.int64(len(b))
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({k: [] for k in keys})
+    total = int(parts["_bt"].sum())
+    counts = parts.groupby(keys, sort=False)["_n"].sum()
+    hot = counts[counts > frac * total]
+    return hot.reset_index()[keys]
+
+
+def _tagged_key_partition(
+    left_ds, right_ds, keys, lcols, rcols, num_partitions, hot_df=None, salt=8
+):
     """Shared shuffle plan for the partitioned join family: null-pad each
     side to one schema, tag with ``_side``, hash-partition on the key, and
     union — each side moves through the exchange exactly once.  Returns
     ``(both, coltype)`` where ``coltype`` maps column -> source Arrow type
-    (used to restore dtypes that pandas NaN-padding upcast)."""
+    (used to restore dtypes that pandas NaN-padding upcast).
+
+    ``hot_df`` (skew protection): rows whose key is listed get a DEDICATED
+    partition range — left rows are SALTED across ``salt`` partitions of
+    their hot key, right rows are REPLICATED into all ``salt`` of them, so a
+    key holding 20% of the left side runs as ``salt`` parallel tasks
+    instead of one straggler.  Exactness: each (left row, right row) pair of
+    a hot key meets in exactly one partition (the left row's salt), and the
+    per-partition merge still joins on the REAL key columns, so a 64-bit
+    hot-hash collision only costs misrouting, never a wrong match."""
     from ..util import _hash_cols, coalesce_small
 
     allcols = list(dict.fromkeys(lcols + rcols))
@@ -74,6 +111,10 @@ def _tagged_key_partition(left_ds, right_ds, keys, lcols, rcols, num_partitions)
             src = ls if c in ls.names else rs
             coltype[c] = _pa_type(src.types[src.names.index(c)])
 
+    hot_sorted = None
+    if hot_df is not None and len(hot_df):
+        hot_sorted = np.sort(_hash_cols(hot_df, keys))
+
     def tag(side: int, cols: list[str]):
         def f(b: pa.Table) -> pa.Table:
             out = {}
@@ -83,9 +124,40 @@ def _tagged_key_partition(left_ds, right_ds, keys, lcols, rcols, num_partitions)
             df = pd.DataFrame(
                 {k: b.column(k).to_numpy(zero_copy_only=False) for k in keys}
             )
-            pk = (_hash_cols(df, keys) % np.uint64(num_partitions)).astype(np.int32)
-            out["_pk"] = pa.array(pk)
-            return pa.table(out)
+            h = _hash_cols(df, keys)
+            pk = (h % np.uint64(num_partitions)).astype(np.int32)
+            if hot_sorted is None:
+                out["_pk"] = pa.array(pk)
+                return pa.table(out)
+            pos = np.minimum(
+                np.searchsorted(hot_sorted, h), len(hot_sorted) - 1
+            ).astype(np.int32)
+            ish = hot_sorted[pos] == h
+            base = np.int32(num_partitions) + pos * np.int32(salt)
+            if side == 0:
+                # salt left hot rows by arrival index — output-invariant
+                # (any balanced assignment yields the same join result)
+                pk = np.where(
+                    ish,
+                    base + (np.arange(len(b), dtype=np.int32) % np.int32(salt)),
+                    pk,
+                )
+                out["_pk"] = pa.array(pk)
+                return pa.table(out)
+            # right side: replicate hot rows into every salt partition
+            t = pa.table(out)
+            hidx = np.flatnonzero(ish)
+            if len(hidx) == 0:
+                return t.append_column("_pk", pa.array(pk))
+            nidx = np.flatnonzero(~ish)
+            take = np.concatenate([nidx, np.repeat(hidx, salt)])
+            pk_rep = (
+                np.repeat(base[hidx], salt)
+                + np.tile(np.arange(salt, dtype=np.int32), len(hidx))
+            ).astype(np.int32)
+            return t.take(take).append_column(
+                "_pk", pa.array(np.concatenate([pk[nidx], pk_rep]))
+            )
 
         return f
 
@@ -121,20 +193,43 @@ def hash_join(
     left_cols: list[str],
     right_cols: list[str],
     num_partitions: int = 32,
+    skew: str | pd.DataFrame | None = None,
+    skew_salt: int = 8,
+    skew_threshold: float = 0.02,
 ):
     """Partitioned inner hash join — for when BOTH sides are too large to
     broadcast (fact ⋈ fact).  Each side is shuffled ONCE on a hash of the
     key (``num_partitions`` buckets); matching keys land in the same
     partition, which joins with one vectorized ``pandas.merge``.  No
-    driver-side materialization; skew lives in the key distribution, so
-    pick ``num_partitions`` ≥ cluster cores for hot-key dilution.
+    driver-side materialization.
+
+    Skew: by default a hot key lives in one partition task.  ``skew="auto"``
+    first frequency-scans BOTH sides' key columns (per-block top-64 count
+    partials — an extra key-only pass over each input, so re-derives any
+    upstream transforms once more); keys holding more than
+    ``skew_threshold`` of either side are SALTED on the left across
+    ``skew_salt`` dedicated partitions with the right's hot rows replicated
+    into each (see :func:`_tagged_key_partition`) — exact for any
+    multiplicity.  Pass a DataFrame of key values to skip the scan, or
+    leave ``None`` when the key distribution is known flat (the default —
+    no extra read).
 
     ``left_cols`` / ``right_cols`` are the value columns kept from each side
     (key columns are always kept once); they must not overlap."""
     keys = [on] if isinstance(on, str) else list(on)
     lcols = list(dict.fromkeys(keys + left_cols))
     rcols = list(dict.fromkeys(keys + right_cols))
-    both, coltype = _tagged_key_partition(left_ds, right_ds, keys, lcols, rcols, num_partitions)
+    hot_df = None
+    if isinstance(skew, str) and skew == "auto":
+        hot_l = _hot_keys_scan(left_ds, keys, skew_threshold)
+        hot_r = _hot_keys_scan(right_ds, keys, skew_threshold)
+        hot_df = pd.concat([hot_l, hot_r], ignore_index=True).drop_duplicates()
+    elif skew is not None:
+        hot_df = pd.DataFrame(skew)
+    both, coltype = _tagged_key_partition(
+        left_ds, right_ds, keys, lcols, rcols, num_partitions,
+        hot_df=hot_df, salt=skew_salt,
+    )
     out_cols = keys + [c for c in left_cols if c not in keys] + [
         c for c in right_cols if c not in keys
     ]

@@ -304,6 +304,55 @@ def test_group_quantiles_select_matches_histogram_path(ray_session):
     pd.testing.assert_frame_equal(a.astype({"value": "float64"}), b.astype({"value": "float64"}))
 
 
+def test_hash_join_skew_salting(ray_session):
+    """Directive r3#4: a zipf-ish key (one key = 20% of the left side) is
+    salted across dedicated partitions with the right side replicated —
+    same rows as the unsalted join, and no partition holds a straggler
+    share of the work."""
+    import ray.data
+
+    from rasterflow.pipelines.relational import _tagged_key_partition, hash_join
+
+    rng = np.random.default_rng(71)
+    n = 50_000
+    k = np.where(rng.random(n) < 0.2, 7, rng.integers(0, 500, n))
+    left = pd.DataFrame({"k": k, "v": np.arange(n)})
+    right = pd.DataFrame({"k": np.arange(500), "w": np.arange(500) * 10})
+    lds = ray.data.from_pandas(left).repartition(8)
+    rds = ray.data.from_pandas(right).repartition(2)
+
+    got = (
+        hash_join(lds, rds, on="k", left_cols=["v"], right_cols=["w"], skew="auto")
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    plain = (
+        hash_join(lds, rds, on="k", left_cols=["v"], right_cols=["w"])
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, plain)
+    exp = left.merge(right, on="k").sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+    # partition balance: LEFT-row load per partition (the merge driver) —
+    # salted max within 2x of the ideal share; unsalted has a 20% straggler
+    hot = pd.DataFrame({"k": [7]})
+    for hot_df, should_balance in ((hot, True), (None, False)):
+        both, _ = _tagged_key_partition(
+            lds, rds, ["k"], ["k", "v"], ["k", "w"], 32, hot_df=hot_df, salt=8
+        )
+        t = both.to_pandas()
+        sizes = t[t["_side"] == 0].groupby("_pk").size()
+        ratio = sizes.max() / (len(left) / 32)
+        if should_balance:
+            assert ratio < 2.0, ratio
+        else:
+            assert ratio > 5.0, ratio  # the hot key concentrates in one task
+
+
 def test_cc_checkpoint_rerun_same_dir(ray_session, tmp_path):
     """ADVICE r3: rerunning with the same checkpoint_dir merged stale
     round-N fragments with fresh edges; round dirs are now deleted before
