@@ -4,7 +4,8 @@
   the (zero-copy) embedding block against a broadcast, pre-normalized query
   matrix; per-batch partial top-k; tiny per-query merge.  The baseline.
 - :func:`cosine_topk_ivf` — the scale path: deterministic k-means-lite
-  centroids (sampled + a few Lloyd iterations on the driver), per-batch
+  centroids (layout-independent hash sample + a few Lloyd iterations on the
+  driver; nlist defaults to the √N rule), per-batch
   cluster assignment, and probing only the ``nprobe`` closest clusters per
   query.  Approximate; recall measured in tests against the brute baseline.
 - :func:`ivf_ingest` / :func:`cosine_topk_ivf_indexed` — the PERSISTED IVF
@@ -117,18 +118,54 @@ def kmeans_lite(sample: np.ndarray, nlist: int, iters: int = 5, seed: int = 0) -
 _CENTROID_CACHE: dict = {}
 
 
-def _centroids_for(emb_ds, nlist: int, sample_size: int, emb_col: str, cache_key=None):
+def _centroids_for(
+    emb_ds, nlist: int | None, sample_size: int, emb_col: str,
+    id_col: str = "vec_id", cache_key=None,
+):
     """Centroids for ``emb_ds`` (built once per ``cache_key`` when given).
+
+    The k-means sample is a HASH-THRESHOLD uniform sample (round 4): rows
+    with the ``sample_size``-smallest ``mulrot_hash64(id)`` values, gathered
+    with one filtered pass (4× oversampled threshold, then exact bottom-k on
+    the driver).  Hash order is independent of the physical layout, so a
+    dataset written sorted/clustered (the IVF layout itself, a
+    spatially-sorted ingest) yields the same unbiased centroids as a
+    shuffled one — the old ``limit()`` sample read only the FIRST blocks and
+    collapsed to one region of a clustered layout.
+
+    ``nlist=None`` applies the √N rule (IVF guidance: nlist ≈ √N balances
+    centroid-scan and cluster-scan cost; clamped to [16, 4096] — at 10⁹+
+    vectors raise sample_size with nlist so clusters still average ≥ a few
+    sample points).
 
     Returns ``(cent, cent_ref)`` where ``cent_ref`` is the broadcast
     object-store handle (``ray.put`` once — tasks gather, never re-ship)."""
+    from ..stages.texthash import mulrot_hash64
+
     full_key = None
     if cache_key is not None:
         full_key = (cache_key, nlist, sample_size, emb_col)
         hit = _CENTROID_CACHE.get(full_key)
         if hit is not None:
             return hit
-    sample_tbl = emb_ds.limit(sample_size).to_pandas()
+    n = emb_ds.count()
+    if nlist is None:
+        nlist = int(np.clip(np.sqrt(max(n, 1)), 16, 4096))
+    p = min(1.0, 4.0 * sample_size / max(n, 1))
+    thresh = np.uint64(min(int(p * 2.0**64), 2**64 - 1))
+
+    def samp(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = mulrot_hash64(ids.astype(np.uint64))
+        m = h < thresh
+        return b.select([id_col, emb_col]).filter(pa.array(m)).append_column(
+            "_h", pa.array(h[m].view(np.int64))
+        )
+
+    sample_tbl = emb_ds.map_batches(samp, batch_format="pyarrow").to_pandas()
+    order = np.argsort(sample_tbl["_h"].to_numpy().view(np.uint64), kind="stable")
+    sample_tbl = sample_tbl.iloc[order[:sample_size]]
     sample = np.stack(sample_tbl[emb_col].to_numpy())
     cent = kmeans_lite(sample, nlist)
     cent_ref = ray.put(cent) if ray.is_initialized() else cent
@@ -142,7 +179,7 @@ def cosine_topk_ivf(
     emb_ds,
     query_vecs: np.ndarray,
     k: int,
-    nlist: int = 16,
+    nlist: int | None = None,
     nprobe: int = 4,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
@@ -151,11 +188,14 @@ def cosine_topk_ivf(
 ):
     """IVF-style approximate top-k: probe only the nprobe closest centroids.
 
-    Centroids come from a deterministic limit-sample of the dataset; each
+    Centroids come from a deterministic layout-independent hash sample of
+    the dataset (``nlist=None`` → √N rule, see :func:`_centroids_for`); each
     batch scores only its rows assigned to probed clusters.  Pass
     ``cache_key`` (e.g. ``(job_id, dataset_path)``) to reuse the centroid
     build across repeated queries over the same dataset."""
-    cent, cent_ref = _centroids_for(emb_ds, nlist, sample_size, emb_col, cache_key)
+    cent, cent_ref = _centroids_for(
+        emb_ds, nlist, sample_size, emb_col, id_col=id_col, cache_key=cache_key
+    )
     qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
     probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     probes_ref = ray.put(probes) if ray.is_initialized() else probes
@@ -211,7 +251,7 @@ def cosine_topk_ivf(
 def ivf_ingest(
     emb_ds,
     out_dir: str,
-    nlist: int = 16,
+    nlist: int | None = None,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     sample_size: int = 2048,
@@ -227,7 +267,7 @@ def ivf_ingest(
     support predicate pushdown just like ``pcell`` in the spatial layout."""
     import os
 
-    cent, cent_ref = _centroids_for(emb_ds, nlist, sample_size, emb_col)
+    cent, cent_ref = _centroids_for(emb_ds, nlist, sample_size, emb_col, id_col=id_col)
     os.makedirs(out_dir, exist_ok=True)
     # "_" prefix: parquet dataset discovery ignores it as a sidecar
     np.save(os.path.join(out_dir, "_centroids.npy"), cent)

@@ -353,6 +353,57 @@ def test_hash_join_skew_salting(ray_session):
             assert ratio > 5.0, ratio  # the hot key concentrates in one task
 
 
+def test_ivf_recall_on_clustered_layout(ray_session):
+    """Directive r3#5: centroid sampling is layout-independent.  On a
+    dataset SORTED by cluster, the old limit() sample read only the first
+    blocks (one region ⇒ collapsed centroids); the hash-threshold sample
+    must keep recall vs brute force ≥ 0.8 anyway."""
+    import ray.data
+
+    from rasterflow.pipelines.similarity import cosine_topk, cosine_topk_ivf
+
+    rng = np.random.default_rng(73)
+    ncl, per = 12, 500
+    centers = rng.normal(size=(ncl, 16))
+    vecs = np.concatenate(
+        [centers[c] + 0.15 * rng.normal(size=(per, 16)) for c in range(ncl)]
+    )
+    # vec_id ordered WITH the clusters: block 0 = cluster 0, etc.
+    df = pd.DataFrame(
+        {"vec_id": np.arange(ncl * per), "embedding": list(vecs.astype(np.float64))}
+    )
+    ds = ray.data.from_pandas(df).repartition(12)
+    q = centers[[2, 7, 11]] + 0.05 * rng.normal(size=(3, 16))
+    exact = cosine_topk(ds, q, 10).to_pandas()
+    approx = cosine_topk_ivf(ds, q, 10, nprobe=4, sample_size=1024).to_pandas()
+    rec = []
+    for qi in range(3):
+        t = set(exact[exact["query_id"] == qi]["vec_id"])
+        g = set(approx[approx["query_id"] == qi]["vec_id"])
+        rec.append(len(t & g) / len(t))
+    assert np.mean(rec) >= 0.8, rec
+
+
+def test_centroid_sample_layout_invariant(ray_session):
+    """The hash sample picks the SAME rows regardless of block order, so
+    centroids are identical for shuffled vs clustered layouts."""
+    import ray.data
+
+    from rasterflow.pipelines.similarity import _centroids_for
+
+    rng = np.random.default_rng(79)
+    vecs = rng.normal(size=(4000, 8))
+    df = pd.DataFrame({"vec_id": np.arange(4000), "embedding": list(vecs)})
+    shuffled = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    c1, _ = _centroids_for(
+        ray.data.from_pandas(df).repartition(8), 8, 512, "embedding"
+    )
+    c2, _ = _centroids_for(
+        ray.data.from_pandas(shuffled).repartition(8), 8, 512, "embedding"
+    )
+    np.testing.assert_allclose(c1, c2)
+
+
 def test_cc_checkpoint_rerun_same_dir(ray_session, tmp_path):
     """ADVICE r3: rerunning with the same checkpoint_dir merged stale
     round-N fragments with fresh edges; round dirs are now deleted before
