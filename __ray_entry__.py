@@ -200,19 +200,39 @@ def _q_knn_brute(sf_dir: str):
 _KNN_INDEX_CACHE: dict = {}
 
 
-def _q_knn_cell_ring(sf_dir: str):
+def _knn_index(sf_dir: str):
     import ray as _ray
 
     from rasterflow.pipelines.knn import KnnCellRingIndex
 
-    q = np.asarray(KNN_QUERIES, dtype=np.float64)
     key = (_ray.get_runtime_context().get_job_id(), sf_dir, 0.25, 3)
     idx = _KNN_INDEX_CACHE.get(key)
     if idx is None:
         idx = KnnCellRingIndex(_knn_points(sf_dir), cell=0.25, id_col="doc_id", num_shards=3)
         _KNN_INDEX_CACHE.clear()  # one live index: don't pin stale shard actors
         _KNN_INDEX_CACHE[key] = idx
-    return idx.query(q, KNN_K)
+    return idx
+
+
+def _q_knn_cell_ring(sf_dir: str):
+    q = np.asarray(KNN_QUERIES, dtype=np.float64)
+    return _knn_index(sf_dir).query(q, KNN_K)
+
+
+def _knn_bulk_queries() -> list[tuple[float, float]]:
+    """Deterministic 8×8 query grid over the corpus extent — the bulk
+    ("kNN for many probes at once") workload shape."""
+    xs = np.linspace(-120.0, -70.0, 8)
+    ys = np.linspace(30.0, 45.0, 8)
+    return [(round(float(x), 6), round(float(y), 6)) for x in xs for y in ys]
+
+
+def _q_knn_bulk(sf_dir: str):
+    """Bulk kNN (round 4): 64 query points through the persistent shard
+    index — exercises the cohort-vectorized ring expansion (queries grouped
+    by grid cell; shared cell gathers, one flattened top-k sort per ring)."""
+    q = np.asarray(_knn_bulk_queries(), dtype=np.float64)
+    return _knn_index(sf_dir).query(q, KNN_K)
 
 
 def _read_query_vecs(sf_dir: str, n: int = 4):
@@ -1193,6 +1213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-4 additions (newest first) --
+        "knn_bulk": _q_knn_bulk,
         "join_skew_types": _q_join_skew_types,
         "group_quantiles_cont": _q_group_quantiles_cont,
         # -- round-3 entries absent from CORRECTNESS_r03 (driver sampled
@@ -1697,9 +1718,10 @@ ORDER BY poly_id
 """
 
 
-def _knn_sql() -> str:
+def _knn_sql(queries=None) -> str:
     vals = ",\n    ".join(
-        f"({i}, {qx!r}, {qy!r})" for i, (qx, qy) in enumerate(KNN_QUERIES)
+        f"({i}, {qx!r}, {qy!r})"
+        for i, (qx, qy) in enumerate(KNN_QUERIES if queries is None else queries)
     )
     return f"""
 WITH {GEO_CTE.strip()},
@@ -1875,6 +1897,7 @@ ORDER BY doc_id
 """,
         "knn_brute": _knn_sql(),
         "knn_cell_ring": _knn_sql(),
+        "knn_bulk": _knn_sql(_knn_bulk_queries()),
         "embed_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 4),
 s AS (

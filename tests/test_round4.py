@@ -404,6 +404,67 @@ def test_centroid_sample_layout_invariant(ray_session):
     np.testing.assert_allclose(c1, c2)
 
 
+def test_knn_bulk_cohorts_match_brute(ray_session):
+    """Directive r3#6: the cohort-vectorized shard query (queries grouped by
+    grid cell, shared ring gathers, flattened per-row top-k sort) is exactly
+    the scalar ring expansion — pinned against knn_brute for 400 queries,
+    mixing dense cohorts (many queries per cell) and scattered singletons."""
+    import ray.data
+
+    from rasterflow.pipelines.knn import KnnCellRingIndex, knn_brute
+
+    rng = np.random.default_rng(83)
+    n = 60_000
+    pts = pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "x": rng.uniform(0, 100, n),
+            "y": rng.uniform(0, 100, n),
+        }
+    )
+    ds = ray.data.from_pandas(pts).repartition(8)
+    # 200 clustered queries (a few cells) + 200 scattered
+    qc = np.column_stack(
+        [50.0 + rng.uniform(0, 2.0, 200), 50.0 + rng.uniform(0, 2.0, 200)]
+    )
+    qs_ = np.column_stack([rng.uniform(0, 100, 200), rng.uniform(0, 100, 200)])
+    q = np.concatenate([qc, qs_])
+    idx = KnnCellRingIndex(ds, cell=1.0, id_col="doc_id", num_shards=4)
+    got = idx.query(q, 5).to_pandas().reset_index(drop=True)
+    exp = knn_brute(ds, q, 5, id_col="doc_id").to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_knn_shard_cohort_equals_scalar(ray_session):
+    """Direct shard-level check: vectorized query == query_scalar on one
+    actor, including boundary-tie and empty-ring cases."""
+    import ray
+
+    from rasterflow.pipelines.knn import KnnShardActor
+
+    rng = np.random.default_rng(89)
+    n = 5_000
+    t = pa.table(
+        {
+            "doc_id": np.arange(n),
+            # integer-ish coords force exact distance ties
+            "x": rng.integers(0, 50, n).astype(np.float64),
+            "y": rng.integers(0, 50, n).astype(np.float64),
+        }
+    )
+    actor = KnnShardActor.remote([t], "doc_id", 2.0)
+    ray.get(actor.ready.remote())
+    q = np.column_stack(
+        [rng.integers(0, 50, 100).astype(np.float64), rng.integers(0, 50, 100).astype(np.float64)]
+    )
+    vi, vd = ray.get(actor.query.remote(q, 7))
+    si, sd = ray.get(actor.query_scalar.remote(q, 7))
+    for a, b in zip(vi, si):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(vd, sd):
+        np.testing.assert_allclose(a, b)
+
+
 def test_cc_checkpoint_rerun_same_dir(ray_session, tmp_path):
     """ADVICE r3: rerunning with the same checkpoint_dir merged stale
     round-N fragments with fresh edges; round dirs are now deleted before
