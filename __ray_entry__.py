@@ -428,6 +428,51 @@ def _q_decode_images(sf_dir: str):
     return out.map_batches(flatten_feature, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_decode_png(sf_dir: str):
+    """REAL image decode (round 4): splitmix64 pixels → PNG encode (filter
+    None for even ids, Up for odd) → pure-numpy PNG decode through the
+    actor-pool stage.  The oracle recomputes the same stats from the raw
+    pixel stream WITHOUT decoding, so a hash match proves the codec
+    round-trips bit-exactly end to end."""
+    import ray.data
+
+    from rasterflow.pipelines.multimodal import decode_images
+    from rasterflow.sources.fixtures import payload_batch
+    from rasterflow.stages.png import encode_png_gray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def addp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        pix = payload_batch(ids, nbytes=256, salt=5)
+        flat = np.frombuffer(b"".join(v.as_py() for v in pix), dtype=np.uint8).reshape(
+            len(ids), 16, 16
+        )
+        pngs = [
+            encode_png_gray(flat[i], filter_type=int(ids[i]) % 2 * 2)
+            for i in range(len(ids))
+        ]
+        return b.append_column("image", pa.array(pngs, type=pa.binary()))
+
+    out = decode_images(
+        ds.map_batches(addp, batch_format="pyarrow"), payload_col="image",
+        id_col="doc_id", concurrency=2, decoder="png",
+    )
+
+    def flatten_feature(t: pa.Table) -> pa.Table:
+        col = t.column("feature")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        feats = flat.reshape(len(col), -1) if len(col) else np.empty((0, 8))
+        cols = {c: t.column(c) for c in ("doc_id", "width", "height", "mean_luma")}
+        for j in range(feats.shape[1] if len(feats) else 8):
+            cols[f"f{j}"] = pa.array(feats[:, j] if len(feats) else np.empty(0))
+        return pa.table(cols)
+
+    return out.map_batches(flatten_feature, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_resize_images(sf_dir: str):
     """Multimodal resize pipeline over the deterministic payload fixture
     (stub resize; rows-only).  Output drops the wide thumb column for the
@@ -1213,6 +1258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-4 additions (newest first) --
+        "decode_png": _q_decode_png,
         "knn_bulk": _q_knn_bulk,
         "join_skew_types": _q_join_skew_types,
         "group_quantiles_cont": _q_group_quantiles_cont,
@@ -1618,6 +1664,34 @@ agg AS (
 SELECT doc_id,
   CAST(16 + (s_w % 1024) AS INTEGER) AS width,
   CAST(16 + (s_h % 1024) AS INTEGER) AS height,
+  (CAST(s_all AS DOUBLE) / 256) / 255 AS mean_luma,
+  {fout}
+FROM agg ORDER BY doc_id
+"""
+
+
+def _decode_png_sql() -> str:
+    """Oracle for the REAL PNG path: same stats as _decode_images_sql but
+    computed from the raw splitmix64 pixel stream (salt=5, 16×16 image,
+    8 row bands of 32 bytes) — no decoding on the SQL side; the Ray side
+    only sees the pixels through PNG encode→decode."""
+    fsum = ",\n    ".join(
+        f"SUM(CASE WHEN pos // 32 = {j} THEN byte ELSE 0 END) AS s_f{j}" for j in range(8)
+    )
+    fout = ",\n  ".join(
+        f"CAST(CAST((CAST(s_f{j} AS DOUBLE) / 32) / 255 AS REAL) AS DOUBLE) AS f{j}"
+        for j in range(8)
+    )
+    return f"""
+WITH {_payload_bytes_cte(256, salt=5).strip()},
+agg AS (
+  SELECT doc_id, SUM(byte) AS s_all,
+    {fsum}
+  FROM pbytes GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST(16 AS INTEGER) AS width,
+  CAST(16 AS INTEGER) AS height,
   (CAST(s_all AS DOUBLE) / 256) / 255 AS mean_luma,
   {fout}
 FROM agg ORDER BY doc_id
@@ -2062,6 +2136,7 @@ FROM documents ORDER BY doc_id
         # payload fixture; the whole chain (payload bytes -> stub decode ->
         # stats) replicates in HUGEINT SQL, so these hash-verify end-to-end
         "decode_images": _decode_images_sql(),
+        "decode_png": _decode_png_sql(),
         "resize_images": _resize_images_sql(),
         "audio_frames": _audio_frames_sql(),
         "video_frames": _video_frames_sql(),

@@ -1,10 +1,13 @@
 """Multimodal column stages: opaque ``binary`` payloads + typed metadata.
 
-Image/audio decode libraries are not available in this container, so the
-decode kernels are STUBBED behind a deterministic fake (clearly marked; a
-real deployment drops in PIL/librosa in ``__init__``).  Everything Ray-side
-is real and tested: actor-pool signatures, Arrow binary-column handling,
-small-batch sizing for wide payloads, output schemas.
+Image/audio decode libraries are not available in this container.  The
+image stage has one REAL format: ``decoder="png"`` uses the in-repo
+pure-numpy PNG codec (:mod:`rasterflow.stages.png`, grayscale-8) and is
+oracle-verified end to end; the remaining kernels are STUBBED behind a
+deterministic fake (clearly marked; a real deployment drops in PIL/librosa
+in ``__init__``).  Everything Ray-side is real and tested: actor-pool
+signatures, Arrow binary-column handling, small-batch sizing for wide
+payloads, output schemas.
 
 Scale note: binary payloads dominate block bytes — these stages default to
 small ``batch_size`` and the pipelines project the payload column away
@@ -56,8 +59,13 @@ class ImageDecodeStage:
         self.id_col = id_col
         self.feature_dim = feature_dim
         self._pil = None
-        if decoder not in ("auto", "fake", "pil"):
-            raise ValueError(f"decoder must be auto|fake|pil, got {decoder!r}")
+        self._png = False
+        if decoder not in ("auto", "fake", "pil", "png"):
+            raise ValueError(f"decoder must be auto|fake|pil|png, got {decoder!r}")
+        if decoder == "png":
+            # real format, pure-numpy codec (rasterflow.stages.png) — the
+            # ONE decode path testable in this container end to end
+            self._png = True
         if decoder in ("auto", "pil"):
             try:  # pragma: no cover - PIL not installed in this container
                 from PIL import Image
@@ -87,8 +95,19 @@ class ImageDecodeStage:
         feat = np.array([r.mean() / 255.0 for r in rows])
         return img.width, img.height, float(g.mean()) / 255.0, feat
 
+    def _decode_png(self, b: bytes) -> tuple[int, int, float, np.ndarray]:
+        """Real PNG decode (pure-numpy codec): same stats as the PIL path —
+        a per-row call, as real codec decodes inherently are."""
+        from ..stages.png import decode_png_gray
+
+        g = decode_png_gray(b).astype(np.float64)
+        rows = np.array_split(g, self.feature_dim, axis=0)
+        feat = np.array([r.mean() / 255.0 for r in rows])
+        return g.shape[1], g.shape[0], float(g.mean()) / 255.0, feat
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _fixed_payload_matrix(batch, self.payload_col) if self._pil is None else None
+        real = self._pil is not None or self._png
+        m = _fixed_payload_matrix(batch, self.payload_col) if not real else None
         if m is not None:
             # batch-vectorized stub decode: fixed-stride payloads become one
             # (n, 256) float matrix — no per-row loop (round 3; real codec
@@ -114,7 +133,12 @@ class ImageDecodeStage:
                 }
             )
         payloads = _payload_arrays(batch, self.payload_col)
-        decode = self._decode_pil if self._pil is not None else self._decode_fake
+        if self._png:
+            decode = self._decode_png
+        elif self._pil is not None:
+            decode = self._decode_pil
+        else:
+            decode = self._decode_fake
         w, hgt, luma, feats = [], [], [], []
         for b in payloads:
             wi, hi, lu, fe = decode(b or b"")

@@ -465,6 +465,125 @@ def test_knn_shard_cohort_equals_scalar(ray_session):
         np.testing.assert_allclose(a, b)
 
 
+def test_png_roundtrip():
+    """Directive r3#7: one REAL image format decoded end-to-end in-container
+    — pure-numpy PNG codec, both encoder filter types, edge dims."""
+    from rasterflow.stages.png import decode_png_gray, encode_png_gray
+
+    rng = np.random.default_rng(97)
+    for h, w in [(1, 1), (1, 17), (23, 1), (16, 16), (37, 51)]:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        for ft in (0, 2):
+            out = decode_png_gray(encode_png_gray(img, filter_type=ft))
+            np.testing.assert_array_equal(out, img)
+
+
+def test_png_decode_all_filters():
+    """Decoder handles Sub/Average/Paeth scanlines too (hand-built raw
+    streams — our encoder never emits them, the spec allows them)."""
+    import struct
+    import zlib
+
+    from rasterflow.stages.png import _SIG, _chunk, decode_png_gray
+
+    rng = np.random.default_rng(101)
+    img = rng.integers(0, 256, (6, 8)).astype(np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+
+    # filter each row with a rotating filter type 0..4
+    rows = []
+    prior = np.zeros(8, dtype=np.int64)
+    for r in range(6):
+        f = r % 5
+        cur = img[r].astype(np.int64)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = np.concatenate(([cur[0]], (cur[1:] - cur[:-1]) % 256))
+        elif f == 2:
+            enc = (cur - prior) % 256
+        elif f == 3:
+            enc = np.empty(8, dtype=np.int64)
+            for i in range(8):
+                left = cur[i - 1] if i else 0
+                enc[i] = (cur[i] - (left + prior[i]) // 2) % 256
+        else:
+            enc = np.empty(8, dtype=np.int64)
+            for i in range(8):
+                left = cur[i - 1] if i else 0
+                ul = prior[i - 1] if i else 0
+                enc[i] = (cur[i] - paeth(left, prior[i], ul)) % 256
+        rows.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prior = cur
+    raw = b"".join(rows)
+    ihdr = struct.pack(">IIBBBBB", 8, 6, 8, 0, 0, 0, 0)
+    png = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png_gray(png), img)
+
+
+def test_png_rejects_garbage():
+    import pytest as _pytest
+
+    from rasterflow.stages.png import decode_png_gray, encode_png_gray
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png_gray(b"JFIF" * 10)
+    good = encode_png_gray(np.zeros((4, 4), dtype=np.uint8))
+    bad = good[:40] + bytes([good[40] ^ 0xFF]) + good[41:]
+    with _pytest.raises(ValueError):
+        decode_png_gray(bad)
+
+
+def test_decode_stage_png_path(ray_session):
+    """ImageDecodeStage(decoder='png'): real encode->decode through the
+    actor-pool stage; stats must equal the direct pixel stats."""
+    import ray.data
+
+    from rasterflow.pipelines.multimodal import decode_images
+    from rasterflow.stages.png import encode_png_gray
+
+    rng = np.random.default_rng(103)
+    imgs = [rng.integers(0, 256, (16, 16)).astype(np.uint8) for _ in range(40)]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(40),
+            "image": [encode_png_gray(im, filter_type=i % 2 * 2) for i, im in enumerate(imgs)],
+        }
+    )
+    out = (
+        decode_images(
+            ray.data.from_pandas(df).repartition(3),
+            payload_col="image",
+            id_col="doc_id",
+            concurrency=2,
+            decoder="png",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, im in enumerate(imgs):
+        row = out.iloc[i]
+        assert row["width"] == 16 and row["height"] == 16
+        assert row["mean_luma"] == im.astype(np.float64).mean() / 255.0
+        np.testing.assert_allclose(
+            np.asarray(list(row["feature"]), dtype=np.float64),
+            np.asarray(
+                [im[2 * j : 2 * j + 2].astype(np.float64).mean() / 255.0 for j in range(8)],
+                dtype=np.float32,
+            ).astype(np.float64),
+        )
+
+
 def test_cc_checkpoint_rerun_same_dir(ray_session, tmp_path):
     """ADVICE r3: rerunning with the same checkpoint_dir merged stale
     round-N fragments with fresh edges; round dirs are now deleted before
