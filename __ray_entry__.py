@@ -1223,6 +1223,58 @@ def _q_lineitem_semi_orders(sf_dir: str):
     return out.sort(["l_orderkey", "l_linenumber"])
 
 
+def _q_bloom_semi_sources(sf_dir: str):
+    """STRING-key Bloom semi join (round 4, ADVICE r3 regression surface):
+    documents whose source is on a blocklist (sources containing '3') via
+    the broadcast bitset + exact verify — the URL/blocklist decontamination
+    shape the op advertises.  Tiny nbits forces false positives through the
+    exact verify pass."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from rasterflow.pipelines.relational import bloom_semi_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def blocklist(b: pa.Table) -> pa.Table:
+        m = _pc.match_substring(b.column("source"), "3")
+        return b.select(["source"]).filter(m)
+
+    block = docs.map_batches(blocklist, batch_format="pyarrow")
+    return bloom_semi_join(
+        docs, block, on="source", left_cols=["doc_id"], nbits=1 << 12
+    ).sort("doc_id")
+
+
+def _q_rollup_week_status(sf_dir: str):
+    """ROLLUP over a NON-STRING key (round 4, ADVICE r3 regression surface):
+    weekly × event-type drill-down with an int64 week ordinal — the finest
+    level's keys are cast to string so every level unions cleanly; cents are
+    fixed-point half-away (exact integer sums)."""
+    import ray.data
+
+    from rasterflow.pipelines.relational import rollup_aggregate
+    from rasterflow.pipelines.windows import _cents_half_away, add_tumbling_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    )
+    ds = add_tumbling_window(ds, "ts", 604800, out_col="week")
+
+    def addc(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return b.append_column("cents", pa.array(_cents_half_away(v)))
+
+    ds = ds.map_batches(addc, batch_format="pyarrow")
+    return rollup_aggregate(
+        ds,
+        ["week", "event_type"],
+        {"n": ("event_id", "count"), "cents": ("cents", "sum")},
+    )
+
+
 def _q_corpus_rollup(sf_dir: str):
     import ray.data
 
@@ -1258,6 +1310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-4 additions (newest first) --
+        "bloom_semi_sources": _q_bloom_semi_sources,
+        "rollup_week_status": _q_rollup_week_status,
         "decode_png": _q_decode_png,
         "knn_bulk": _q_knn_bulk,
         "join_skew_types": _q_join_skew_types,
@@ -2304,6 +2358,23 @@ FROM sess s JOIN err ON err.user_id = s.user_id
                     AND err.sec BETWEEN s.session_start AND s.session_end
 GROUP BY s.user_id, s.session_start
 ORDER BY s.user_id, s.session_start
+""",
+        "bloom_semi_sources": """
+SELECT source, doc_id FROM documents
+WHERE source IN (SELECT source FROM documents WHERE source LIKE '%3%')
+ORDER BY doc_id
+""",
+        "rollup_week_status": """
+WITH e AS (
+  SELECT (epoch_us(ts) // 1000000) // 604800 AS week, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT COALESCE(CAST(week AS VARCHAR), 'ALL') AS week,
+       COALESCE(event_type, 'ALL') AS event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM e GROUP BY ROLLUP(week, event_type)
+ORDER BY COALESCE(CAST(week AS VARCHAR), 'ALL'), COALESCE(event_type, 'ALL')
 """,
         "corpus_rollup": """
 SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,

@@ -30,6 +30,24 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGES_PER_SF = 20_000_000  # sf0.1 -> 2M pages
 
 
+def box_canary_sec() -> float:
+    """Box-state canary (BASELINE.md measurement protocol): one 4k×4k
+    matmul, timed.  ~3-4 s = fast silicon state (numbers comparable to
+    BASELINE); ~9-10 s = throttled (burstable-VM credits drained) — in that
+    state only RATIOS are meaningful, not wall times.  Emitted in the bench
+    JSON so readers can separate box state from code regressions
+    mechanically (VERDICT r3 #8).  Thread-count sensitive: the harness
+    presets OMP_NUM_THREADS=1, and the value is only comparable across runs
+    with the same setting (run it BEFORE ray.init, which also pins it)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((4000, 4000))
+    t0 = time.perf_counter()
+    _ = a @ a
+    return round(time.perf_counter() - t0, 3)
+
+
 def sf_of(path: str) -> float:
     name = Path(path).name
     try:
@@ -160,6 +178,13 @@ def bench_queries() -> dict[str, float]:
         "session_error_counts",
         "lineitem_semi_orders",
         "hash_vectorize",
+        # round-4 additions
+        "group_quantiles_cont",
+        "join_skew_types",
+        "knn_bulk",
+        "decode_png",
+        "bloom_semi_sources",
+        "rollup_week_status",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
@@ -167,7 +192,7 @@ def bench_queries() -> dict[str, float]:
     # (BASELINE.md; cold/turbo effects decay 20-40% between runs).  This also
     # credits deliberately amortized state (the persisted kNN shard index),
     # matching how the reference benchmarks against its persisted grid index.
-    iters = int(os.environ.get("GRAFT_QUERY_ITERS", "2"))
+    iters = int(os.environ.get("GRAFT_QUERY_ITERS", "3"))
     for name in names:
         best = float("inf")
         for _ in range(iters):
@@ -185,6 +210,9 @@ def run_once() -> dict:
 
     from rasterflow.util import quiet_data_logging_env
 
+    # canary BEFORE ray.init: Ray pins OMP_NUM_THREADS=1, which would make
+    # the matmul single-threaded and incomparable to the BASELINE thresholds
+    canary = box_canary_sec()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -206,7 +234,8 @@ def run_once() -> dict:
             return {"metric": "hybrid_join_points_sec", "value": res["join_sec"],
                     "unit": "sec", "pts_per_s": res["pts_per_s"],
                     "join_sec": res["join_sec"], "num_cpus": NUM_CPUS,
-                    "n_points": POINTS_N, "n_polys_out": res["n_polys_out"]}
+                    "n_points": POINTS_N, "n_polys_out": res["n_polys_out"],
+                    "canary_sec": canary}
         headline_sec, headline_cold, n_polys, stages = bench_headline()
         queries = {} if os.environ.get("GRAFT_HEADLINE_ONLY") else bench_queries()
     finally:
@@ -223,6 +252,7 @@ def run_once() -> dict:
         "headline_docs_per_s": round(N_PAGES / headline_sec, 1),
         "headline_cold_sec": round(headline_cold, 3),
         "headline_stages": stages,
+        "canary_sec": canary,
     }
 
 
@@ -334,6 +364,8 @@ def run_scaling() -> dict:
     thr_hi = hi["pts_per_s"]
     eff = (thr_hi / thr_lo) / (hi_n / lo_n)
     return {
+        "canary_sec_lo": lo.get("canary_sec"),
+        "canary_sec_hi": hi.get("canary_sec"),
         "metric": f"scaling_efficiency_{lo_n}_to_{hi_n}_cpus",
         "value": round(eff, 3),
         "unit": "ratio",
