@@ -846,6 +846,63 @@ def _q_bounds_contain(sf_dir: str):
     )
 
 
+def _q_cust_orders_left(sf_dir: str):
+    """LEFT OUTER partitioned hash join (round 4): every customer with
+    their order count/max price, order-less customers surviving with nulls
+    — the enrich-without-dropping join shape.  Right-side numerics come
+    back float64-NaN-padded, exactly what SQL engines hand to pandas."""
+    import ray.data
+
+    from rasterflow.pipelines.relational import hash_join
+    from rasterflow.util import grouped_aggregate
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    agg = grouped_aggregate(
+        orders, "o_custkey",
+        {"n_orders": ("o_totalprice", "count"), "max_price": ("o_totalprice", "max")},
+    ).map_batches(
+        lambda t: t.rename_columns(["c_custkey", "n_orders", "max_price"]),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        cust, agg, on="c_custkey", left_cols=["c_nationkey"],
+        right_cols=["n_orders", "max_price"], how="left",
+    ).sort("c_custkey")
+
+
+def _q_lang_stats(sf_dir: str):
+    """Per-language count/mean/variance/stddev of n_chars via one-pass
+    mergeable moment partials (round 4) — integer sums, so the closed-form
+    moments hash-match the SQL oracle bit for bit."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return group_stats(ds, "n_chars", "lang")
+
+
+def _q_lang_sample_k(sf_dir: str):
+    """Deterministic k-per-language uniform sample (round 4): each
+    language's 20 smallest (mulrot_hash64(doc_id), doc_id) rows — the
+    "n eval examples per stratum" rule, reproducible across partitionings."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_sample_k
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return group_sample_k(ds, "lang", 20)
+
+
 def _q_join_skew_types(sf_dir: str):
     """Skew-salted hash join (round 4): every event joined to its type's
     total count.  event_type has ~5 values, so EVERY key crosses the 2%
@@ -1310,6 +1367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-4 additions (newest first) --
+        "cust_orders_left": _q_cust_orders_left,
+        "lang_stats": _q_lang_stats,
+        "lang_sample_k": _q_lang_sample_k,
         "bloom_semi_sources": _q_bloom_semi_sources,
         "rollup_week_status": _q_rollup_week_status,
         "decode_png": _q_decode_png,
@@ -1530,6 +1590,39 @@ h AS (SELECT doc_id, lang,
                        THEN z - {M64} ELSE z END AS BIGINT) AS h
       FROM s5)
 SELECT doc_id, lang, h FROM h ORDER BY h, doc_id LIMIT {k}
+"""
+
+
+def _group_sample_sql(k: int = 20) -> str:
+    """SQL replica of sampling.group_sample_k: the mulrot chain's signed
+    int64 view, ROW_NUMBER per group over (h, id), head k."""
+    M64 = "18446744073709551616::HUGEINT"
+    M32 = "4294967296"
+
+    def mulmod(z: str, c: int) -> str:
+        return (
+            f"(((({z}) // {M32}) * {c}) % {M32} * {M32}"
+            f" + (({z}) % {M32}) * {c}) % {M64}"
+        )
+
+    def rotl32(z: str) -> str:
+        return f"((({z}) * {M32}) % {M64} + ({z}) // {M32})"
+
+    z1 = mulmod("CAST(doc_id AS HUGEINT)", 0x9E3779B97F4A7C15)
+    return f"""
+WITH s1 AS (SELECT doc_id, lang, {z1} AS z FROM documents),
+s2 AS (SELECT doc_id, lang, {rotl32('z')} AS z FROM s1),
+s3 AS (SELECT doc_id, lang, {mulmod('z', 0xBF58476D1CE4E5B9)} AS z FROM s2),
+s4 AS (SELECT doc_id, lang, {rotl32('z')} AS z FROM s3),
+s5 AS (SELECT doc_id, lang, {mulmod('z', 0x94D049BB133111EB)} AS z FROM s4),
+h AS (SELECT doc_id, lang,
+             CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
+                       THEN z - {M64} ELSE z END AS BIGINT) AS h
+      FROM s5),
+r AS (SELECT lang, doc_id, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      FROM h)
+SELECT lang, doc_id, h FROM r WHERE rn <= {k} ORDER BY lang, h, doc_id
 """
 
 
@@ -2359,6 +2452,29 @@ FROM sess s JOIN err ON err.user_id = s.user_id
 GROUP BY s.user_id, s.session_start
 ORDER BY s.user_id, s.session_start
 """,
+        "cust_orders_left": """
+SELECT c.c_custkey, c.c_nationkey,
+       CAST(o.n AS DOUBLE) AS n_orders, CAST(o.mp AS DOUBLE) AS max_price
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, count(*) AS n, max(o_totalprice) AS mp
+  FROM orders GROUP BY o_custkey) o
+ON o.o_custkey = c.c_custkey
+ORDER BY c.c_custkey
+""",
+        "lang_stats": """
+WITH a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(n_chars) AS BIGINT) AS s,
+                  CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+           FROM documents GROUP BY lang)
+SELECT lang, n,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1) AS var,
+       sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1)) AS std
+FROM a ORDER BY lang
+""",
+        "lang_sample_k": _group_sample_sql(20),
         "bloom_semi_sources": """
 SELECT source, doc_id FROM documents
 WHERE source IN (SELECT source FROM documents WHERE source LIKE '%3%')

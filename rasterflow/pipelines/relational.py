@@ -196,12 +196,20 @@ def hash_join(
     skew: str | pd.DataFrame | None = None,
     skew_salt: int = 8,
     skew_threshold: float = 0.02,
+    how: str = "inner",
 ):
-    """Partitioned inner hash join — for when BOTH sides are too large to
+    """Partitioned hash join — for when BOTH sides are too large to
     broadcast (fact ⋈ fact).  Each side is shuffled ONCE on a hash of the
     key (``num_partitions`` buckets); matching keys land in the same
     partition, which joins with one vectorized ``pandas.merge``.  No
     driver-side materialization.
+
+    ``how``: ``"inner"`` (default) or ``"left"`` (left outer — unmatched
+    left rows survive with the right's value columns null/NaN; right value
+    columns come back float64 where pandas NaN-pads, matching what SQL
+    engines hand to pandas for nullable columns).  Left-outer composes with
+    the skew path: a salted left row lives in exactly one partition, so it
+    appears exactly once whether matched or not.
 
     Skew: by default a hot key lives in one partition task.  ``skew="auto"``
     first frequency-scans BOTH sides' key columns (per-block top-64 count
@@ -234,12 +242,40 @@ def hash_join(
         c for c in right_cols if c not in keys
     ]
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    rvalue_cols = [c for c in right_cols if c not in keys]
+
+    def numeric_r(c: str) -> bool:
+        t = coltype.get(c)
+        return t is not None and (pa.types.is_integer(t) or pa.types.is_floating(t))
+
+    def leftify(m: pd.DataFrame) -> pd.DataFrame:
+        # one uniform schema whether or not this partition had misses:
+        # NaN-padded right numerics become float64, the rest object-with-None
+        for c in rvalue_cols:
+            m[c] = (
+                m[c].astype(np.float64)
+                if numeric_r(c)
+                else m[c].astype(object).where(pd.notna(m[c]), None)
+            )
+        return _restore_int_dtypes(m, [c for c in out_cols if c not in rvalue_cols], coltype)
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["_side"] == 0][lcols]
         rf = g[g["_side"] == 1][rcols]
-        if len(lf) == 0 or len(rf) == 0:
-            return _typed_empty(out_cols, coltype)
-        m = pd.merge(lf, rf, on=keys, how="inner")[out_cols]
+        if len(lf) == 0 or (len(rf) == 0 and how == "inner"):
+            e = _typed_empty(out_cols, coltype)
+            return leftify(e) if how == "left" else e
+        if len(rf) == 0:  # left outer, no right rows in this partition
+            m = lf.copy()
+            for c in rvalue_cols:
+                m[c] = np.nan
+            m = m[out_cols]
+        else:
+            m = pd.merge(lf, rf, on=keys, how=how)[out_cols]
+        if how == "left":
+            return leftify(m)
         return _restore_int_dtypes(m, out_cols, coltype)
 
     return both.groupby("_pk").map_groups(merge, batch_format="pandas")

@@ -161,6 +161,101 @@ def uniform_sample_k(
     return partials.sort(["h", id_col]).limit(k)
 
 
+def group_sample_k(
+    ds,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+):
+    """Exactly-k uniform sample PER GROUP (the "n examples per
+    language/domain for eval" curation rule): each group's k rows with the
+    smallest ``(mulrot_hash64(id + seed), id)`` — deterministic across
+    runs, partitionings and cluster sizes, like :func:`uniform_sample_k`.
+
+    Each batch pre-selects its own per-group bottom-k (a global winner is
+    inside its batch's bottom-k), so the shuffle carries ≤ k·batches rows
+    per group; the final merge is the hash-partitioned
+    :func:`_grouped_head` — never per-group dispatch.  Output
+    ``(group, id, h)`` sorted by (group, h, id); SQL-replicable via the
+    mulrot HUGEINT chain + ROW_NUMBER."""
+    from ..stages.texthash import mulrot_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        gv = b.column(group_col).to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = mulrot_hash64(ids.astype(np.uint64) + np.uint64(seed)).astype(np.int64)
+        df = pd.DataFrame({group_col: gv, id_col: ids, "h": h})
+        df = df.sort_values(["h", id_col]).groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 8)
+    return _grouped_head(
+        partials, group_col, ["h", id_col], [True, True], k, [group_col, id_col, "h"]
+    )
+
+
+def group_stats(
+    ds,
+    col: str,
+    group_col: str,
+    ddof: int = 1,
+):
+    """Per-group count / mean / variance / stddev in ONE streaming pass:
+    mergeable moment partials (n, Σv, Σv²) per batch (Chan et al.'s
+    parallel-variance shape), one small grouped sum, then the closed form
+    ``var = (Σv² − Σv·Σv/n) / (n − ddof)``.
+
+    For INTEGER-valued columns the partial sums are exact int64, so mean,
+    variance and stddev are bit-identical to a SQL oracle computing the
+    same closed form on BIGINT sums (the float-sum oracle rule: only
+    integer accumulations hash-match).  Float columns get float64 partials
+    — still one-pass and mergeable, but only approximately comparable
+    across engines.  Σv² of an int column caps at ~n·max²: int64-safe to
+    ~10⁹ rows of 6-digit values per group; beyond that pass a float col."""
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        gv = b.column(group_col).to_numpy(zero_copy_only=False)
+        acc = np.int64 if np.issubdtype(v.dtype, np.integer) else np.float64
+        df = pd.DataFrame(
+            {
+                group_col: gv,
+                "_n": np.ones(len(v), dtype=np.int64),
+                "_s": v.astype(acc),
+                "_s2": (v.astype(acc) * v.astype(acc)),
+            }
+        )
+        agg = df.groupby(group_col, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    red = grouped_aggregate(
+        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4),
+        group_col,
+        {"n": ("_n", "sum"), "s": ("_s", "sum"), "s2": ("_s2", "sum")},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = b.column("s2").to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = s / n
+        denom = n - ddof
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = np.where(denom > 0, (s2 - s * s / n) / denom, np.nan)
+        return pa.table(
+            {
+                group_col: b.column(group_col),
+                "n": b.column("n"),
+                "mean": pa.array(mean),
+                "var": pa.array(var),
+                "std": pa.array(np.sqrt(var)),
+            }
+        )
+
+    return red.map_batches(finish, batch_format="pyarrow").sort(group_col)
+
+
 def rank_in_group(
     ds,
     group_col: str,

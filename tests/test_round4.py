@@ -584,6 +584,110 @@ def test_decode_stage_png_path(ray_session):
         )
 
 
+def test_hash_join_left_outer(ray_session):
+    """Left outer hash join: unmatched left rows survive NaN/None-padded;
+    numeric right cols come back float64, string right cols object/None."""
+    import ray.data
+
+    from rasterflow.pipelines.relational import hash_join
+
+    rng = np.random.default_rng(107)
+    left = pd.DataFrame({"k": rng.integers(0, 100, 2000), "v": np.arange(2000)})
+    right = pd.DataFrame(
+        {"k": np.arange(0, 60), "w": np.arange(60) * 2, "tag": [f"t{i}" for i in range(60)]}
+    )
+    got = (
+        hash_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(2),
+            on="k",
+            left_cols=["v"],
+            right_cols=["w", "tag"],
+            how="left",
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, on="k", how="left")
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)[["k", "v", "w", "tag"]]
+    )
+    exp["w"] = exp["w"].astype(np.float64)
+    got["tag"] = got["tag"].where(pd.notna(got["tag"]), np.nan)
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) == len(left)  # every left row exactly once
+    # and with skew salting on the same data
+    got2 = (
+        hash_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(2),
+            on="k",
+            left_cols=["v"],
+            right_cols=["w", "tag"],
+            how="left",
+            skew=pd.DataFrame({"k": [left["k"].mode()[0]]}),
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    got2["tag"] = got2["tag"].where(pd.notna(got2["tag"]), np.nan)
+    pd.testing.assert_frame_equal(got2, exp)
+
+
+def test_group_stats_matches_numpy(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_stats
+
+    rng = np.random.default_rng(109)
+    df = pd.DataFrame(
+        {
+            "g": np.array(["a", "b", "c"])[rng.integers(0, 3, 10_000)],
+            "v": rng.integers(0, 5000, 10_000),
+        }
+    )
+    got = (
+        group_stats(ray.data.from_pandas(df).repartition(6), "v", "g")
+        .to_pandas()
+        .set_index("g")
+    )
+    for g, sub in df.groupby("g"):
+        v = sub["v"].to_numpy().astype(np.float64)
+        assert got.loc[g, "n"] == len(v)
+        assert got.loc[g, "mean"] == v.sum() / len(v)
+        # same closed form, same op order -> exact
+        s, s2, n = v.sum(), (v * v).sum(), float(len(v))
+        assert got.loc[g, "var"] == (s2 - s * s / n) / (n - 1)
+
+
+def test_group_sample_k_partition_invariant(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_sample_k
+
+    rng = np.random.default_rng(113)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(5000),
+            "lang": np.array(["en", "de", "fr"])[rng.integers(0, 3, 5000)],
+        }
+    )
+    outs = []
+    for parts in (2, 13):
+        outs.append(
+            group_sample_k(
+                ray.data.from_pandas(df).repartition(parts), "lang", 7
+            )
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert (outs[0].groupby("lang").size() == 7).all()
+
+
 def test_cc_checkpoint_rerun_same_dir(ray_session, tmp_path):
     """ADVICE r3: rerunning with the same checkpoint_dir merged stale
     round-N fragments with fresh edges; round dirs are now deleted before
