@@ -274,14 +274,10 @@ class RasterBoundsAgg:
         else:
             self.outline_keys = np.empty(0, dtype=np.int64)
             self.outline_frac = np.empty(0, dtype=np.float64)
-        # sorted cover membership keys for assigned tests
-        ck = []
-        cov = b.cover
-        for i in range(len(cov.keys)):
-            cell = cov.keys[i]
-            for v in cov.values[cov.indptr[i] : cov.indptr[i + 1]]:
-                ck.append(cell * b.npolys + v)
-        self.cover_keys = np.sort(np.asarray(ck, dtype=np.int64))
+        # sorted cover membership keys for assigned tests: ucells ascending ×
+        # polys ascending within a cell ⇒ already sorted, no sort needed
+        cells_rep = np.repeat(b.ucells, np.diff(b.ucover_indptr))
+        self.cover_keys = cells_rep * np.int64(b.npolys) + b.ucover_vals
 
     def _member(self, sorted_keys: np.ndarray, q: np.ndarray) -> np.ndarray:
         if len(sorted_keys) == 0:
@@ -296,10 +292,10 @@ class RasterBoundsAgg:
         lin, valid = b.grid.locate_linear(x, y)
         x, y, lin = x[valid], y[valid], lin[valid]
         # raster counts
-        _, pl_cov = b.cover.expand(lin)
+        _, pl_cov = b.expand(lin, "cover")
         counts = np.bincount(pl_cov, minlength=b.npolys).astype(np.int64)
         # uncertainty counters over the polygon's own outline cells
-        pts, pl = b.cand.expand(lin)
+        pts, pl = b.expand(lin, "cand")
         key = lin[pts] * np.int64(b.npolys) + pl
         on_outline = self._member(self.outline_keys, key)
         keyo = key[on_outline]

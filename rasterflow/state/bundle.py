@@ -28,6 +28,7 @@ from ..geom.cells import Grid
 from ..geom.polyio import PolygonLayer
 from ..geom.projection import accuracy_to_cell_size
 from ..geom.rasterize import area_fraction_inside, classify_polygon_cells, dilate_cells
+from ..util import pconcat, pfull
 
 
 def _pairs_to_csr(cells: np.ndarray, polys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -79,9 +80,23 @@ class CsrLookup:
 
 
 class PolygonBundle:
-    """Immutable broadcastable join state for one (layer, grid)."""
+    """Immutable broadcastable join state for one (layer, grid).
 
-    def __init__(self, layer: PolygonLayer, grid: Grid, build_area_fractions: bool = False, pairs=None):
+    Only the *unified* cell structures are stored — one sorted cell-id array
+    (``ucells``) serving candidate lists, cover lists and the border flag with
+    a single lookup per point — which also keeps the broadcast/pickle payload
+    minimal (round-4: retaining the separate cand/cover CSRs tripled the disk
+    cache and the plasma object for zero lookups saved).
+    """
+
+    def __init__(
+        self,
+        layer: PolygonLayer,
+        grid: Grid,
+        build_area_fractions: bool = False,
+        pairs=None,
+        segments=None,
+    ):
         self.layer_name = layer.name
         self.grid = grid
         self.npolys = layer.npolys
@@ -89,66 +104,92 @@ class PolygonBundle:
         self.ring_offsets = np.ascontiguousarray(layer.ring_offsets)
         self.poly_ring_offsets = np.ascontiguousarray(layer.poly_ring_offsets)
 
-        if pairs is None:
-            pairs = classify_layer_pairs(layer, grid, range(layer.npolys))
-        cand_cells, cand_polys, cover_cells, cover_polys, outline_cells_all = pairs
-
-        self.cand = CsrLookup(
-            *_pairs_to_csr(
-                np.concatenate(cand_cells) if cand_cells else np.empty(0, np.int64),
-                np.concatenate(cand_polys) if cand_polys else np.empty(0, np.int32),
-            )
-        )
-        self.cover = CsrLookup(
-            *_pairs_to_csr(
-                np.concatenate(cover_cells) if cover_cells else np.empty(0, np.int64),
-                np.concatenate(cover_polys) if cover_polys else np.empty(0, np.int32),
-            )
-        )
-        outline_all = (
-            np.unique(np.concatenate(outline_cells_all))
-            if len(outline_cells_all)
-            else np.empty(0, dtype=np.int64)
-        )
-        # border = outline dilated by one cell (3×3 neighborhood), sorted
-        self.border_cells = dilate_cells(outline_all, grid, r=1)
-        self._outline_all = outline_all
-
-        # unified cell table: ONE searchsorted per batch serves candidate
-        # lists, cover lists and the border flag (3x fewer binary searches in
-        # the join hot path)
-        cells = np.union1d(self.cand.keys, self.border_cells)
-        self.ucells = cells
-
-        def _align(csr: CsrLookup):
-            indptr = np.zeros(len(cells) + 1, dtype=np.int64)
-            pos = np.searchsorted(cells, csr.keys)
-            indptr[pos + 1] = np.diff(csr.indptr)
-            np.cumsum(indptr, out=indptr)
-            return indptr, csr.values
-
-        self.ucand_indptr, self.ucand_vals = _align(self.cand)
-        self.ucover_indptr, self.ucover_vals = _align(self.cover)
-        self.uborder = np.zeros(len(cells), dtype=bool)
-        if len(self.border_cells):
-            self.uborder[np.searchsorted(cells, self.border_cells)] = True
-        # direct-address lookup table cell_id -> ucell position: O(1) single
-        # gather per point, built ONCE at bundle build and shipped inside the
-        # (plasma-shared, zero-copy) bundle — unlike a per-worker hash index,
-        # which for a 10^7-key continental bundle cost seconds to build and
-        # ~300 MB of heap in EVERY worker (measured: 32 workers × 19M keys
-        # ground the 16k-polygon join to a halt).  Gated by grid size; giant
-        # grids fall back to the lazy per-process pandas hash index.
-        ncells_grid = int(grid.nx) * int(grid.ny)
-        if self.DIRECT_TABLE_MIN_KEYS <= len(cells) and ncells_grid <= self.DIRECT_TABLE_MAX_CELLS:
-            table = np.full(ncells_grid, -1, dtype=np.int32)
-            table[cells] = np.arange(len(cells), dtype=np.int32)
-            self.ucell_table = table
+        if segments is not None:
+            # pre-assembled unified structures (distributed build path)
+            (
+                self.ucells,
+                self.ucand_indptr,
+                self.ucand_vals,
+                self.ucover_indptr,
+                self.ucover_vals,
+                self.uborder,
+            ) = segments
         else:
-            self.ucell_table = None
+            if pairs is None:
+                pairs = classify_layer_pairs(layer, grid, range(layer.npolys))
+            cand_cells, cand_polys, cover_cells, cover_polys, outline_cells_all = pairs
+
+            cand = CsrLookup(
+                *_pairs_to_csr(
+                    np.concatenate(cand_cells) if cand_cells else np.empty(0, np.int64),
+                    np.concatenate(cand_polys) if cand_polys else np.empty(0, np.int32),
+                )
+            )
+            cover = CsrLookup(
+                *_pairs_to_csr(
+                    np.concatenate(cover_cells) if cover_cells else np.empty(0, np.int64),
+                    np.concatenate(cover_polys) if cover_polys else np.empty(0, np.int32),
+                )
+            )
+            outline_all = (
+                np.unique(np.concatenate(outline_cells_all))
+                if len(outline_cells_all)
+                else np.empty(0, dtype=np.int64)
+            )
+            # border = outline dilated by one cell (3×3 neighborhood), sorted
+            border_cells = dilate_cells(outline_all, grid, r=1)
+
+            # unified cell table: ONE searchsorted per batch serves candidate
+            # lists, cover lists and the border flag (3x fewer binary searches
+            # in the join hot path)
+            cells = np.union1d(cand.keys, border_cells)
+            self.ucells = cells
+
+            def _align(csr: CsrLookup):
+                indptr = np.zeros(len(cells) + 1, dtype=np.int64)
+                pos = np.searchsorted(cells, csr.keys)
+                indptr[pos + 1] = np.diff(csr.indptr)
+                np.cumsum(indptr, out=indptr)
+                return indptr, csr.values
+
+            self.ucand_indptr, self.ucand_vals = _align(cand)
+            self.ucover_indptr, self.ucover_vals = _align(cover)
+            self.uborder = np.zeros(len(cells), dtype=bool)
+            if len(border_cells):
+                self.uborder[np.searchsorted(cells, border_cells)] = True
+        self._build_table()
         self._area_frac: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         if build_area_fractions:
             self.build_area_fractions()
+
+    def _build_table(self) -> None:
+        # direct-address lookup table cell_id -> ucell position: O(1) single
+        # gather per point, built ONCE at bundle build and shipped inside the
+        # (plasma-shared, zero-copy) bundle — unlike a per-worker hash index,
+        # which for a 10^7-key continental bundle cost seconds of build and
+        # ~300 MB of heap in EVERY worker (measured: 32 workers × 19M keys
+        # ground the 16k-polygon join to a halt).  Gated by grid size; giant
+        # grids fall back to the lazy per-process pandas hash index.  Derived
+        # from ucells, so excluded from pickles (it is the bulk of the bundle:
+        # up to 1 GB) and rebuilt on load.
+        ncells_grid = int(self.grid.nx) * int(self.grid.ny)
+        if self.DIRECT_TABLE_MIN_KEYS <= len(self.ucells) and ncells_grid <= self.DIRECT_TABLE_MAX_CELLS:
+            table = pfull(ncells_grid, -1, np.int32)
+            # threaded scatter: ucells is sorted, so slice chunks write
+            # disjoint table regions (same fault-parallelism win as pfull)
+            from ..util import _fill_pool
+
+            n = len(self.ucells)
+            step = -(-n // 8)
+
+            def scat(s):
+                e = min(s + step, n)
+                table[self.ucells[s:e]] = np.arange(s, e, dtype=np.int32)
+
+            list(_fill_pool().map(scat, range(0, n, step)))
+            self.ucell_table = table
+        else:
+            self.ucell_table = None
 
     #: direct table cap: 250M grid cells = 1 GB int32 (plasma-shared once per
     #: node); beyond that use the tile-sharded join or the hash fallback
@@ -184,15 +225,44 @@ class PolygonBundle:
     def __getstate__(self):
         state = dict(self.__dict__)
         state.pop("_ucell_index", None)
+        # the direct table is pure function of (ucells, grid): rebuilding it on
+        # load (~0.5 s) beats pickling/reading up to 1 GB of -1s
+        state.pop("ucell_table", None)
         return state
 
-    # ---- border membership (sorted-array membership, vectorized) ----
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._build_table()
+
+    def expand(self, lin: np.ndarray, kind: str = "cand") -> tuple[np.ndarray, np.ndarray]:
+        """Candidate pairs ``(point_idx, poly_id)`` for query cells ``lin``
+        from the unified CSR (``kind``: "cand" or "cover") — vectorized."""
+        indptr = self.ucand_indptr if kind == "cand" else self.ucover_indptr
+        values = self.ucand_vals if kind == "cand" else self.ucover_vals
+        if len(lin) == 0 or len(self.ucells) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+        idx, hit = self.locate_ucells(np.asarray(lin, dtype=np.int64))
+        starts = indptr[idx]
+        counts = np.where(hit, indptr[idx + 1] - starts, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+        point_idx = np.repeat(np.arange(len(lin), dtype=np.int64), counts)
+        run_ends = np.cumsum(counts)
+        run_starts = run_ends - counts
+        within = np.arange(total, dtype=np.int64) - np.repeat(run_starts, counts)
+        val_idx = np.repeat(starts, counts) + within
+        return point_idx, values[val_idx]
+
+    @property
+    def border_cells(self) -> np.ndarray:
+        """Sorted border cell ids (derived: border ⊆ ucells by construction)."""
+        return self.ucells[self.uborder]
+
+    # ---- border membership (unified-table lookup, vectorized) ----
     def is_border(self, lin: np.ndarray) -> np.ndarray:
-        if len(self.border_cells) == 0:
-            return np.zeros(len(lin), dtype=bool)
-        pos = np.searchsorted(self.border_cells, lin)
-        pos_c = np.clip(pos, 0, len(self.border_cells) - 1)
-        return self.border_cells[pos_c] == lin
+        idx, hit = self.locate_ucells(np.asarray(lin, dtype=np.int64))
+        return hit & self.uborder[idx]
 
     def build_area_fractions(self, subsamples: int = 8) -> None:
         """Per polygon: its outline cells + area fraction inside (for J4)."""
@@ -239,29 +309,125 @@ def classify_layer_pairs(layer: PolygonLayer, grid: Grid, poly_ids):
     return cand_cells, cand_polys, cover_cells, cover_polys, outline_cells_all
 
 
-def _parallel_pairs(layer: PolygonLayer, grid: Grid, chunk: int = 256):
-    """Distribute the per-polygon classification across Ray tasks (the index
-    build is embarrassingly parallel; the reference builds its GPU index on
-    device, ``GLFunction::createPolyIndex``)."""
+def _classify_range_parts(layer: PolygonLayer, grid: Grid, poly_ids, nranges: int, rwidth: int):
+    """Distributed-build phase 1: classify a chunk of polygons and partition
+    the resulting pair lists by contiguous cell-id range ``[r*rwidth,
+    (r+1)*rwidth)``.
+
+    Border dilation happens here, per polygon — dilation distributes over
+    union (``dilate_cells`` is a pointwise clipped neighborhood expansion), so
+    per-range assembly never needs outline cells from a neighboring range.
+
+    Returns an ``nranges``-tuple of ``(cand_cells, cand_polys, cover_cells,
+    cover_polys, border_cells)`` — the shape Ray's ``num_returns=nranges``
+    expects, so phase 2 fetches only its own range's pieces.
+    """
+    cand_c, cand_p, cov_c, cov_p, bord = [], [], [], [], []
+    verts = layer.verts
+    for p in poly_ids:
+        ro = layer.rings_of(p)
+        outline, cover, _full = classify_polygon_cells(verts, ro, grid)
+        cand = np.union1d(outline, cover)
+        cand_c.append(cand)
+        cand_p.append(np.full(len(cand), p, dtype=np.int32))
+        cov_c.append(cover)
+        cov_p.append(np.full(len(cover), p, dtype=np.int32))
+        bord.append(dilate_cells(outline, grid, r=1))
+
+    def cat(parts, dtype):
+        return np.concatenate(parts) if parts else np.empty(0, dtype)
+
+    cc, cp = cat(cand_c, np.int64), cat(cand_p, np.int32)
+    vc, vp = cat(cov_c, np.int64), cat(cov_p, np.int32)
+    bd = cat(bord, np.int64)
+    out = []
+    for r in range(nranges):
+        lo, hi = r * rwidth, (r + 1) * rwidth
+        mc = (cc >= lo) & (cc < hi)
+        mv = (vc >= lo) & (vc < hi)
+        mb = (bd >= lo) & (bd < hi)
+        out.append((cc[mc], cp[mc], vc[mv], vp[mv], bd[mb]))
+    return tuple(out)
+
+
+def _assemble_range(*parts):
+    """Distributed-build phase 2: assemble ONE contiguous cell-range segment
+    of the unified structures — sort, unique and align locally so the driver
+    only concatenates pre-sorted segments.
+
+    Returns ``(ucells, cand_counts, cand_vals, cover_counts, cover_vals,
+    uborder)`` for this range; counts (not indptr) so the driver can run one
+    global cumsum.
+    """
+
+    def cat(i, dtype):
+        arrs = [p[i] for p in parts if len(p[i])]
+        return np.concatenate(arrs) if arrs else np.empty(0, dtype)
+
+    cc, cp = cat(0, np.int64), cat(1, np.int32)
+    vc, vp = cat(2, np.int64), cat(3, np.int32)
+    bd = cat(4, np.int64)
+    o = np.lexsort((cp, cc))
+    cc, cp = cc[o], cp[o]
+    o = np.lexsort((vp, vc))
+    vc, vp = vc[o], vp[o]
+    ucand, cand_counts = np.unique(cc, return_counts=True)
+    ucov, cov_counts = np.unique(vc, return_counts=True)
+    bd = np.unique(bd)
+    ucells = np.union1d(ucand, bd)
+    # int32 counts on the wire (a cell's list holds ≤ npolys ≤ 2^31 polys);
+    # the driver cumsums into the int64 indptr
+    ccounts = np.zeros(len(ucells), dtype=np.int32)
+    ccounts[np.searchsorted(ucells, ucand)] = cand_counts
+    vcounts = np.zeros(len(ucells), dtype=np.int32)
+    vcounts[np.searchsorted(ucells, ucov)] = cov_counts
+    ub = np.zeros(len(ucells), dtype=bool)
+    if len(bd):
+        ub[np.searchsorted(ucells, bd)] = True
+    return ucells, ccounts, cp.astype(np.int32, copy=False), vcounts, vp.astype(np.int32, copy=False), ub
+
+
+def _distributed_segments(layer: PolygonLayer, grid: Grid, chunk: int = 256, nranges: int | None = None):
+    """Build the unified bundle structures with Ray tasks end to end.
+
+    Phase 1 classifies polygon chunks and range-partitions the pairs; phase 2
+    builds each contiguous cell-range's sorted/aligned segment.  Because the
+    ranges partition the linear cell-id space in order, the driver's only work
+    is concatenating ``nranges`` pre-sorted segments and one cumsum — the
+    driver-serial lexsort/unique over tens of millions of pairs (the round-3
+    4-36 s cold-build bottleneck) moves onto the cluster.  Output is
+    array-identical to the serial path (pinned by test_bundle_distributed).
+    """
     import ray
 
-    @ray.remote
-    def work(layer_ref, ids):
-        return classify_layer_pairs(layer_ref, grid, ids)
+    if nranges is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        nranges = max(8, min(64, 2 * cpus))
+    nranges = min(nranges, int(grid.ncells)) or 1
+    if nranges < 2:
+        return None
+    rwidth = -(-int(grid.ncells) // nranges)
 
+    classify = ray.remote(num_returns=nranges)(_classify_range_parts)
+    assemble = ray.remote(_assemble_range)
     layer_ref = ray.put(layer)
-    futures = [
-        work.remote(layer_ref, list(range(s, min(s + chunk, layer.npolys))))
+    part_refs = [
+        classify.remote(layer_ref, grid, list(range(s, min(s + chunk, layer.npolys))), nranges, rwidth)
         for s in range(0, layer.npolys, chunk)
     ]
-    cand_cells, cand_polys, cover_cells, cover_polys, outline = [], [], [], [], []
-    for res in ray.get(futures):
-        cand_cells += res[0]
-        cand_polys += res[1]
-        cover_cells += res[2]
-        cover_polys += res[3]
-        outline += res[4]
-    return cand_cells, cand_polys, cover_cells, cover_polys, outline
+    seg_refs = [assemble.remote(*[refs[r] for refs in part_refs]) for r in range(nranges)]
+    segs = ray.get(seg_refs)
+
+    ucells = pconcat([s[0] for s in segs])
+    n = len(ucells)
+    cand_indptr = pfull(n + 1, 0, np.int64)
+    np.cumsum(pconcat([s[1] for s in segs]), out=cand_indptr[1:])
+    cand_vals = pconcat([s[2] for s in segs])
+    cover_indptr = pfull(n + 1, 0, np.int64)
+    np.cumsum(pconcat([s[3] for s in segs]), out=cover_indptr[1:])
+    cover_vals = pconcat([s[4] for s in segs])
+    uborder = pconcat([s[5] for s in segs])
+    return ucells, cand_indptr, cand_vals, cover_indptr, cover_vals, uborder
 
 
 _BUNDLE_CACHE: dict[tuple, PolygonBundle] = {}
@@ -303,10 +469,10 @@ def build_bundle(
         import ray
 
         grid = Grid.from_bounds(xmin, ymin, xmax, ymax, cell_size)
-        pairs = None
+        segments = None
         if ray.is_initialized() and layer.npolys >= 512:
-            pairs = _parallel_pairs(layer, grid)
-        b = PolygonBundle(layer, grid, build_area_fractions=build_area_fractions, pairs=pairs)
+            segments = _distributed_segments(layer, grid)
+        b = PolygonBundle(layer, grid, build_area_fractions=build_area_fractions, segments=segments)
         _save_disk_cache(key, b)
     _BUNDLE_CACHE[key] = b
     return b
@@ -337,7 +503,7 @@ def _disk_cache_dir() -> "str":
 def _cache_path(key) -> "str":
     import os
 
-    name = f"bundle_v3_{key[0]}_{key[1]}_{int(key[2])}.pkl"
+    name = f"bundle_v4_{key[0]}_{key[1]}_{int(key[2])}.pkl"
     return os.path.join(_disk_cache_dir(), name)
 
 
@@ -356,16 +522,42 @@ def _dir_ok(path) -> bool:
     return not st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)
 
 
+# Cache file format (v4): out-of-band pickle-5 buffers.  Plain pickle.dump /
+# load of a GB-scale bundle is single-threaded first-touch bound on this
+# kernel (~110 MB/s: 6 s save + 5.5 s load for 600 MB); splitting the pickle
+# into a tiny object header plus raw array segments lets the loader
+# pre-populate each destination buffer with the parallel-fault thread pool and
+# then reconstruct every numpy array as a ZERO-COPY view on it
+# (protocol-5 ``buffers=`` + numpy's ``_frombuffer`` reducer).
+_CACHE_MAGIC = b"RFB4"
+
+
 def _load_disk_cache(key):
     import os
     import pickle
+
+    from ..util import _fill_pool
 
     path = _cache_path(key)
     if not os.path.exists(path) or not _dir_ok(_disk_cache_dir()):
         return None
     try:
-        with open(path, "rb") as fh:
-            return pickle.load(fh)
+        with open(path, "rb", buffering=0) as fh:
+            if fh.read(4) != _CACHE_MAGIC:
+                return None
+            hlen = int.from_bytes(fh.read(8), "little")
+            payload, buf_lens = pickle.loads(fh.read(hlen))
+            bufs = []
+            for ln in buf_lens:
+                a = np.empty(ln, dtype=np.uint8)
+                if ln >= (1 << 25):  # parallel pre-touch one byte per page
+                    step = -(-ln // 8)
+                    list(_fill_pool().map(lambda s: a.__setitem__(slice(s, s + step, 4096), 0), range(0, ln, step)))
+                got = fh.readinto(memoryview(a))
+                if got != ln:
+                    return None
+                bufs.append(pickle.PickleBuffer(a))
+            return pickle.loads(payload, buffers=bufs)
     except Exception:  # noqa: BLE001 - corrupt cache -> rebuild
         return None
 
@@ -379,8 +571,18 @@ def _save_disk_cache(key, bundle) -> None:
     os.makedirs(d, mode=0o700, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
-        with os.fdopen(fd, "wb") as fh:
-            pickle.dump(bundle, fh, protocol=pickle.HIGHEST_PROTOCOL)
+        bufs: list = []
+        payload = pickle.dumps(bundle, protocol=5, buffer_callback=bufs.append)
+        raws = [b.raw() for b in bufs]
+        header = pickle.dumps((payload, [r.nbytes for r in raws]))
+        # unbuffered raw writes: each array segment goes down in one write()
+        # instead of being re-chunked through a BufferedWriter memcpy
+        with os.fdopen(fd, "wb", buffering=0) as fh:
+            fh.write(_CACHE_MAGIC)
+            fh.write(len(header).to_bytes(8, "little"))
+            fh.write(header)
+            for r in raws:
+                fh.write(r)
         os.replace(tmp, _cache_path(key))
     except Exception:  # noqa: BLE001 - cache is best-effort
         if os.path.exists(tmp):

@@ -129,6 +129,68 @@ def det_topk_indices(vals: np.ndarray, ids: np.ndarray, k: int, descending: bool
     return cand[order]
 
 
+# ---------------------------------------------------------------------------
+# parallel first-touch allocation
+#
+# On this sandbox's Firecracker-style kernel, SINGLE-threaded first-touch of
+# fresh anonymous pages runs at ~120 MB/s (page zeroing in the fault handler),
+# while concurrent faults from a thread pool scale near-linearly (measured
+# 0.66 GB: 5.4 s with 1 thread, 0.25 s with 4, 0.03 s with 16 — numpy slice
+# assignment releases the GIL around the copy, so faults overlap).  Driver-side
+# assembly of GB-scale arrays (bundle concat, direct-address tables) would
+# otherwise spend 80% of its wall time faulting pages in one thread.
+# ---------------------------------------------------------------------------
+
+_FILL_POOL = None
+_FILL_THREADS = 8
+
+
+def _fill_pool():
+    global _FILL_POOL
+    if _FILL_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _FILL_POOL = ThreadPoolExecutor(_FILL_THREADS)
+    return _FILL_POOL
+
+
+def pfull(n: int, fill_value, dtype) -> np.ndarray:
+    """``np.full`` with parallel first-touch (see module comment above)."""
+    out = np.empty(int(n), dtype=dtype)
+    if out.nbytes < (1 << 25):
+        out[:] = fill_value
+        return out
+    step = -(-len(out) // _FILL_THREADS)
+
+    def fill(s):
+        out[s : s + step] = fill_value
+
+    list(_fill_pool().map(fill, range(0, len(out), step)))
+    return out
+
+
+def pconcat(arrays: list) -> np.ndarray:
+    """``np.concatenate`` into a parallel-first-touch buffer.
+
+    Copies each input array on its own pool thread — inputs from ``ray.get``
+    are zero-copy plasma views, so this is also where their pages fault in.
+    """
+    arrays = [a for a in arrays]
+    if not arrays:
+        raise ValueError("pconcat of empty list")
+    total = int(sum(len(a) for a in arrays))
+    out = np.empty(total, dtype=arrays[0].dtype)
+    if out.nbytes < (1 << 25) or len(arrays) == 1:
+        return np.concatenate(arrays) if len(arrays) > 1 else arrays[0].copy()
+    offs = np.cumsum([0] + [len(a) for a in arrays])
+
+    def copy(i):
+        out[offs[i] : offs[i + 1]] = arrays[i]
+
+    list(_fill_pool().map(copy, range(len(arrays))))
+    return out
+
+
 _STAGE_CACHE: dict = {}
 
 

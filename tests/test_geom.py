@@ -201,7 +201,7 @@ def test_bundle_tiny2():
     py = np.array([5.15, 5.15, 5.0, 5.0, 5.0])
     lin, valid = g.locate_linear(px, py)
     assert valid.all()
-    pts, pl = b.cand.expand(lin)
+    pts, pl = b.expand(lin, "cand")
     mask = P.pip_pairs(px, py, pts, pl, b.verts, b.ring_offsets, b.poly_ring_offsets)
     counts = np.bincount(pl[mask], minlength=2)
     assert list(counts) == [2, 3]
