@@ -671,7 +671,7 @@ def _q_join_part_agg(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     red = grouped_aggregate(
-        coalesce_small(joined.map_batches(partial, batch_format="pyarrow"), 4),
+        coalesce_small(joined.map_batches(partial, batch_format="pyarrow"), 0.125),
         "p_brand",
         {"n": ("n", "sum"), "sum_qty": ("sum_qty", "sum")},
     )

@@ -36,7 +36,7 @@ def cell_histogram_grid(points_ds, grid: Grid, value_col: str | None = None, sor
 
     from ..util import coalesce_small, grouped_aggregate
 
-    partials = coalesce_small(points_ds.map_batches(partial, batch_format="pyarrow"), n=16)
+    partials = coalesce_small(points_ds.map_batches(partial, batch_format="pyarrow"), 0.5)
     aggs = {"n": ("n", "sum")}
     if value_col is not None:
         aggs["val_sum"] = ("val_sum", "sum")
@@ -86,7 +86,7 @@ def cell_histogram_global(points_ds, res: int, x_col: str = "x", y_col: str = "y
     from ..util import coalesce_small, grouped_aggregate
 
     out = grouped_aggregate(
-        coalesce_small(points_ds.map_batches(partial, batch_format="pyarrow"), n=16),
+        coalesce_small(points_ds.map_batches(partial, batch_format="pyarrow"), 0.5),
         "cell_id",
         {"n": ("n", "sum")},
     )

@@ -35,7 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ..util import coalesce_small, grouped_aggregate
+from ..util import coalesce_small, grouped_aggregate, shuffle_parts
 
 MERSENNE61 = (1 << 61) - 1
 _FNV = np.uint64(1099511628211)
@@ -120,7 +120,7 @@ def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id", verify: b
     # when collisions-to-verify number in the tens of thousands (round-3
     # scale smoke: 200k docs / 60k multi-occurrence hashes, 27 s -> 8 s)
     verified = grouped_aggregate(
-        coalesce_small(ds.map_batches(hot_rows, batch_format="pyarrow"), 4),
+        coalesce_small(ds.map_batches(hot_rows, batch_format="pyarrow"), 0.125),
         ["content_hash", content_col],
         {id_col: (id_col, "min"), "n": (id_col, "count")},
     ).map_batches(lambda t: t.select([id_col, "n"]), batch_format="pyarrow")
@@ -251,8 +251,8 @@ def _grouped_run(sigs_ds, run_group_fn):
     tiny block map_groups emits per group before downstream shuffles."""
     # 32 blocks into the shuffle -> up to 32 concurrent run_group tasks (the
     # old n=8 capped the verify stage at a quarter of the box)
-    withsb = coalesce_small(sigs_ds.map_batches(add_super_bucket, batch_format="pyarrow"), 32)
-    return withsb.groupby("sb").map_groups(run_group_fn, batch_format="pandas").repartition(4)
+    withsb = coalesce_small(sigs_ds.map_batches(add_super_bucket, batch_format="pyarrow"), 1.0)
+    return withsb.groupby("sb").map_groups(run_group_fn, batch_format="pandas").repartition(shuffle_parts(0.125))
 
 
 def _bucket_all_pairs(g: pd.DataFrame, id_col: str, max_bucket: int | None):
@@ -354,7 +354,7 @@ def minhash_lsh_pairs(
         return _minhash_group_pairs(g, id_col, num_perm, max_bucket)
 
     pairs = _grouped_run(sigs, run_group)
-    dedup = grouped_aggregate(pairs, ["id_a", "id_b"], {"est_jaccard": ("est_jaccard", "max")}, num_partitions=16)
+    dedup = grouped_aggregate(pairs, ["id_a", "id_b"], {"est_jaccard": ("est_jaccard", "max")}, weight=0.5)
 
     def finish(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t.column("est_jaccard"), pa.scalar(threshold)))
@@ -565,7 +565,7 @@ def ngram_jaccard_pairs(
     if emit_once:
         return pairs.sort(["id_a", "id_b"])
     return grouped_aggregate(
-        pairs, ["id_a", "id_b"], {"jaccard": ("jaccard", "max")}, num_partitions=16
+        pairs, ["id_a", "id_b"], {"jaccard": ("jaccard", "max")}, weight=0.5
     ).sort(["id_a", "id_b"])
 
 
@@ -668,7 +668,7 @@ def _ngram_group_pairs(
     return pd.DataFrame({"id_a": ids[a[keep]], "id_b": ids[b[keep]], "jaccard": jac[keep]})
 
 
-def _cc_star_round(edges, large: bool, num_partitions: int = 32):
+def _cc_star_round(edges, large: bool, num_partitions: int | None = None):
     """One large-star (or small-star) round of the Kiveris et al. (SoCC'14)
     distributed connected-components algorithm over an edge Dataset with
     columns (u, v), u > v canonical.  Returns the new unique edge Dataset.
@@ -676,6 +676,8 @@ def _cc_star_round(edges, large: bool, num_partitions: int = 32):
     Shape: symmetrize inside map_batches, hash-partition by the center node
     so each reduce task sees complete neighborhoods, then one vectorized
     pandas pass per partition (no per-node dispatch)."""
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
 
     def sym(t: pa.Table) -> pa.Table:
         u = t.column("u").to_numpy(zero_copy_only=False)
@@ -717,7 +719,7 @@ def _cc_star_round(edges, large: bool, num_partitions: int = 32):
     )
     # global unique (the same edge can be emitted from several neighborhoods)
     return grouped_aggregate(
-        coalesce_small(stars, 4), ["u", "v"], {"n": ("u", "count")}, num_partitions=8
+        coalesce_small(stars, 0.125), ["u", "v"], {"n": ("u", "count")}, weight=0.25
     ).map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow")
 
 
@@ -807,7 +809,7 @@ def _cc_large_small_star(pairs, id_col: str, max_rounds: int = 32, checkpoint_di
     # member, so dedupe with a grouped aggregate before the final sort
     out = edges.map_batches(finish, batch_format="pyarrow")
     return grouped_aggregate(
-        coalesce_small(out, 4), id_col, {"rep_id": ("rep_id", "min")}, num_partitions=8
+        coalesce_small(out, 0.125), id_col, {"rep_id": ("rep_id", "min")}, weight=0.25
     ).sort(id_col)
 
 
@@ -1009,7 +1011,7 @@ def simhash_pairs(
 
     pairs = _grouped_run(sigs, run_group)
     return grouped_aggregate(
-        pairs, ["id_a", "id_b"], {"hamming": ("hamming", "min")}, num_partitions=16
+        pairs, ["id_a", "id_b"], {"hamming": ("hamming", "min")}, weight=0.5
     ).sort(["id_a", "id_b"])
 
 
@@ -1232,7 +1234,7 @@ def substring_dup_pairs(
     content_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     tile_hot: int | None = 2048,
 ):
     """EXACT pairs of docs sharing ≥ ``min_len`` consecutive characters —
@@ -1461,11 +1463,11 @@ def substring_dup_pairs(
                 )
             return pd.concat(frames, ignore_index=True)
 
-        routed = coalesce_small(fps.map_batches(route, batch_format="pyarrow"), 32)
+        routed = coalesce_small(fps.map_batches(route, batch_format="pyarrow"), 1.0)
         cands = (
             routed.groupby("sb")
             .map_groups(pair_group_tiled, batch_format="pandas")
-            .repartition(4)
+            .repartition(shuffle_parts(0.125))
         )
     else:
         cands = _grouped_run(fps, pair_group)
@@ -1489,11 +1491,11 @@ def substring_dup_pairs(
             cands.map_batches(side("id_a", "pos_a"), batch_format="pyarrow").union(
                 cands.map_batches(side("id_b", "pos_b"), batch_format="pyarrow")
             ),
-            8,
+            0.25,
         ),
         [id_col, "pos"],
         {"_n": (id_col, "count")},
-        num_partitions=16,
+        weight=0.5,
     ).map_batches(
         lambda t: t.select([id_col, "pos"]), batch_format="pyarrow"
     )
@@ -1609,7 +1611,7 @@ def substring_dup_pairs(
 
     verified = j2.map_batches(verify, batch_format="pyarrow")
     out = grouped_aggregate(
-        verified, ["id_a", "id_b"], {"_n": ("id_a", "count")}, num_partitions=16
+        verified, ["id_a", "id_b"], {"_n": ("id_a", "count")}, weight=0.5
     )
     return out.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow").sort(
         ["id_a", "id_b"]

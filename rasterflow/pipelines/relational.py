@@ -92,8 +92,10 @@ def _tagged_key_partition(
     a hot key meets in exactly one partition (the left row's salt), and the
     per-partition merge still joins on the REAL key columns, so a 64-bit
     hot-hash collision only costs misrouting, never a wrong match."""
-    from ..util import _hash_cols, coalesce_small
+    from ..util import _hash_cols, coalesce_small, shuffle_parts
 
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
     allcols = list(dict.fromkeys(lcols + rcols))
     coltype: dict = {}
     if set(lcols) != set(rcols):
@@ -163,7 +165,7 @@ def _tagged_key_partition(
 
     tagged_l = left_ds.map_batches(tag(0, lcols), batch_format="pyarrow")
     tagged_r = right_ds.map_batches(tag(1, rcols), batch_format="pyarrow")
-    return coalesce_small(tagged_l.union(tagged_r), 8), coltype
+    return coalesce_small(tagged_l.union(tagged_r), 0.25), coltype
 
 
 def _restore_int_dtypes(m: pd.DataFrame, cols, coltype: dict) -> pd.DataFrame:
@@ -192,7 +194,7 @@ def hash_join(
     on: str | list[str],
     left_cols: list[str],
     right_cols: list[str],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     skew: str | pd.DataFrame | None = None,
     skew_salt: int = 8,
     skew_threshold: float = 0.02,
@@ -286,7 +288,7 @@ def anti_join(
     right_ds,
     on: str | list[str],
     left_cols: list[str],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Partitioned anti join: left rows whose key has NO match on the right
     — the set-subtraction primitive of curation pipelines ("drop documents
@@ -326,7 +328,7 @@ def bloom_semi_join(
     on: str,
     left_cols: list[str],
     nbits: int = 1 << 22,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     exact: bool = True,
 ):
     """Semi join (left rows with ≥1 right-key match) via a BROADCAST Bloom
@@ -423,11 +425,11 @@ def bloom_semi_join(
         return pa.table({on: k.unique()})
 
     rdistinct = coalesce_small(
-        right_ds.map_batches(batch_distinct, batch_format="pyarrow", batch_size=None), 8
+        right_ds.map_batches(batch_distinct, batch_format="pyarrow", batch_size=None), 0.25
     )
     rkeys = grouped_aggregate(rdistinct, on, {"_one": (on, "first")})
     return hash_join(
-        coalesce_small(survivors, 8), rkeys, on=on,
+        coalesce_small(survivors, 0.25), rkeys, on=on,
         left_cols=[c for c in cols if c != on], right_cols=[],
         num_partitions=num_partitions,
     ).select_columns(cols)
@@ -533,7 +535,7 @@ def pivot_counts(
         agg = df.groupby(row_key, as_index=False, sort=False).sum()
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4)
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125)
     red = grouped_aggregate(partials, row_key, {nc: (nc, "sum") for nc in ncols})
     return red.sort(row_key)
 
@@ -547,7 +549,7 @@ def interval_join(
     ts_col: str,
     interval_cols: list[str] | None = None,
     point_cols: list[str] | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Range join: each point row gains the (at most one) same-key interval
     with ``start <= ts <= end`` (inner semantics — points in no interval are
@@ -619,7 +621,7 @@ def asof_join(
     ts_col: str,
     left_cols: list[str],
     right_cols: list[str],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """As-of join: each left row gains the most recent right row with
     ``right.ts <= left.ts`` and the same ``key`` (inner semantics — left
@@ -629,8 +631,10 @@ def asof_join(
     right's ts column becomes ``r_{ts_col}``).  Ties on the right timestamp
     resolve to the highest first-right-column value (deterministic).
     """
-    from ..util import _hash_cols
+    from ..util import _hash_cols, shuffle_parts
 
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
     lcols = list(dict.fromkeys([key, ts_col] + left_cols))
     rcols = list(dict.fromkeys([key, ts_col] + right_cols))
     # one shared schema for the union: columns owned by only one side are
@@ -678,7 +682,7 @@ def asof_join(
     tagged_r = right_ds.map_batches(tag(1, rcols), batch_format="pyarrow")
     # the union concatenates both sides' block lists; coalesce before the
     # groupby shuffle so it schedules a handful of tasks, not blocks×parts
-    both = coalesce_small(tagged_l.union(tagged_r), 8)
+    both = coalesce_small(tagged_l.union(tagged_r), 0.25)
 
     rvalue_cols = [c for c in rcols if c != key]
 

@@ -157,7 +157,7 @@ def uniform_sample_k(
             h = h[idx]
         return b.select(cols).append_column("h", pa.array(h))
 
-    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 8)
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.25)
     return partials.sort(["h", id_col]).limit(k)
 
 
@@ -190,7 +190,7 @@ def group_sample_k(
         df = df.sort_values(["h", id_col]).groupby(group_col, sort=False).head(k)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 8)
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.25)
     return _grouped_head(
         partials, group_col, ["h", id_col], [True, True], k, [group_col, id_col, "h"]
     )
@@ -230,7 +230,7 @@ def group_stats(
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     red = grouped_aggregate(
-        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4),
+        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125),
         group_col,
         {"n": ("_n", "sum"), "s": ("_s", "sum"), "s2": ("_s2", "sum")},
     )
@@ -262,7 +262,7 @@ def rank_in_group(
     order_col: str,
     id_col: str = "doc_id",
     ascending: bool = False,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     out_col: str = "rnk",
 ):
     """Dense row-numbering per group: rank = position by
@@ -277,7 +277,10 @@ def rank_in_group(
     stable under any partitioning and matches the SQL ROW_NUMBER oracle."""
     import pandas as pd
 
-    from ..util import _hash_cols
+    from ..util import _hash_cols, shuffle_parts
+
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
 
     def addpk(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({group_col: b.column(group_col).to_numpy(zero_copy_only=False)})
@@ -325,7 +328,7 @@ def group_quantiles(
         return pa.Table.from_pandas(vc, preserve_index=False)
 
     red = grouped_aggregate(
-        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4),
+        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125),
         [group_col, "v"],
         {"cnt": ("cnt", "sum")},
     )
@@ -370,7 +373,7 @@ def column_quantiles(ds, col: str, qs: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99)
         )
 
     red = grouped_aggregate(
-        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4),
+        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125),
         "v",
         {"cnt": ("cnt", "sum")},
     )
@@ -391,7 +394,7 @@ def column_quantiles(ds, col: str, qs: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99)
     )
 
 
-def _grouped_head(partials, group_col: str, sort_cols: list[str], ascending: list[bool], k: int, out_cols: list[str], num_partitions: int = 32):
+def _grouped_head(partials, group_col: str, sort_cols: list[str], ascending: list[bool], k: int, out_cols: list[str], num_partitions: int | None = None):
     """Final head-k-per-group merge over pre-reduced partials, WITHOUT
     per-group dispatch: hash-partition by group, then one vectorized
     sort + ``groupby.head`` per partition handles all of its groups at once
@@ -399,7 +402,10 @@ def _grouped_head(partials, group_col: str, sort_cols: list[str], ascending: lis
     pathology fixed in sessionize)."""
     import pandas as pd
 
-    from ..util import _hash_cols
+    from ..util import _hash_cols, shuffle_parts
+
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
 
     def addpk(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({group_col: b.column(group_col).to_numpy(zero_copy_only=False)})
@@ -430,7 +436,7 @@ def cap_per_group(ds, group_col: str, k: int, id_col: str = "doc_id"):
         df = df.sort_values(id_col).groupby(group_col, sort=False).head(k)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 8)
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.25)
     return _grouped_head(partials, group_col, [id_col], [True], k, [group_col, id_col])
 
 
@@ -680,7 +686,7 @@ def group_quantiles_select(
 
     gcounts = (
         grouped_aggregate(
-            coalesce_small(ds.map_batches(cpartial, batch_format="pyarrow"), 4),
+            coalesce_small(ds.map_batches(cpartial, batch_format="pyarrow"), 0.125),
             group_col,
             {"n": ("n", "sum")},
         )
@@ -919,7 +925,7 @@ def top_k_per_group(
         df = df.groupby(group_col, sort=False).head(k)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 8)
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.25)
     return _grouped_head(
         partials, group_col, [score_col, id_col], [False, True], k, cols,
     )

@@ -1,0 +1,221 @@
+"""Distributed full-text search: persisted inverted index + BM25 top-k.
+
+The text analogue of the embedding IVF layout (``similarity.ivf_ingest``)
+and the spatial cell-partitioned ingest: postings live in parquet
+partitioned by ``hash(token) % num_parts``, so a query reads ONLY the
+partitions that can hold its terms (hive partition pruning) and, inside
+them, only the row groups whose token statistics overlap the term set
+(predicate pushdown).
+
+Build is a single ``map_batches`` pass with NO shuffle: a document lives
+wholly in one row, so per-(doc, token) term frequency and the document
+length are final within the batch that holds the document.  Corpus stats
+(N docs, total tokens — the BM25 ``avgdl`` inputs) reduce through a
+one-row-per-batch partial stream.
+
+Scoring follows Robertson & Zaragoza (2009) BM25 with the Lucene idf
+variant ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always positive).  A doc's
+per-term scores are summed in FIXED sorted-term order — each term is a
+pivot column, absent terms contribute exactly 0.0, and the final addition
+chain is left-to-right over the sorted terms — so the float64 result is
+bit-reproducible under any partitioning and matches a DuckDB oracle that
+adds the same per-term columns in the same textual order.
+
+Tokenization is the corpus rule shared with ``textstats`` (whitespace
+split, empties dropped), so the oracle SQL reuses the proven
+``string_split_regex(text, '\\s+')`` tokenizer.
+
+The reference engine has no text search; this is part of the
+LLM-curation operator suite layered on the same layout machinery.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..util import coalesce_small, grouped_aggregate, shuffle_parts
+
+_HASH_KEY = "0123456789123456"
+
+
+def _token_parts(tokens: np.ndarray, num_parts: int) -> np.ndarray:
+    """Stable partition id per token (pandas 64-bit string hash, mod P)."""
+    h = pd.util.hash_array(tokens, hash_key=_HASH_KEY)
+    return (h % np.uint64(num_parts)).astype(np.int32)
+
+
+def build_inverted_index(
+    ds,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+):
+    """Write a token-partitioned postings layout + corpus stats sidecar.
+
+    Postings schema: (token, doc_id, tf, dl) partitioned by
+    ``part = hash(token) % num_parts``.  ``dl`` (the document's token
+    count) is denormalized onto every posting so scoring never joins back
+    to the documents table.  Sidecar ``_stats.json`` carries
+    ``{n_docs, total_tokens, num_parts}``.
+    """
+    if num_parts is None:
+        num_parts = shuffle_parts(1.0)
+
+    def postings(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(b.column(text_col))
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = b.column(id_col).to_numpy(zero_copy_only=False)
+        didx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        keep = flat != ""
+        flat, didx = flat[keep], didx[keep]
+        dl = np.bincount(didx, minlength=len(b)).astype(np.int64)
+        # per-(doc, token) tf in one vectorized groupby (C path)
+        g = (
+            pd.DataFrame({"d": didx, "token": flat})
+            .groupby(["d", "token"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        d = g["d"].to_numpy()
+        token = g["token"].to_numpy()
+        return pa.table(
+            {
+                "token": pa.array(token, type=pa.string()),
+                id_col: pa.array(docs[d]),
+                "tf": pa.array(g["tf"].to_numpy().astype(np.int64)),
+                "dl": pa.array(dl[d]),
+                "part": pa.array(
+                    _token_parts(token, num_parts).astype("U")
+                ),
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["part"]
+    )
+
+    # corpus stats: one tiny row per batch, summed on the driver (O(batches))
+    def stat_partial(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(b.column(text_col))
+        flat = pc.list_flatten(toks)
+        n_tok = int(pc.sum(pc.cast(pc.not_equal(flat, pa.scalar("")), pa.int64())).as_py() or 0)
+        return pa.table({"n_docs": pa.array([len(b)], pa.int64()), "total_tokens": pa.array([n_tok], pa.int64())})
+
+    st = ds.map_batches(stat_partial, batch_format="pyarrow").to_pandas()
+    stats = {
+        "n_docs": int(st["n_docs"].sum()),
+        "total_tokens": int(st["total_tokens"].sum()),
+        "num_parts": int(num_parts),
+    }
+    # "_" prefix: parquet dataset discovery ignores sidecars
+    with open(os.path.join(out_dir, "_stats.json"), "w") as f:
+        json.dump(stats, f)
+    return out_dir
+
+
+def bm25_topk(
+    index_dir: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+):
+    """Top-k documents by BM25 over a persisted inverted index.
+
+    Reads only the term partitions (hive pruning on ``part`` + token row
+    filter), derives df from the pruned postings (no global dictionary),
+    pivots per-term scores into fixed columns and sums them left-to-right
+    in sorted-term order — bit-reproducible float64, ties broken by doc id.
+    """
+    with open(os.path.join(index_dir, "_stats.json")) as f:
+        stats = json.load(f)
+    n_docs, total, num_parts = stats["n_docs"], stats["total_tokens"], stats["num_parts"]
+    avgdl = total / n_docs
+
+    terms = sorted(set(terms))
+    tarr = np.asarray(terms, dtype=object)
+    parts = sorted({str(int(p)) for p in _token_parts(tarr, num_parts)})
+    flt = pc.field("part").isin(parts) & pc.field("token").isin(terms)
+    post = ray.data.read_parquet(index_dir, filter=flt, columns=["token", id_col, "tf", "dl"])
+
+    # df per term: ≤ len(terms) rows per batch partial, driver-combined —
+    # bounded by terms × blocks, not corpus size
+    def df_partial(t: pa.Table) -> pa.Table:
+        vc = t.column("token").value_counts()
+        return pa.table({"token": vc.field("values"), "df": pc.cast(vc.field("counts"), pa.int64())})
+
+    dfp = post.map_batches(df_partial, batch_format="pyarrow").to_pandas()
+    df_map = dfp.groupby("token")["df"].sum().to_dict()
+    idf = {
+        t: float(np.log(1.0 + (n_docs - df_map.get(t, 0) + 0.5) / (df_map.get(t, 0) + 0.5)))
+        for t in terms
+    }
+
+    scols = [f"s_{i}" for i in range(len(terms))]
+
+    def pivot(t: pa.Table) -> pa.Table:
+        tok = t.column("token").to_numpy(zero_copy_only=False)
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        # the exact BM25 expression, same parenthesization as the oracle SQL
+        norm = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * dl) / avgdl))
+        out = {id_col: t.column(id_col)}
+        for i, term in enumerate(terms):
+            s = np.where(tok == term, idf[term] * norm, 0.0)
+            out[scols[i]] = pa.array(s, type=pa.float64())
+        return pa.table(out)
+
+    # each (doc, term) posting exists ONCE globally, so a grouped float sum
+    # adds exactly one non-zero per column — exact under any partitioning
+    agg = grouped_aggregate(
+        coalesce_small(post.map_batches(pivot, batch_format="pyarrow"), 0.25),
+        id_col,
+        {c: (c, "sum") for c in scols},
+        weight=0.5,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        score = t.column(scols[0]).to_numpy(zero_copy_only=False).copy()
+        for c in scols[1:]:
+            score = score + t.column(c).to_numpy(zero_copy_only=False)
+        return pa.table({id_col: t.column(id_col), "score": pa.array(score, type=pa.float64())})
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+
+def bm25_topk_scan(
+    ds,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index_dir: str | None = None,
+    num_parts: int | None = None,
+):
+    """BM25 top-k straight from a documents Dataset: builds the persisted
+    index under ``index_dir`` (or a temp dir) then queries it — the
+    composition used by the driver query; real deployments build once and
+    query many times."""
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="rf_bm25_")
+    build_inverted_index(ds, index_dir, text_col=text_col, id_col=id_col, num_parts=num_parts)
+    return bm25_topk(index_dir, terms, k=k, k1=k1, b=b, id_col=id_col)

@@ -343,7 +343,7 @@ def cosine_topk_ivf_indexed(
 
     from ..util import coalesce_small
 
-    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4)
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["score", id_col], ascending=[False, True]).head(k)
@@ -486,5 +486,5 @@ def embedding_neardup_pairs(
 
     pairs = _grouped_run(sigs, run_group)
     return grouped_aggregate(
-        pairs, ["id_a", "id_b"], {"cos": ("cos", "max")}, num_partitions=16
+        pairs, ["id_a", "id_b"], {"cos": ("cos", "max")}, weight=0.5
     ).sort(["id_a", "id_b"])

@@ -155,7 +155,7 @@ def heavy_hitters_sketch(
 
     from ..util import coalesce_small, grouped_aggregate
 
-    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4)
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125)
     red = grouped_aggregate(partials, "token", {"est": ("est", "sum"), "n": ("n", "sum")})
     pdf = red.to_pandas()
     n_total = int(pdf["n"].sum())

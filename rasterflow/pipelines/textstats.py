@@ -272,7 +272,7 @@ def doc_term_freq(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def tfidf_top_terms(
-    ds, k: int = 3, text_col: str = "text", id_col: str = "doc_id", num_partitions: int = 32
+    ds, k: int = 3, text_col: str = "text", id_col: str = "doc_id", num_partitions: int | None = None
 ):
     """Per-doc top-k terms by tf·idf (idf = ln(N/df)) — the "what is this
     document about" signal of a curation pipeline.
@@ -365,7 +365,7 @@ def bigram_top(ds, text_col: str = "text", k: int = 20):
 
     from ..util import coalesce_small, grouped_aggregate
 
-    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4)
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125)
     red = grouped_aggregate(partials, "bigram", {"n": ("n", "sum")})
     return red.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
@@ -404,7 +404,7 @@ def json_int_field_agg(
 
     from ..util import coalesce_small, grouped_aggregate
 
-    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4)
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125)
     out_sum = f"sum_{field}"
     red = grouped_aggregate(
         partials, group_col, {"n": ("n", "sum"), out_sum: ("s", "sum")}
@@ -470,7 +470,7 @@ def vocab_stats(ds, text_col: str = "text"):
 
     from ..util import coalesce_small, grouped_aggregate
 
-    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4)
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125)
     red = grouped_aggregate(partials, "token", {"n": ("n", "sum")})
 
     def finalize(b: pa.Table) -> pa.Table:
@@ -518,6 +518,6 @@ def top_tokens(ds, text_col: str = "text", k: int = 50):
 
     from ..util import coalesce_small, grouped_aggregate
 
-    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 4)
+    partials = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125)
     red = grouped_aggregate(partials, "token", {"n": ("n", "sum")})
     return red.sort(["n", "token"], descending=[True, False]).limit(k)

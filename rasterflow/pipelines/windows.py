@@ -73,7 +73,7 @@ def sessionize(
     ts_col: str = "ts",
     key: str = "user_id",
     gap_s: int = 1800,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Session windows per key: events closer than ``gap_s`` chain into one
     session.  Output: one row per session
@@ -89,6 +89,10 @@ def sessionize(
     import pandas as pd
 
     from .dedup import _FNV
+    from ..util import shuffle_parts
+
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
 
     def addpk(b: pa.Table) -> pa.Table:
         import pandas as _pd
@@ -133,7 +137,7 @@ def lag_deltas(
     ts_col: str = "ts",
     key: str = "user_id",
     id_col: str = "event_id",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     out_col: str = "delta_us",
 ):
     """Per-key inter-event gaps: for every event, microseconds since the
@@ -149,6 +153,10 @@ def lag_deltas(
     import pandas as pd
 
     from .dedup import _FNV
+    from ..util import shuffle_parts
+
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
 
     def addpk(b: pa.Table) -> pa.Table:
         kcol = b.column(key).to_numpy(zero_copy_only=False)
@@ -187,7 +195,7 @@ def rolling_sum(
     id_col: str = "event_id",
     value_col: str = "value",
     window: int = 5,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     out_col: str = "roll_cents",
 ):
     """Per-key rolling sum over the last ``window`` events (ROWS BETWEEN
@@ -203,6 +211,10 @@ def rolling_sum(
     import pandas as pd
 
     from .dedup import _FNV
+    from ..util import shuffle_parts
+
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
 
     def addpk(b: pa.Table) -> pa.Table:
         kcol = b.column(key).to_numpy(zero_copy_only=False)
@@ -239,7 +251,7 @@ def rolling_sum_time(
     id_col: str = "event_id",
     value_col: str = "value",
     window_s: int = 3600,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     out_col: str = "roll_cents",
 ):
     """Per-key rolling sum over a TIME window (RANGE BETWEEN window_s
@@ -255,6 +267,10 @@ def rolling_sum_time(
     import pandas as pd
 
     from .dedup import _FNV
+    from ..util import shuffle_parts
+
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
 
     def addpk(b: pa.Table) -> pa.Table:
         kcol = b.column(key).to_numpy(zero_copy_only=False)
@@ -296,7 +312,7 @@ def funnel_users(
     ts_col: str = "ts",
     key: str = "user_id",
     type_col: str = "event_type",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Ordered funnel matching: keys that performed ``stages`` in strict
     temporal order — ``t1 = min ts(stage1)``, ``t2 = min ts(stage2) with
@@ -310,6 +326,10 @@ def funnel_users(
     import pandas as pd
 
     from .dedup import _FNV
+    from ..util import shuffle_parts
+
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
 
     def addpk(b: pa.Table) -> pa.Table:
         kcol = b.column(key).to_numpy(zero_copy_only=False)
