@@ -846,6 +846,77 @@ def _q_bounds_contain(sf_dir: str):
     )
 
 
+#: per-(job, sf_dir) memo of the persisted inverted-index layout — build
+#: once, query many times (mirrors _KNN_INDEX_CACHE / the IVF layout)
+_BM25_INDEX_CACHE: dict = {}
+#: fixed 3-term query; sorted order is the score-summation order on BOTH
+#: the Ray side and the oracle's coalesce-sum, so floats match bit-exactly
+BM25_TERMS = ("filter", "hash", "vector")
+
+
+def _bm25_index(sf_dir: str) -> str:
+    import tempfile
+
+    import ray.data
+
+    from rasterflow.pipelines.search import build_inverted_index
+
+    key = (ray.get_runtime_context().get_job_id(), sf_dir)
+    path = _BM25_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="rf_bm25_idx_")
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        build_inverted_index(ds, path)
+        _BM25_INDEX_CACHE.clear()  # one live layout per process
+        _BM25_INDEX_CACHE[key] = path
+    return path
+
+
+def _q_bm25_search(sf_dir: str):
+    """BM25 top-10 docs for a fixed 3-term query through the persisted
+    token-partitioned inverted index (round 4) — build reads the corpus
+    once with no shuffle; the query reads only the terms' partitions."""
+    from rasterflow.pipelines.search import bm25_topk
+
+    return bm25_topk(_bm25_index(sf_dir), list(BM25_TERMS), k=10)
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    cases = ",\n         ".join(
+        f"coalesce(max(CASE WHEN token = '{t}' THEN s END), 0.0) AS s{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    ssum = "s0"  # left-to-right chain: ((s0 + s1) + s2) ...
+    for i in range(1, len(BM25_TERMS)):
+        ssum = f"({ssum} + s{i})"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl),
+c AS (SELECT CAST(1.25 AS DOUBLE) AS k1, CAST(0.75 AS DOUBLE) AS b),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+       WHERE token IN ({terms}) GROUP BY doc_id, token),
+dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+sc AS (
+  SELECT tf.doc_id, tf.token,
+         ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * ((tf.tf * (c.k1 + 1.0)) / (tf.tf + c.k1 * ((1.0 - c.b) + (c.b * dl.dl) / (CAST(st.total AS DOUBLE) / st.n_docs)))) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN dft USING (token) CROSS JOIN st CROSS JOIN c
+),
+p AS (
+  SELECT doc_id,
+         {cases}
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, {ssum} AS score FROM p
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def _q_cust_orders_left(sf_dir: str):
     """LEFT OUTER partitioned hash join (round 4): every customer with
     their order count/max price, order-less customers surviving with nulls
@@ -1367,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-4 additions (newest first) --
+        "bm25_search": _q_bm25_search,
         "cust_orders_left": _q_cust_orders_left,
         "lang_stats": _q_lang_stats,
         "lang_sample_k": _q_lang_sample_k,
@@ -1971,6 +2043,7 @@ SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders, max(o_totalprice) AS m
 FROM customer JOIN orders ON o_custkey = c_custkey
 GROUP BY c_nationkey ORDER BY c_nationkey
 """,
+        "bm25_search": _bm25_sql(),
         "repetition_stats": _repetition_stats_sql(),
         "tfidf_top_terms": _tfidf_sql(3),
         "weighted_sample": _weighted_sample_sql(400),

@@ -127,7 +127,7 @@ def bm25_topk(
     index_dir: str,
     terms: list[str],
     k: int = 10,
-    k1: float = 1.2,
+    k1: float = 1.25,
     b: float = 0.75,
     id_col: str = "doc_id",
 ):
@@ -146,8 +146,18 @@ def bm25_topk(
     terms = sorted(set(terms))
     tarr = np.asarray(terms, dtype=object)
     parts = sorted({str(int(p)) for p in _token_parts(tarr, num_parts)})
-    flt = pc.field("part").isin(parts) & pc.field("token").isin(terms)
-    post = ray.data.read_parquet(index_dir, filter=flt, columns=["token", id_col, "tf", "dl"])
+    # partition pruning by PATH (only the term partitions are even listed),
+    # then row-group pruning inside them via the token statistics filter
+    import glob
+
+    paths = [
+        f
+        for x in parts
+        for f in sorted(glob.glob(os.path.join(index_dir, f"part={x}", "*.parquet")))
+    ]
+    post = ray.data.read_parquet(
+        paths, filter=pc.field("token").isin(terms), columns=["token", id_col, "tf", "dl"]
+    )
 
     # df per term: ≤ len(terms) rows per batch partial, driver-combined —
     # bounded by terms × blocks, not corpus size
@@ -157,8 +167,12 @@ def bm25_topk(
 
     dfp = post.map_batches(df_partial, batch_format="pyarrow").to_pandas()
     df_map = dfp.groupby("token")["df"].sum().to_dict()
+    # scalar libm log (math.log) — DuckDB's ln is libm too, while numpy's
+    # SIMD np.log can differ by 1 ULP, which the exact-value oracle rejects
+    import math
+
     idf = {
-        t: float(np.log(1.0 + (n_docs - df_map.get(t, 0) + 0.5) / (df_map.get(t, 0) + 0.5)))
+        t: math.log(1.0 + (n_docs - df_map.get(t, 0) + 0.5) / (df_map.get(t, 0) + 0.5))
         for t in terms
     }
 
@@ -202,7 +216,7 @@ def bm25_topk_scan(
     ds,
     terms: list[str],
     k: int = 10,
-    k1: float = 1.2,
+    k1: float = 1.25,
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
