@@ -917,6 +917,41 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def _q_pack_bins(sf_dir: str):
+    """Greedy sequence packing (round 4): per-source token-budget bins —
+    the training-sequence assembly step.  Only (source, doc_id, n_tok)
+    shuffle; the text is projected away in the counting pass."""
+    import ray.data
+
+    from rasterflow.pipelines.packing import pack_sequences
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return pack_sequences(ds, budget=512)
+
+
+_PACK_BINS_SQL = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+),
+ord AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM t),
+pack AS (
+  SELECT source, rn, doc_id, n_tok, n_tok AS fill, 0 AS bin_id FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.doc_id, o.n_tok,
+         CASE WHEN p.fill + o.n_tok > 512 THEN o.n_tok ELSE p.fill + o.n_tok END,
+         CASE WHEN p.fill + o.n_tok > 512 THEN p.bin_id + 1 ELSE p.bin_id END
+  FROM pack p JOIN ord o ON o.source = p.source AND o.rn = p.rn + 1
+)
+SELECT source, CAST(bin_id AS BIGINT) AS bin_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum
+FROM pack GROUP BY source, bin_id ORDER BY source, bin_id
+"""
+
+
 def _q_cust_orders_left(sf_dir: str):
     """LEFT OUTER partitioned hash join (round 4): every customer with
     their order count/max price, order-less customers surviving with nulls
@@ -1439,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- round-4 additions (newest first) --
         "bm25_search": _q_bm25_search,
+        "pack_bins": _q_pack_bins,
         "cust_orders_left": _q_cust_orders_left,
         "lang_stats": _q_lang_stats,
         "lang_sample_k": _q_lang_sample_k,
@@ -2044,6 +2080,7 @@ FROM customer JOIN orders ON o_custkey = c_custkey
 GROUP BY c_nationkey ORDER BY c_nationkey
 """,
         "bm25_search": _bm25_sql(),
+        "pack_bins": _PACK_BINS_SQL,
         "repetition_stats": _repetition_stats_sql(),
         "tfidf_top_terms": _tfidf_sql(3),
         "weighted_sample": _weighted_sample_sql(400),

@@ -1,0 +1,100 @@
+"""Sequence packing: greedily pack documents into fixed token-budget bins —
+the training-data assembly step between curation and tokenized-shard export
+(each bin becomes one training sequence / one output shard row group).
+
+Semantics (the industry-standard greedy rule): within each stratum
+(``group_col``), documents are taken in ``id_col`` order and appended to
+the current bin while ``fill + n_tok <= budget``; the first document that
+would overflow starts a new bin.  A document longer than the budget sits
+alone in its own bin.  The rule is a per-row state machine, so the oracle
+is a recursive CTE; the engine computes the identical assignment with an
+O(bins) cumsum + searchsorted loop — never a per-row Python loop.
+
+Partitioning: packing is inherently sequential WITHIN a stratum, so one
+stratum's (doc_id, n_tok) pairs must co-locate in one task — the same
+assumption as ``windows.sessionize`` (one user's events) — but only the
+two small integer columns travel, never the text: the token counting
+happens in a first ``map_batches`` pass that immediately projects the
+payload away.  At 100 TB, strata are shard keys (domain, crawl segment,
+language bucket), each a few million rows of two ints — well inside a
+task.  A corpus packed as ONE stratum is the degenerate case; callers
+wanting global packing at scale should pre-split into keyed strata.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def greedy_bins(ntok: np.ndarray, budget: int) -> np.ndarray:
+    """Bin id per item (items already in pack order) under the greedy rule.
+
+    Vectorized O(bins) loop: each iteration closes one bin by binary-searching
+    the cumulative token count for the overflow position.  Provably equal to
+    the per-row state machine: with ``base`` = cumulative tokens before the
+    bin, an item ``i`` is admitted iff ``cum[i] - base <= budget`` — the same
+    predicate as ``fill + n_tok <= budget`` — and the forced first admission
+    (``j >= start+1``) reproduces the longer-than-budget singleton bins.
+    """
+    n = len(ntok)
+    bins = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return bins
+    cum = np.cumsum(ntok.astype(np.int64))
+    start, base, b = 0, 0, 0
+    while start < n:
+        j = int(np.searchsorted(cum, base + budget, side="right"))
+        j = max(j, start + 1)
+        bins[start:j] = b
+        b += 1
+        base = int(cum[j - 1])
+        start = j
+    return bins
+
+
+def pack_sequences(
+    ds,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    per_bin: bool = True,
+):
+    """Pack documents into token-budget bins per stratum.
+
+    ``token_col=None`` counts whitespace tokens from ``text_col`` (the
+    corpus tokenizer rule shared with ``textstats``); pass a precomputed
+    count column to skip that pass.  Returns per-bin rows
+    ``(group, bin_id, n_docs, tok_sum)`` when ``per_bin`` (the compact
+    manifest), else the per-document assignment
+    ``(group, id, n_tok, bin_id)``.
+    """
+
+    def counts(b: pa.Table) -> pa.Table:
+        if token_col is not None:
+            n = pc.cast(b.column(token_col), pa.int64())
+        else:
+            n = pc.cast(pc.count_substring_regex(b.column(text_col), r"\S+"), pa.int64())
+        return pa.table({group_col: b.column(group_col), id_col: b.column(id_col), "n_tok": n})
+
+    def pack_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable").reset_index(drop=True)
+        g["bin_id"] = greedy_bins(g["n_tok"].to_numpy(), budget)
+        if not per_bin:
+            return g[[group_col, id_col, "n_tok", "bin_id"]]
+        agg = (
+            g.groupby("bin_id", sort=True)
+            .agg(n_docs=(id_col, "size"), tok_sum=("n_tok", "sum"))
+            .reset_index()
+        )
+        agg.insert(0, group_col, g[group_col].iloc[0])
+        return agg[[group_col, "bin_id", "n_docs", "tok_sum"]]
+
+    slim = ds.map_batches(counts, batch_format="pyarrow")
+    out = slim.groupby(group_col).map_groups(pack_group, batch_format="pandas")
+    sort_cols = [group_col, "bin_id"] if per_bin else [group_col, id_col]
+    return out.sort(sort_cols)
