@@ -952,6 +952,62 @@ FROM pack GROUP BY source, bin_id ORDER BY source, bin_id
 """
 
 
+def _q_decode_wav(sf_dir: str):
+    """REAL audio decode (round 4): splitmix64 int16 samples → WAV encode
+    (odd ids carry an odd-length LIST junk chunk that exercises the RIFF
+    chunk walk + pad rule) → pure-numpy PCM16 decode through the actor-pool
+    stage.  The oracle recomputes the integer sample stats from the raw
+    stream WITHOUT decoding, so a hash match proves the codec round-trips
+    bit-exactly end to end (the audio analogue of decode_png)."""
+    import ray.data
+
+    from rasterflow.pipelines.multimodal import decode_wavs
+    from rasterflow.sources.fixtures import payload_batch
+    from rasterflow.stages.wav import encode_wav_pcm16
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def addp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        raw = payload_batch(ids, nbytes=512, salt=6)
+        flat = np.frombuffer(
+            b"".join(v.as_py() for v in raw), dtype="<i2"
+        ).reshape(len(ids), 256)
+        wavs = []
+        for i, did in enumerate(ids):
+            w = encode_wav_pcm16(flat[i], sample_rate=16000 + int(did) % 2 * 8000)
+            if did % 2:  # splice an odd-length LIST chunk between fmt and data
+                cut = 12 + 8 + 16  # RIFF header + fmt chunk
+                junk = b"LIST" + (5).to_bytes(4, "little") + b"INFO\x00" + b"\x00"
+                w = w[:cut] + junk + w[cut:]
+            wavs.append(w)
+        return b.append_column("audio", pa.array(wavs, type=pa.binary()))
+
+    return decode_wavs(
+        ds.map_batches(addp, batch_format="pyarrow"), payload_col="audio", id_col="doc_id",
+        concurrency=2,
+    ).sort("doc_id")
+
+
+def _decode_wav_sql() -> str:
+    return f"""
+WITH {_payload_bytes_cte(512, salt=6).strip()},
+sm AS (
+  SELECT doc_id, pos // 2 AS si,
+         SUM(CASE WHEN pos % 2 = 0 THEN byte ELSE 256 * byte END) AS uv
+  FROM pbytes GROUP BY doc_id, pos // 2
+),
+sv AS (SELECT doc_id, CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS v FROM sm)
+SELECT doc_id,
+  CAST(16000 + (doc_id % 2) * 8000 AS INTEGER) AS sample_rate,
+  CAST(1 AS INTEGER) AS channels,
+  count(*) AS n_samples,
+  CAST(sum(v) AS BIGINT) AS sum_samples,
+  CAST(max(abs(v)) AS BIGINT) AS peak_abs
+FROM sv GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_cust_orders_left(sf_dir: str):
     """LEFT OUTER partitioned hash join (round 4): every customer with
     their order count/max price, order-less customers surviving with nulls
@@ -1475,6 +1531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- round-4 additions (newest first) --
         "bm25_search": _q_bm25_search,
         "pack_bins": _q_pack_bins,
+        "decode_wav": _q_decode_wav,
         "cust_orders_left": _q_cust_orders_left,
         "lang_stats": _q_lang_stats,
         "lang_sample_k": _q_lang_sample_k,
@@ -2081,6 +2138,7 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """,
         "bm25_search": _bm25_sql(),
         "pack_bins": _PACK_BINS_SQL,
+        "decode_wav": _decode_wav_sql(),
         "repetition_stats": _repetition_stats_sql(),
         "tfidf_top_terms": _tfidf_sql(3),
         "weighted_sample": _weighted_sample_sql(400),

@@ -392,3 +392,57 @@ def sample_audio_frames(ds, payload_col: str = "audio", id_col: str = "url", con
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class WavDecodeStage:
+    """binary WAV -> integer-exact sample stats through the REAL pure-numpy
+    PCM16 codec (``stages/wav.py``) — the audio analogue of the PNG path:
+    a genuine container parse per row (chunk walk, header validation), with
+    all-integer outputs so the oracle can recompute them from the raw
+    sample stream without decoding.
+
+    Output: (id, sample_rate, channels, n_samples, sum_samples, peak_abs).
+    """
+
+    def __init__(self, payload_col: str = "audio", id_col: str = "url"):
+        from ..stages.wav import decode_wav_pcm16
+
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self._decode = decode_wav_pcm16
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = _payload_arrays(batch, self.payload_col)
+        rate = np.empty(len(payloads), dtype=np.int32)
+        nch = np.empty(len(payloads), dtype=np.int32)
+        n = np.empty(len(payloads), dtype=np.int64)
+        s = np.empty(len(payloads), dtype=np.int64)
+        peak = np.empty(len(payloads), dtype=np.int64)
+        for i, b in enumerate(payloads):
+            r, c, samples = self._decode(b)
+            rate[i], nch[i], n[i] = r, c, len(samples)
+            s64 = samples.astype(np.int64)
+            s[i] = int(s64.sum())
+            peak[i] = int(np.abs(s64).max()) if len(s64) else 0
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "sample_rate": pa.array(rate),
+                "channels": pa.array(nch),
+                "n_samples": pa.array(n),
+                "sum_samples": pa.array(s),
+                "peak_abs": pa.array(peak),
+            }
+        )
+
+
+def decode_wavs(ds, payload_col: str = "audio", id_col: str = "url", concurrency=(1, 4), batch_size: int = 256):
+    """Actor-pool real-WAV decode stage (PCM16 chunk-walking codec)."""
+    return ds.map_batches(
+        WavDecodeStage,
+        fn_constructor_kwargs=dict(payload_col=payload_col, id_col=id_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
