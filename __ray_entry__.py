@@ -1008,6 +1008,53 @@ FROM sv GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q_export_manifest(sf_dir: str):
+    """Deterministic shard-export manifest (round 4): hash-sharded layout
+    assignment + within-shard (hash, id) order endpoints, verified against
+    the HUGEINT mulrot replica — the training-data export contract."""
+    import ray.data
+
+    from rasterflow.pipelines.export import shard_manifest
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return shard_manifest(ds, num_shards=8, sum_col="n_chars")
+
+
+def _export_manifest_sql(num_shards: int = 8) -> str:
+    """mulrot_hash64 in HUGEINT (same fragments as _split_assign_sql), then
+    per-shard counts + (hash, id) order endpoints via window row numbers."""
+    M64 = "18446744073709551616::HUGEINT"
+    M32 = "4294967296"
+
+    def mulmod(z: str, c: int) -> str:
+        return (
+            f"(((({z}) // {M32}) * {c}) % {M32} * {M32}"
+            f" + (({z}) % {M32}) * {c}) % {M64}"
+        )
+
+    def rotl32(z: str) -> str:
+        return f"((({z}) * {M32}) % {M64} + ({z}) // {M32})"
+
+    z1 = mulmod("CAST(doc_id AS HUGEINT)", 0x9E3779B97F4A7C15)
+    return f"""
+WITH s1 AS (SELECT doc_id, n_chars, {z1} AS z FROM documents),
+s2 AS (SELECT doc_id, n_chars, {rotl32('z')} AS z FROM s1),
+s3 AS (SELECT doc_id, n_chars, {mulmod('z', 0xBF58476D1CE4E5B9)} AS z FROM s2),
+s4 AS (SELECT doc_id, n_chars, {rotl32('z')} AS z FROM s3),
+s5 AS (SELECT doc_id, n_chars, {mulmod('z', 0x94D049BB133111EB)} AS z FROM s4),
+sh AS (SELECT doc_id, n_chars, CAST(z % {num_shards} AS BIGINT) AS shard, z AS h FROM s5),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn,
+         count(*) OVER (PARTITION BY shard) AS cnt
+  FROM sh
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS first_doc,
+       max(CASE WHEN rn = cnt THEN doc_id END) AS last_doc
+FROM r GROUP BY shard ORDER BY shard
+"""
+
+
 def _q_cust_orders_left(sf_dir: str):
     """LEFT OUTER partitioned hash join (round 4): every customer with
     their order count/max price, order-less customers surviving with nulls
@@ -1532,6 +1579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "pack_bins": _q_pack_bins,
         "decode_wav": _q_decode_wav,
+        "export_manifest": _q_export_manifest,
         "cust_orders_left": _q_cust_orders_left,
         "lang_stats": _q_lang_stats,
         "lang_sample_k": _q_lang_sample_k,
@@ -2139,6 +2187,7 @@ GROUP BY c_nationkey ORDER BY c_nationkey
         "bm25_search": _bm25_sql(),
         "pack_bins": _PACK_BINS_SQL,
         "decode_wav": _decode_wav_sql(),
+        "export_manifest": _export_manifest_sql(8),
         "repetition_stats": _repetition_stats_sql(),
         "tfidf_top_terms": _tfidf_sql(3),
         "weighted_sample": _weighted_sample_sql(400),
