@@ -1055,6 +1055,18 @@ FROM r GROUP BY shard ORDER BY shard
 """
 
 
+def _q_group_distinct_users(sf_dir: str):
+    """Per-event-type approx distinct users (grouped HLL, round 4) —
+    register banks, not (group, user) pairs, ride the shuffle.  Approximate
+    by design: rows-only driver check; error pinned in pytest."""
+    import ray.data
+
+    from rasterflow.pipelines.sketch import approx_count_distinct_grouped
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return approx_count_distinct_grouped(ds, "user_id", "event_type", p=12)
+
+
 def _q_cust_orders_left(sf_dir: str):
     """LEFT OUTER partitioned hash join (round 4): every customer with
     their order count/max price, order-less customers surviving with nulls
@@ -1580,6 +1592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_bins": _q_pack_bins,
         "decode_wav": _q_decode_wav,
         "export_manifest": _q_export_manifest,
+        "group_distinct_users": _q_group_distinct_users,
         "cust_orders_left": _q_cust_orders_left,
         "lang_stats": _q_lang_stats,
         "lang_sample_k": _q_lang_sample_k,

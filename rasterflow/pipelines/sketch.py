@@ -174,3 +174,60 @@ def heavy_hitters_sketch(
             }
         )
     )
+
+
+def approx_count_distinct_grouped(ds, col: str, group_col: str, p: int = 10):
+    """Per-group HLL distinct estimate — "distinct users per domain" at web
+    scale, where an exact grouped nunique would shuffle every (group, value)
+    pair.  Here each batch collapses to one 2^p-byte register row PER GROUP
+    PRESENT IN THE BATCH, so the exchange is ``groups × batches × 2^p``
+    bytes, independent of value cardinality; register banks merge by
+    element-wise max inside one grouped pass.
+
+    Output: (group, n_distinct_est float64), sorted by group.  Approximate
+    by design (σ ≈ 1.04/√2^p ⇒ ~3.3% at p=10): rows-only at the driver,
+    error pinned per group in pytest.
+    """
+    import pandas as pd
+
+    from ..stages.texthash import mix64
+
+    m = 1 << p
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b.column(col)
+        if pa.types.is_integer(arr.type):
+            h = mix64(arr.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            from ..pipelines.dedup import content_hash64
+
+            h = content_hash64(arr)
+        codes, uniq = pd.factorize(
+            pd.Series(b.column(group_col).to_numpy(zero_copy_only=False)), sort=False
+        )
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rho = _rho(h, 64 - p).astype(np.uint8)
+        regs = np.zeros(len(uniq) * m, dtype=np.uint8)
+        np.maximum.at(regs, codes * m + idx, rho)
+        regs = regs.reshape(len(uniq), m)
+        return pa.table(
+            {
+                group_col: pa.array(list(uniq)),
+                "regs": pa.array([r.tobytes() for r in regs], type=pa.binary(m)),
+            }
+        )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        st = HllState(p)
+        banks = np.frombuffer(b"".join(g["regs"]), dtype=np.uint8).reshape(len(g), m)
+        st.registers = banks.max(axis=0)
+        return pd.DataFrame(
+            {group_col: [g[group_col].iloc[0]], "n_distinct_est": [st.estimate()]}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return (
+        partials.groupby(group_col)
+        .map_groups(merge_group, batch_format="pandas")
+        .sort(group_col)
+    )

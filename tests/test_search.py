@@ -128,3 +128,34 @@ def test_bm25_missing_term_contributes_zero(ray_session, tmp_path):
     with_missing = bm25_topk(idx, ["beta", "notaword"], k=6).to_pandas().reset_index(drop=True)
     alone = bm25_topk(idx, ["beta"], k=6).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(with_missing, alone, check_exact=True)
+
+
+def test_grouped_hll(ray_session):
+    """Grouped HLL: ≤5% error at p=12 per group, and bit-identical register
+    merges under different batch placements."""
+    import ray.data
+
+    from rasterflow.pipelines.sketch import approx_count_distinct_grouped
+
+    rng = np.random.default_rng(17)
+    n = 30000
+    df = pd.DataFrame(
+        {
+            "g": np.where(rng.random(n) < 0.5, "a", np.where(rng.random(n) < 0.5, "b", "c")),
+            "u": rng.integers(0, 5000, n).astype(np.int64),
+        }
+    )
+    exact = df.groupby("g")["u"].nunique()
+    outs = []
+    for blocks in (2, 11):
+        est = (
+            approx_count_distinct_grouped(
+                ray.data.from_pandas(df).repartition(blocks), "u", "g", p=12
+            )
+            .to_pandas()
+            .set_index("g")["n_distinct_est"]
+        )
+        outs.append(est)
+        for g in exact.index:
+            assert abs(est[g] - exact[g]) / exact[g] < 0.05
+    pd.testing.assert_series_equal(outs[0], outs[1])
