@@ -185,6 +185,13 @@ def bench_queries() -> dict[str, float]:
         "decode_png",
         "bloom_semi_sources",
         "rollup_week_status",
+        "cust_orders_left",
+        "lang_stats",
+        "bm25_search",
+        "pack_bins",
+        "decode_wav",
+        "export_manifest",
+        "group_distinct_users",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
