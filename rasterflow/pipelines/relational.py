@@ -445,60 +445,42 @@ def rollup_aggregate(
     ``keys`` — (k1, k2, ...), (k1, ALL, ...), ..., (ALL, ALL, ...) — the
     drill-down summary table of corpus reporting.
 
-    The FINEST level is the only one computed from the raw data (one
-    distributed :func:`grouped_aggregate` pass); every coarser level is
-    re-aggregated from the finest level's already-reduced rows, so raw rows
-    cross the shuffle exactly once regardless of how many levels roll up.
-    Rolled-up key slots carry ``all_label`` (not NULL — deterministic sort
-    order in every engine).  All agg fns must be re-aggregable from their
-    partials (sum/count→sum, min→min, max→max)."""
-    from ..util import grouped_aggregate
+    ONE exchange total (round 4; the previous plan shuffled once per level):
+    each batch pre-aggregates to its distinct finest keys, replicates those
+    partial rows across all ``len(keys)+1`` sentinel levels, re-combines
+    within the batch, and a single :func:`grouped_aggregate` reduces every
+    level together — correct because the supported agg fns are distributive
+    (sum/count→sum, min→min, max→max).  Rolled-up key slots carry
+    ``all_label`` (not NULL — deterministic sort order in every engine);
+    key columns are cast to string via Arrow so int keys match SQL's CAST.
+    """
+    from ..util import coalesce_small, grouped_aggregate
 
-    finest = grouped_aggregate(ds, keys, aggs)
-    # the ALL sentinel is a string, so every key column must be string-typed
-    # across ALL levels or the union carries conflicting schemas — cast the
-    # finest level's keys once (coarser levels re-aggregate from it)
-    def cast_keys(df: pd.DataFrame) -> pd.DataFrame:
-        # Arrow's cast (not pandas astype) so int->string matches SQL's CAST;
-        # pandas batch format keeps the level datasets' block type uniform
-        # with grouped_aggregate's pandas output (union requires one type)
-        for k in keys:
-            df[k] = pa.Array.from_pandas(df[k]).cast(pa.string()).to_pandas()
-        return df[keys + list(aggs)]
-
-    finest = finest.map_batches(cast_keys, batch_format="pandas")
-    # re-agg spec over the finest partials: counts become sums of counts
+    # partial-combine spec: counts become sums of counts downstream
     reagg = {
         out: (out, "sum" if fn in ("sum", "count", "size") else fn)
         for out, (_c, fn) in aggs.items()
     }
 
-    def relabel(level: int):
-        # keep keys[:level], overwrite the rest with the ALL sentinel
-        def f(b: pa.Table) -> pa.Table:
-            out = {}
-            for i, k in enumerate(keys):
-                out[k] = (
-                    b.column(k)
-                    if i < level
-                    else pa.array([all_label] * len(b), type=pa.string())
-                )
-            for out_col in aggs:
-                out[out_col] = b.column(out_col)
-            return pa.table(out)
-
-        return f
-
-    levels = [finest]
-    for lvl in range(len(keys) - 1, -1, -1):
-        coarser = grouped_aggregate(
-            finest.map_batches(relabel(lvl), batch_format="pyarrow"), keys, reagg
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, as_index=False).agg(
+            **{out: (c, "size" if fn == "size" else fn) for out, (c, fn) in aggs.items()}
         )
-        levels.append(coarser)
-    out = levels[0]
-    for x in levels[1:]:
-        out = out.union(x)
-    return out.sort(keys)
+        for k in keys:
+            g[k] = pa.Array.from_pandas(g[k]).cast(pa.string()).to_pandas()
+        frames = []
+        for lvl in range(len(keys), -1, -1):  # finest first, (ALL,...) last
+            f = g.copy()
+            for k in keys[lvl:]:
+                f[k] = all_label
+            frames.append(f)
+        e = pd.concat(frames, ignore_index=True)
+        return e.groupby(keys, sort=False, as_index=False).agg(
+            **{out: (out, fn) for out, (_c, fn) in reagg.items()}
+        )[keys + list(aggs)]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return grouped_aggregate(coalesce_small(partials, 0.25), keys, reagg).sort(keys)
 
 
 def pivot_counts(
