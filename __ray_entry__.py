@@ -1067,6 +1067,64 @@ def _q_group_distinct_users(sf_dir: str):
     return approx_count_distinct_grouped(ds, "user_id", "event_type", p=12)
 
 
+#: per-(job, sf_dir) memo of the persisted content-hash dedup index
+_DEDUP_INDEX_CACHE: dict = {}
+
+
+def _dedup_index(sf_dir: str) -> str:
+    import tempfile
+
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from rasterflow.pipelines.increment import dedup_index_ingest
+
+    key = (ray.get_runtime_context().get_job_id(), sf_dir)
+    path = _DEDUP_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="rf_dedup_idx_")
+        corpus = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(
+            lambda t: t.filter(pa.array(t.column("doc_id").to_numpy(zero_copy_only=False) % 5 != 0)),
+            batch_format="pyarrow",
+        )
+        dedup_index_ingest(corpus, path)
+        _DEDUP_INDEX_CACHE.clear()
+        _DEDUP_INDEX_CACHE[key] = path
+    return path
+
+
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental dedup (round 4): the doc_id%5==0 'delivery' probed
+    against the persisted hash index of the rest of the corpus — survivors
+    are delta docs new to the corpus and first within the delta."""
+    import ray.data
+
+    from rasterflow.pipelines.increment import incremental_dedup
+
+    import pyarrow.compute as _pc
+
+    delta = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: t.filter(pa.array(t.column("doc_id").to_numpy(zero_copy_only=False) % 5 == 0)),
+        batch_format="pyarrow",
+    )
+    out = incremental_dedup(delta, _dedup_index(sf_dir))
+    return out.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+
+_INCREMENTAL_DEDUP_SQL = """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+delta AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+firsts AS (SELECT text, min(doc_id) AS doc_id FROM delta GROUP BY text)
+SELECT f.doc_id FROM firsts f
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = f.text)
+ORDER BY doc_id
+"""
+
+
 def _q_cust_orders_left(sf_dir: str):
     """LEFT OUTER partitioned hash join (round 4): every customer with
     their order count/max price, order-less customers surviving with nulls
@@ -1593,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_wav": _q_decode_wav,
         "export_manifest": _q_export_manifest,
         "group_distinct_users": _q_group_distinct_users,
+        "incremental_dedup": _q_incremental_dedup,
         "cust_orders_left": _q_cust_orders_left,
         "lang_stats": _q_lang_stats,
         "lang_sample_k": _q_lang_sample_k,
@@ -2201,6 +2260,7 @@ GROUP BY c_nationkey ORDER BY c_nationkey
         "pack_bins": _PACK_BINS_SQL,
         "decode_wav": _decode_wav_sql(),
         "export_manifest": _export_manifest_sql(8),
+        "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
         "repetition_stats": _repetition_stats_sql(),
         "tfidf_top_terms": _tfidf_sql(3),
         "weighted_sample": _weighted_sample_sql(400),
