@@ -142,8 +142,8 @@ def test_constraint_filter_matches_pandas(small_pts, ray_session):
 
 
 def test_driver_contract_consistency():
-    """Every queries() entry has an oracle_sql() twin except the seven
-    documented approximate operators (recall/error/collision behavior pinned
+    """Every queries() entry has an oracle_sql() twin except the eight
+    documented approximate operators (recall/error/guarantee behavior pinned
     in pytest instead of SQL); no oracle exists without its query."""
     import __ray_entry__ as E
 
@@ -158,5 +158,6 @@ def test_driver_contract_consistency():
         "simhash_pairs",           # SimHash banding (pigeonhole-pinned)
         "hash_vectorize",          # hashing trick (brute-force-pinned)
         "heavy_hitters",           # Misra-Gries sketch (guarantee-pinned)
+        "group_distinct_users",    # grouped HLL (error-pinned)
     }
     assert qs - osql == approximate, f"undocumented rows-only queries: {sorted(qs - osql - approximate)}"
