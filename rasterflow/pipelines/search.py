@@ -120,7 +120,34 @@ def build_inverted_index(
     # "_" prefix: parquet dataset discovery ignores sidecars
     with open(os.path.join(out_dir, "_stats.json"), "w") as f:
         json.dump(stats, f)
+    _write_df_sidecars(out_dir)
     return out_dir
+
+
+def _write_df_sidecars(index_dir: str) -> None:
+    """Per-partition ``_df.parquet`` sidecar (token, df): a token's postings
+    live wholly in its hash partition, so the per-partition count IS the
+    global df — queries read the tiny sidecar instead of re-scanning
+    postings for document frequencies.  One bounded Ray task per partition
+    (raw tasks: per-directory file work the Dataset API has no verb for)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    @ray.remote
+    def one(part_dir: str) -> None:
+        files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+        if not files:
+            return
+        toks = pa.concat_tables(pq.read_table(f, columns=["token"]) for f in files)
+        vc = toks.column("token").combine_chunks().value_counts()
+        out = pa.table(
+            {"token": vc.field("values"), "df": pc.cast(vc.field("counts"), pa.int64())}
+        )
+        pq.write_table(out, os.path.join(part_dir, "_df.parquet"))
+
+    dirs = sorted(glob.glob(os.path.join(index_dir, "part=*")))
+    ray.get([one.remote(d) for d in dirs])
 
 
 def bm25_topk(
@@ -154,19 +181,38 @@ def bm25_topk(
         f
         for x in parts
         for f in sorted(glob.glob(os.path.join(index_dir, f"part={x}", "*.parquet")))
+        if not os.path.basename(f).startswith("_")  # skip the _df sidecar
     ]
     post = ray.data.read_parquet(
         paths, filter=pc.field("token").isin(terms), columns=["token", id_col, "tf", "dl"]
     )
 
-    # df per term: ≤ len(terms) rows per batch partial, driver-combined —
-    # bounded by terms × blocks, not corpus size
-    def df_partial(t: pa.Table) -> pa.Table:
-        vc = t.column("token").value_counts()
-        return pa.table({"token": vc.field("values"), "df": pc.cast(vc.field("counts"), pa.int64())})
+    # df per term: from the per-partition _df sidecars when present (tiny
+    # reads, no postings scan); else one partial pass over the pruned
+    # postings (≤ terms × blocks rows, driver-combined)
+    df_map: dict = {}
+    sidecars = [
+        p
+        for x in parts
+        if os.path.exists(p := os.path.join(index_dir, f"part={x}", "_df.parquet"))
+    ]
+    if len(sidecars) == len(parts):
+        import pyarrow.parquet as pq
 
-    dfp = post.map_batches(df_partial, batch_format="pyarrow").to_pandas()
-    df_map = dfp.groupby("token")["df"].sum().to_dict()
+        want = pa.array(terms, type=pa.string())
+        for p in sidecars:
+            t = pq.read_table(p)
+            hit = t.filter(pc.is_in(t.column("token"), value_set=want))
+            for tok, df in zip(hit.column("token").to_pylist(), hit.column("df").to_pylist()):
+                df_map[tok] = df_map.get(tok, 0) + int(df)
+    else:
+
+        def df_partial(t: pa.Table) -> pa.Table:
+            vc = t.column("token").value_counts()
+            return pa.table({"token": vc.field("values"), "df": pc.cast(vc.field("counts"), pa.int64())})
+
+        dfp = post.map_batches(df_partial, batch_format="pyarrow").to_pandas()
+        df_map = dfp.groupby("token")["df"].sum().to_dict()
     # scalar libm log (math.log) — DuckDB's ln is libm too, while numpy's
     # SIMD np.log can differ by 1 ULP, which the exact-value oracle rejects
     import math
