@@ -26,10 +26,15 @@ import pyarrow as pa
 
 
 def _shard_cols(ids: np.ndarray, num_shards: int) -> tuple[np.ndarray, np.ndarray]:
-    from ..stages.texthash import mulrot_hash64
+    """Integer ids use the SQL-replicable mulrot mixer (the oracle plane);
+    string ids (urls) hash through pandas' keyed 64-bit string hash."""
+    if np.issubdtype(ids.dtype, np.integer):
+        from ..stages.texthash import mulrot_hash64
 
-    with np.errstate(over="ignore"):
-        h = mulrot_hash64(ids.astype(np.uint64))
+        with np.errstate(over="ignore"):
+            h = mulrot_hash64(ids.astype(np.uint64))
+    else:
+        h = pd.util.hash_array(ids, hash_key="0123456789123456")
     return (h % np.uint64(num_shards)).astype(np.int64), h
 
 
@@ -43,7 +48,7 @@ def export_shards(
     ``(hash, id)`` order within each shard.  Returns ``out_dir``."""
 
     def assign(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
         shard, h = _shard_cols(ids, num_shards)
         return b.append_column("shard", pa.array(shard)).append_column(
             "h", pa.array(h, type=pa.uint64())
@@ -74,7 +79,7 @@ def shard_manifest(
     sum_out = f"sum_{sum_col}" if sum_col else None
 
     def slim(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
         shard, h = _shard_cols(ids, num_shards)
         cols = {
             "shard": pa.array(shard),
@@ -90,8 +95,8 @@ def shard_manifest(
         row = {
             "shard": [int(g["shard"].iloc[0])],
             "n_docs": [len(g)],
-            "first_doc": [int(g[id_col].iloc[0])],
-            "last_doc": [int(g[id_col].iloc[-1])],
+            "first_doc": [g[id_col].iloc[0]],
+            "last_doc": [g[id_col].iloc[-1]],
         }
         if sum_col:
             row[sum_out] = [int(g[sum_col].sum())]

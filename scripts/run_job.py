@@ -31,7 +31,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--pipeline",
-        choices=["raster", "index", "hybrid", "bounds", "ingest", "stream-ingest", "rows", "dedup"],
+        choices=["raster", "index", "hybrid", "bounds", "ingest", "stream-ingest", "rows", "dedup", "export", "bm25-build"],
         default="hybrid",
     )
     ap.add_argument("--input", required=True, help="pages parquet file/dir (or glob)")
@@ -96,6 +96,32 @@ def main() -> int:
             group_size=args.partition_size,
         )
         print(json.dumps(res | {"manifest": str(os.path.join(args.out, "_manifest.jsonl"))}))
+        if owns_ray:
+            ray.shutdown()
+        return 0
+
+    if args.pipeline == "export":
+        # hash-sharded training-data export of the pages table: balanced
+        # shard=K dirs in deterministic (hash(url), url) order
+        from rasterflow.pipelines.export import export_shards
+
+        ds = ray.data.read_parquet(paths)
+        export_shards(ds, args.out, num_shards=max(args.partition_size, 1), id_col="url")
+        print(json.dumps({"out": args.out, "num_shards": max(args.partition_size, 1)}))
+        if owns_ray:
+            ray.shutdown()
+        return 0
+
+    if args.pipeline == "bm25-build":
+        # persisted full-text index over the pages' extracted text
+        from rasterflow.pipelines.search import build_inverted_index
+        from rasterflow.stages.extract import extract_text
+
+        ds = ray.data.read_parquet(paths, columns=["url", "html"]).map_batches(
+            extract_text, batch_format="pyarrow"
+        )
+        build_inverted_index(ds, args.out, text_col="text2", id_col="url")
+        print(json.dumps({"out": args.out}))
         if owns_ray:
             ray.shutdown()
         return 0
