@@ -1125,6 +1125,18 @@ ORDER BY doc_id
 """
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed k-means cluster sizes (round 4): iterative Lloyd's with
+    one streaming pass per iteration, bounded (k x d) partials — rows-only
+    (iterative/approximate by design; driver-Lloyd's parity in pytest)."""
+    import ray.data
+
+    from rasterflow.pipelines.cluster import kmeans_cluster_sizes
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_cluster_sizes(ds, k=8, iters=6)
+
+
 def _q_cust_orders_left(sf_dir: str):
     """LEFT OUTER partitioned hash join (round 4): every customer with
     their order count/max price, order-less customers surviving with nulls
@@ -1652,6 +1664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_manifest": _q_export_manifest,
         "group_distinct_users": _q_group_distinct_users,
         "incremental_dedup": _q_incremental_dedup,
+        "kmeans_clusters": _q_kmeans_clusters,
         "cust_orders_left": _q_cust_orders_left,
         "lang_stats": _q_lang_stats,
         "lang_sample_k": _q_lang_sample_k,

@@ -192,6 +192,8 @@ def bench_queries() -> dict[str, float]:
         "decode_wav",
         "export_manifest",
         "group_distinct_users",
+        "incremental_dedup",
+        "kmeans_clusters",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
