@@ -1137,6 +1137,29 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_cluster_sizes(ds, k=8, iters=6)
 
 
+def _q_mixture_weights(sf_dir: str):
+    """Mixture reweighting (round 4): per-source resample weights for a
+    uniform 20-source target — counts exchange once; shares/weights are
+    single float divisions, so the oracle hash-matches bit-exactly."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import mixture_weights
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    target = {f"src{i}": 0.05 for i in range(20)}
+    return mixture_weights(ds, "source", target)
+
+
+_MIXTURE_WEIGHTS_SQL = """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+t AS (SELECT source, n_docs, sum(n_docs) OVER () AS total FROM c)
+SELECT source, n_docs,
+       CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS actual_share,
+       CAST(0.05 AS DOUBLE) / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) AS weight
+FROM t ORDER BY source
+"""
+
+
 def _q_cust_orders_left(sf_dir: str):
     """LEFT OUTER partitioned hash join (round 4): every customer with
     their order count/max price, order-less customers surviving with nulls
@@ -1665,6 +1688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_distinct_users": _q_group_distinct_users,
         "incremental_dedup": _q_incremental_dedup,
         "kmeans_clusters": _q_kmeans_clusters,
+        "mixture_weights": _q_mixture_weights,
         "cust_orders_left": _q_cust_orders_left,
         "lang_stats": _q_lang_stats,
         "lang_sample_k": _q_lang_sample_k,
@@ -2274,6 +2298,7 @@ GROUP BY c_nationkey ORDER BY c_nationkey
         "decode_wav": _decode_wav_sql(),
         "export_manifest": _export_manifest_sql(8),
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
+        "mixture_weights": _MIXTURE_WEIGHTS_SQL,
         "repetition_stats": _repetition_stats_sql(),
         "tfidf_top_terms": _tfidf_sql(3),
         "weighted_sample": _weighted_sample_sql(400),

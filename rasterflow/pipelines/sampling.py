@@ -929,3 +929,54 @@ def top_k_per_group(
     return _grouped_head(
         partials, group_col, [score_col, id_col], [False, True], k, cols,
     )
+
+
+def mixture_weights(ds, group_col: str, target: dict[str, float]):
+    """Per-stratum resampling weights to hit a TARGET mixture — the
+    domain-rebalance step between corpus stats and weighted_sample: a
+    stratum holding share p of the corpus but targeted at share t gets
+    weight t/p (>1 = upsample, <1 = downsample).
+
+    One exchange (per-batch count partials, grouped sum); the finalize is
+    stratum-count-sized.  Strata absent from ``target`` get weight 0.0 —
+    dropped by a downstream weighted sample, and visible (not silently
+    renormalized) in the output.  Output: (group, n_docs, actual_share,
+    weight), sorted by group; float expressions are single divisions of
+    integer-valued counts, so the SQL oracle hash-matches bit-exactly.
+    """
+    import pyarrow.compute as pc
+
+    from ..util import coalesce_small, grouped_aggregate
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = b.column(group_col).value_counts()
+        return pa.table(
+            {group_col: vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    red = grouped_aggregate(
+        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125),
+        group_col,
+        {"n_docs": ("n", "sum")},
+        weight=0.125,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # per-block total is WRONG unless this runs on the single coalesced
+        # block — repartition(1) below guarantees the whole (tiny) table
+        n = t.column("n_docs").to_numpy(zero_copy_only=False).astype(np.float64)
+        total = n.sum()
+        share = n / total
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        tgt = np.array([float(target.get(x, 0.0)) for x in g])
+        w = tgt / share
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "n_docs": t.column("n_docs"),
+                "actual_share": pa.array(share),
+                "weight": pa.array(w),
+            }
+        )
+
+    return red.repartition(1).map_batches(finalize, batch_format="pyarrow").sort(group_col)

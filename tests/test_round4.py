@@ -721,3 +721,25 @@ def test_cc_checkpoint_rerun_same_dir(ray_session, tmp_path):
     second = run()  # same dir: must not see the first run's fragments
     pd.testing.assert_frame_equal(first, second)
     assert len(first) > 0
+
+
+def test_mixture_weights(ray_session):
+    """Target/actual share weights; absent strata get weight 0 (visible,
+    not renormalized)."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import mixture_weights
+
+    df = pd.DataFrame({"source": ["a"] * 600 + ["b"] * 300 + ["c"] * 100})
+    out = (
+        mixture_weights(
+            ray.data.from_pandas(df).repartition(4), "source", {"a": 0.5, "b": 0.5}
+        )
+        .to_pandas()
+        .set_index("source")
+    )
+    assert out.loc["a", "n_docs"] == 600
+    np.testing.assert_allclose(out.loc["a", "weight"], 0.5 / 0.6)
+    np.testing.assert_allclose(out.loc["b", "weight"], 0.5 / 0.3)
+    assert out.loc["c", "weight"] == 0.0
+    np.testing.assert_allclose(out["actual_share"].sum(), 1.0)
