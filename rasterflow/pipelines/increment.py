@@ -110,6 +110,8 @@ def incremental_dedup(
     delta = grouped_aggregate(
         coalesce_small(hashed, 0.25), ["h1", "h2"], {id_col: (id_col, "min")}, weight=0.25
     ).to_pandas()
+    if delta.empty:  # empty delivery (Ray drops columns from all-empty results)
+        return new_ds.sort(id_col)
 
     # broadcast the delta hash set; scan ONLY the partitions it lands in
     parts = sorted(set(_parts_of(delta["h1"].to_numpy(), num_parts)))
