@@ -1160,6 +1160,31 @@ FROM t ORDER BY source
 """
 
 
+def _q_chunk_docs(sf_dir: str):
+    """RAG-style chunking (round 4): 32-token windows, 8-token overlap —
+    row-local flat_map shape, chunk text byte-matches the list-slice SQL."""
+    import ray.data
+
+    from rasterflow.pipelines.packing import chunk_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=32, overlap=8)
+
+
+_CHUNK_DOCS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+nz AS (SELECT * FROM t WHERE len(toks) > 0),
+w AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 24)) AS start FROM nz)
+SELECT doc_id, CAST((start - 1) / 24 AS BIGINT) AS chunk_id,
+       CAST(least(start + 32 - 1, len(toks)) - start + 1 AS BIGINT) AS n_tok,
+       array_to_string(toks[start:least(start + 32 - 1, len(toks))], ' ') AS chunk_text
+FROM w ORDER BY doc_id, chunk_id
+"""
+
+
 def _q_cust_orders_left(sf_dir: str):
     """LEFT OUTER partitioned hash join (round 4): every customer with
     their order count/max price, order-less customers surviving with nulls
@@ -1689,6 +1714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "kmeans_clusters": _q_kmeans_clusters,
         "mixture_weights": _q_mixture_weights,
+        "chunk_docs": _q_chunk_docs,
         "cust_orders_left": _q_cust_orders_left,
         "lang_stats": _q_lang_stats,
         "lang_sample_k": _q_lang_sample_k,
@@ -2299,6 +2325,7 @@ GROUP BY c_nationkey ORDER BY c_nationkey
         "export_manifest": _export_manifest_sql(8),
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
         "mixture_weights": _MIXTURE_WEIGHTS_SQL,
+        "chunk_docs": _CHUNK_DOCS_SQL,
         "repetition_stats": _repetition_stats_sql(),
         "tfidf_top_terms": _tfidf_sql(3),
         "weighted_sample": _weighted_sample_sql(400),

@@ -98,3 +98,81 @@ def pack_sequences(
     out = slim.groupby(group_col).map_groups(pack_group, batch_format="pandas")
     sort_cols = [group_col, "bin_id"] if per_bin else [group_col, id_col]
     return out.sort(sort_cols)
+
+
+def chunk_documents(
+    ds,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """RAG-style chunking: each document becomes overlapping windows of
+    ``chunk_tokens`` whitespace tokens with stride ``chunk_tokens -
+    overlap`` — the retrieval-corpus prep step between curation and
+    embedding.  Output: (id, chunk_id, n_tok, chunk_text), chunk_text being
+    the single-space join of the window's tokens (the canonical form the
+    SQL oracle reproduces with list slicing + array_to_string).
+
+    Purely row-local — a flat_map-shaped ``map_batches`` with NO shuffle.
+    Token gathers are one vectorized index build (repeat/arange over chunk
+    starts); the per-chunk string assembly is one pandas grouped join.
+    Zero-token documents yield no chunks (the explicit rule both sides).
+    """
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def chunks(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(b.column(text_col))
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = flat != ""
+        # re-derive per-doc lengths over NON-EMPTY tokens
+        didx_all = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        flat, didx_all = flat[keep], didx_all[keep]
+        L = np.bincount(didx_all, minlength=len(b)).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(L)))
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+
+        nz = np.where(L > 0)[0]
+        n_chunks = (L[nz] + stride - 1) // stride
+        doc_rep = np.repeat(nz, n_chunks)                     # doc index per chunk
+        chunk_ord = np.concatenate([np.arange(c) for c in n_chunks]) if len(nz) else np.empty(0, np.int64)
+        start = chunk_ord * stride                            # within-doc token start
+        end = np.minimum(start + chunk_tokens, L[doc_rep])
+        n_tok = end - start
+
+        # vectorized gather: absolute token index per (chunk, position)
+        tok_rep = np.repeat(offs[doc_rep] + start, n_tok) + _ragged_arange(n_tok)
+        chunk_of_tok = np.repeat(np.arange(len(doc_rep)), n_tok)
+        texts = (
+            pd.Series(flat[tok_rep])
+            .groupby(chunk_of_tok, sort=True)
+            .agg(" ".join)
+            .to_numpy()
+            if len(doc_rep)
+            else np.empty(0, dtype=object)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_rep]),
+                "chunk_id": pa.array(chunk_ord),
+                "n_tok": pa.array(n_tok),
+                "chunk_text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow").sort([id_col, "chunk_id"])
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated, vectorized."""
+    if len(counts) == 0:
+        return np.empty(0, dtype=np.int64)
+    total = int(counts.sum())
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    ends = np.cumsum(counts)[:-1]
+    out[ends] = 1 - counts[:-1]
+    return np.cumsum(out)

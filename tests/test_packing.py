@@ -95,3 +95,59 @@ def test_pack_sequences_token_col(ray_session):
     )
     # 5 docs x 100 tokens per bin
     assert (out["n_docs"] == 5).all() and (out["tok_sum"] == 500).all()
+
+
+def _chunk_reference(text, chunk, overlap):
+    toks = [t for t in text.split() if t]
+    stride = chunk - overlap
+    out = []
+    for i, s in enumerate(range(0, len(toks), stride)):
+        w = toks[s : s + chunk]
+        out.append((i, len(w), " ".join(w)))
+    return out
+
+
+def test_chunk_documents_matches_reference(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.packing import chunk_documents
+
+    rng = np.random.default_rng(3)
+    texts = [
+        " ".join(f"w{j}" for j in rng.integers(0, 50, n))
+        for n in list(rng.integers(1, 90, 60)) + [0]  # includes an empty doc
+    ]
+    texts[5] = "  " + texts[5] + "   "  # leading/trailing whitespace
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    got = (
+        chunk_documents(ray.data.from_pandas(docs).repartition(4), chunk_tokens=16, overlap=4)
+        .to_pandas()
+    )
+    exp_rows = []
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        for cid, ntok, ctext in _chunk_reference(txt, 16, 4):
+            exp_rows.append((did, cid, ntok, ctext))
+    exp = pd.DataFrame(exp_rows, columns=["doc_id", "chunk_id", "n_tok", "chunk_text"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+    # the empty doc contributed nothing
+    assert (got["doc_id"] != len(texts) - 1).all()
+
+
+def test_chunk_documents_zero_overlap(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.packing import chunk_documents
+
+    docs = pd.DataFrame({"doc_id": [0], "text": [" ".join(str(i) for i in range(10))]})
+    got = chunk_documents(ray.data.from_pandas(docs), chunk_tokens=4, overlap=0).to_pandas()
+    assert got["n_tok"].tolist() == [4, 4, 2]
+    assert got["chunk_text"].tolist() == ["0 1 2 3", "4 5 6 7", "8 9"]
+
+
+def test_chunk_documents_rejects_bad_overlap(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.packing import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(None, chunk_tokens=8, overlap=8)
