@@ -194,6 +194,8 @@ def bench_queries() -> dict[str, float]:
         "group_distinct_users",
         "incremental_dedup",
         "kmeans_clusters",
+        "mixture_weights",
+        "chunk_docs",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

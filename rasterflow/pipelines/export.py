@@ -10,9 +10,12 @@ of the row id (``mulrot_hash64``, the SQL-replicable mixer shared with
 - within a shard, rows are ordered by ``(hash, id)`` — a deterministic
   global shuffle, so a training loader reading a shard sequentially sees
   decorrelated documents without a runtime shuffle buffer.
-- every shard is an independent ``shard=K`` hive directory: a failed export
-  rerun skips finished shards (the resumable-output contract; see
-  ``state/lineage.py`` for the manifest-driven variant).
+- every shard is an independent ``shard=K`` hive directory, and the whole
+  layout is a pure function of the input — a rerun after a failure is
+  IDEMPOTENT (same bytes, so consumers can restart per shard), though this
+  one-pass writer itself re-sorts everything; input-partitioned resumable
+  writes (skip finished work units) are the ``state/lineage.py`` +
+  ``run_job`` flow.
 
 One all-to-all (the sort) — the irreducible cost of a global shuffle; the
 payload columns ride the sort once and are never driver-materialized.
