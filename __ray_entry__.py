@@ -1185,6 +1185,18 @@ FROM w ORDER BY doc_id, chunk_id
 """
 
 
+def _q_quantile_sketch_chars(sf_dir: str):
+    """One-pass mergeable quantile sketch over n_chars (round 4) — the
+    sketch-path sibling of col_quantiles_cont; rows-only (approximate by
+    design, rank error pinned ≤1% in pytest across distributions)."""
+    import ray.data
+
+    from rasterflow.pipelines.sketch import quantile_sketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return quantile_sketch(ds, "n_chars")
+
+
 def _q_cust_orders_left(sf_dir: str):
     """LEFT OUTER partitioned hash join (round 4): every customer with
     their order count/max price, order-less customers surviving with nulls
@@ -1715,6 +1727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "mixture_weights": _q_mixture_weights,
         "chunk_docs": _q_chunk_docs,
+        "quantile_sketch_chars": _q_quantile_sketch_chars,
         "cust_orders_left": _q_cust_orders_left,
         "lang_stats": _q_lang_stats,
         "lang_sample_k": _q_lang_sample_k,

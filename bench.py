@@ -196,6 +196,7 @@ def bench_queries() -> dict[str, float]:
         "kmeans_clusters",
         "mixture_weights",
         "chunk_docs",
+        "quantile_sketch_chars",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

