@@ -151,3 +151,33 @@ def test_chunk_documents_rejects_bad_overlap(ray_session):
 
     with pytest.raises(ValueError):
         chunk_documents(None, chunk_tokens=8, overlap=8)
+
+
+def test_ragged_arange():
+    from rasterflow.pipelines.packing import _ragged_arange
+
+    np.testing.assert_array_equal(_ragged_arange(np.array([3, 1, 2])), [0, 1, 2, 0, 0, 1])
+    assert len(_ragged_arange(np.array([], dtype=np.int64))) == 0
+    np.testing.assert_array_equal(_ragged_arange(np.array([1])), [0])
+
+
+def test_compress_cdf_conserves_mass_and_extremes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rasterflow.pipelines.sketch import _compress_cdf
+
+    @settings(max_examples=50, deadline=None)
+    @given(n=st.integers(1, 3000), c=st.integers(2, 64), seed=st.integers(0, 10**6))
+    def check(n, c, seed):
+        rng = np.random.default_rng(seed)
+        v = rng.normal(size=n)
+        w = rng.random(n) + 0.01
+        cv, cw = _compress_cdf(v, w, c)
+        assert len(cv) <= max(c + 2, n)
+        np.testing.assert_allclose(cw.sum(), w.sum(), rtol=1e-12)
+        assert cv[0] == v.min() and cv[-1] == v.max()
+        assert (np.diff(cv) >= 0).all()
+        assert (cw > 0).all()
+
+    check()
