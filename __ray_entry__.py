@@ -1197,6 +1197,45 @@ def _q_quantile_sketch_chars(sf_dir: str):
     return quantile_sketch(ds, "n_chars")
 
 
+def _q_user_value_outer(sf_dir: str):
+    """FULL OUTER hash join (round 4): per-user high-value purchase counts
+    vs per-user high-value error counts — users present on either side
+    survive exactly once, the other side's count null-padded."""
+    import ray.data
+
+    from rasterflow.pipelines.relational import hash_join
+    from rasterflow.util import grouped_aggregate
+
+    def side(ev: str, out: str):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+        ).map_batches(
+            lambda t, _ev=ev: t.filter(
+                pa.array(
+                    (t.column("event_type").to_numpy(zero_copy_only=False) == _ev)
+                    & (t.column("value").to_numpy(zero_copy_only=False) > 200.0)
+                )
+            ).select(["user_id"]),
+            batch_format="pyarrow",
+        )
+        return grouped_aggregate(ds, "user_id", {out: ("user_id", "count")})
+
+    return hash_join(
+        side("purchase", "n_purch"), side("error", "n_err"),
+        on="user_id", left_cols=["n_purch"], right_cols=["n_err"], how="outer",
+    ).sort("user_id")
+
+
+_USER_VALUE_OUTER_SQL = """
+WITH p AS (SELECT user_id, count(*) AS n_purch FROM events
+           WHERE event_type = 'purchase' AND value > 200.0 GROUP BY user_id),
+c AS (SELECT user_id, count(*) AS n_err FROM events
+      WHERE event_type = 'error' AND value > 200.0 GROUP BY user_id)
+SELECT user_id, n_purch, n_err FROM p FULL OUTER JOIN c USING (user_id)
+ORDER BY user_id
+"""
+
+
 def _q_cust_orders_left(sf_dir: str):
     """LEFT OUTER partitioned hash join (round 4): every customer with
     their order count/max price, order-less customers surviving with nulls
@@ -1728,6 +1767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_weights": _q_mixture_weights,
         "chunk_docs": _q_chunk_docs,
         "quantile_sketch_chars": _q_quantile_sketch_chars,
+        "user_value_outer": _q_user_value_outer,
         "cust_orders_left": _q_cust_orders_left,
         "lang_stats": _q_lang_stats,
         "lang_sample_k": _q_lang_sample_k,
@@ -2339,6 +2379,7 @@ GROUP BY c_nationkey ORDER BY c_nationkey
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
         "mixture_weights": _MIXTURE_WEIGHTS_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
+        "user_value_outer": _USER_VALUE_OUTER_SQL,
         "repetition_stats": _repetition_stats_sql(),
         "tfidf_top_terms": _tfidf_sql(3),
         "weighted_sample": _weighted_sample_sql(400),

@@ -227,6 +227,11 @@ def hash_join(
     ``left_cols`` / ``right_cols`` are the value columns kept from each side
     (key columns are always kept once); they must not overlap."""
     keys = [on] if isinstance(on, str) else list(on)
+    if how == "outer" and skew is not None:
+        # skew replication copies hot RIGHT rows into every salt partition;
+        # an UNMATCHED replicated right row would then surface once per
+        # replica — full outer therefore forbids the salted path
+        raise ValueError("how='outer' is incompatible with skew salting")
     lcols = list(dict.fromkeys(keys + left_cols))
     rcols = list(dict.fromkeys(keys + right_cols))
     hot_df = None
@@ -244,41 +249,53 @@ def hash_join(
         c for c in right_cols if c not in keys
     ]
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be inner|left, got {how!r}")
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"how must be inner|left|outer, got {how!r}")
     rvalue_cols = [c for c in right_cols if c not in keys]
+    lvalue_cols = [c for c in left_cols if c not in keys]
 
-    def numeric_r(c: str) -> bool:
+    def numeric(c: str) -> bool:
         t = coltype.get(c)
         return t is not None and (pa.types.is_integer(t) or pa.types.is_floating(t))
 
-    def leftify(m: pd.DataFrame) -> pd.DataFrame:
+    def pad_cols(m: pd.DataFrame, cols) -> pd.DataFrame:
         # one uniform schema whether or not this partition had misses:
-        # NaN-padded right numerics become float64, the rest object-with-None
-        for c in rvalue_cols:
+        # NaN-padded numerics become float64, the rest object-with-None
+        for c in cols:
             m[c] = (
                 m[c].astype(np.float64)
-                if numeric_r(c)
+                if numeric(c)
                 else m[c].astype(object).where(pd.notna(m[c]), None)
             )
-        return _restore_int_dtypes(m, [c for c in out_cols if c not in rvalue_cols], coltype)
+        return m
+
+    def finish(m: pd.DataFrame) -> pd.DataFrame:
+        if how == "inner":
+            return _restore_int_dtypes(m, out_cols, coltype)
+        padded = rvalue_cols if how == "left" else rvalue_cols + lvalue_cols
+        m = pad_cols(m, padded)
+        return _restore_int_dtypes(m, [c for c in out_cols if c not in padded], coltype)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["_side"] == 0][lcols]
         rf = g[g["_side"] == 1][rcols]
-        if len(lf) == 0 or (len(rf) == 0 and how == "inner"):
-            e = _typed_empty(out_cols, coltype)
-            return leftify(e) if how == "left" else e
-        if len(rf) == 0:  # left outer, no right rows in this partition
+        if len(lf) == 0 and (len(rf) == 0 or how != "outer"):
+            return finish(_typed_empty(out_cols, coltype))
+        if len(rf) == 0 and how == "inner":
+            return finish(_typed_empty(out_cols, coltype))
+        if len(rf) == 0 and how in ("left", "outer"):
             m = lf.copy()
             for c in rvalue_cols:
                 m[c] = np.nan
             m = m[out_cols]
+        elif len(lf) == 0:  # outer, right-only partition
+            m = rf.copy()
+            for c in lvalue_cols:
+                m[c] = np.nan
+            m = m[out_cols]
         else:
             m = pd.merge(lf, rf, on=keys, how=how)[out_cols]
-        if how == "left":
-            return leftify(m)
-        return _restore_int_dtypes(m, out_cols, coltype)
+        return finish(m)
 
     return both.groupby("_pk").map_groups(merge, batch_format="pandas")
 

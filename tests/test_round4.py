@@ -743,3 +743,35 @@ def test_mixture_weights(ray_session):
     np.testing.assert_allclose(out.loc["b", "weight"], 0.5 / 0.3)
     assert out.loc["c", "weight"] == 0.0
     np.testing.assert_allclose(out["actual_share"].sum(), 1.0)
+
+
+def test_full_outer_hash_join(ray_session):
+    """Full outer: unmatched rows from BOTH sides survive exactly once."""
+    import ray.data
+
+    from rasterflow.pipelines.relational import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 3, 5], "lv": [10, 20, 30, 31, 50]})
+    right = pd.DataFrame({"k": [2, 3, 4, 4], "rv": ["b", "c", "d", "e"]})
+    got = (
+        hash_join(
+            ray.data.from_pandas(left).repartition(3),
+            ray.data.from_pandas(right).repartition(2),
+            on="k", left_cols=["lv"], right_cols=["rv"], how="outer",
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.merge(left, right, on="k", how="outer")
+        .sort_values(["k", "lv", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], exp, check_dtype=False)
+    # outer + skew is rejected up front
+    with pytest.raises(ValueError, match="incompatible"):
+        hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="k", left_cols=["lv"], right_cols=["rv"], how="outer", skew="auto",
+        )
