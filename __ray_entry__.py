@@ -1236,6 +1236,28 @@ ORDER BY user_id
 """
 
 
+def _q_quality_tail(sf_dir: str):
+    """Percentile-threshold filter (round 4): documents at/above the p90 of
+    n_chars — exact distributed quantile selection composed with one
+    broadcast-threshold filter pass."""
+    import ray.data
+
+    from rasterflow.pipelines.curation import filter_by_quantile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return filter_by_quantile(ds, "n_chars", q=0.9)
+
+
+_QUALITY_TAIL_SQL = """
+WITH c AS (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY n_chars),
+cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc FROM c),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+thr AS (SELECT min(v) AS t FROM cum CROSS JOIN tot WHERE cc >= CEIL(0.9 * tot.n))
+SELECT doc_id, n_chars FROM documents CROSS JOIN thr WHERE n_chars >= thr.t
+ORDER BY doc_id
+"""
+
+
 def _q_cust_orders_left(sf_dir: str):
     """LEFT OUTER partitioned hash join (round 4): every customer with
     their order count/max price, order-less customers surviving with nulls
@@ -1768,6 +1790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "quantile_sketch_chars": _q_quantile_sketch_chars,
         "user_value_outer": _q_user_value_outer,
+        "quality_tail": _q_quality_tail,
         "cust_orders_left": _q_cust_orders_left,
         "lang_stats": _q_lang_stats,
         "lang_sample_k": _q_lang_sample_k,
@@ -2380,6 +2403,7 @@ GROUP BY c_nationkey ORDER BY c_nationkey
         "mixture_weights": _MIXTURE_WEIGHTS_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
         "user_value_outer": _USER_VALUE_OUTER_SQL,
+        "quality_tail": _QUALITY_TAIL_SQL,
         "repetition_stats": _repetition_stats_sql(),
         "tfidf_top_terms": _tfidf_sql(3),
         "weighted_sample": _weighted_sample_sql(400),

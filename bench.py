@@ -197,6 +197,8 @@ def bench_queries() -> dict[str, float]:
         "mixture_weights",
         "chunk_docs",
         "quantile_sketch_chars",
+        "user_value_outer",
+        "quality_tail",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -67,3 +67,33 @@ def curation_keep_list(
         ngram=ngram, min_overlap=min_overlap,
     )
     return exact_dedup(clean, content_col=content_col, id_col=id_col, verify=verify)
+
+
+def filter_by_quantile(
+    ds,
+    col: str,
+    q: float = 0.9,
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+):
+    """Keep rows at or above the corpus's q-th percentile of ``col`` — the
+    "quality tail" filter composed from the exact distributed quantile
+    selection (:func:`~rasterflow.pipelines.sampling.column_quantiles_select`,
+    O(log) passes) and one broadcast-threshold filter pass.
+
+    Threshold rule = the shared quantile definition (smallest v with
+    cumulative count ≥ ceil(q·n)), so the SQL oracle is the same window
+    expression.  Returns the kept rows (``keep_cols`` or (id, col)),
+    sorted by id."""
+    import pyarrow.compute as pc
+
+    from .sampling import column_quantiles_select
+
+    thr_tbl = column_quantiles_select(ds, col, qs=(q,)).to_pandas()
+    thr = float(thr_tbl["value"].iloc[0])
+    cols = keep_cols or [id_col, col]
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column(col), pa.scalar(thr))).select(cols)
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort(id_col)
