@@ -206,12 +206,15 @@ def hash_join(
     partition, which joins with one vectorized ``pandas.merge``.  No
     driver-side materialization.
 
-    ``how``: ``"inner"`` (default) or ``"left"`` (left outer — unmatched
+    ``how``: ``"inner"`` (default), ``"left"`` (left outer — unmatched
     left rows survive with the right's value columns null/NaN; right value
     columns come back float64 where pandas NaN-pads, matching what SQL
-    engines hand to pandas for nullable columns).  Left-outer composes with
-    the skew path: a salted left row lives in exactly one partition, so it
-    appears exactly once whether matched or not.
+    engines hand to pandas for nullable columns) or ``"outer"`` (full
+    outer — BOTH sides' unmatched rows survive once, the other side's
+    value columns padded).  Left-outer composes with the skew path: a
+    salted left row lives in exactly one partition, so it appears exactly
+    once whether matched or not; FULL outer rejects skew salting (an
+    unmatched replicated hot right row would surface once per replica).
 
     Skew: by default a hot key lives in one partition task.  ``skew="auto"``
     first frequency-scans BOTH sides' key columns (per-block top-64 count
