@@ -87,12 +87,19 @@ def build_inverted_index(
         )
         d = g["d"].to_numpy()
         token = g["token"].to_numpy()
+        # mark ONE posting per document (its first in the groupby output):
+        # a doc lives wholly in one batch, so exactly one marked posting
+        # exists globally — corpus stats (n_docs, total tokens) then come
+        # from a pruned read of the index itself, not a second text pass
+        first = np.zeros(len(d), dtype=np.int8)
+        first[np.unique(d, return_index=True)[1]] = 1
         return pa.table(
             {
                 "token": pa.array(token, type=pa.string()),
                 id_col: pa.array(docs[d]),
                 "tf": pa.array(g["tf"].to_numpy().astype(np.int64)),
                 "dl": pa.array(dl[d]),
+                "first": pa.array(first),
                 "part": pa.array(
                     _token_parts(token, num_parts).astype("U")
                 ),
@@ -104,14 +111,24 @@ def build_inverted_index(
         out_dir, partition_cols=["part"]
     )
 
-    # corpus stats: one tiny row per batch, summed on the driver (O(batches))
+    # corpus stats from the index itself (pruned (tf, dl, first) read —
+    # the heavy text column is never read twice): total tokens = Σ tf over
+    # all postings; n_docs = Σ first; zero-token docs have no postings and
+    # do not affect BM25 (they can match no term and add nothing to avgdl's
+    # token total beyond their 0)
     def stat_partial(b: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(b.column(text_col))
-        flat = pc.list_flatten(toks)
-        n_tok = int(pc.sum(pc.cast(pc.not_equal(flat, pa.scalar("")), pa.int64())).as_py() or 0)
-        return pa.table({"n_docs": pa.array([len(b)], pa.int64()), "total_tokens": pa.array([n_tok], pa.int64())})
+        return pa.table(
+            {
+                "n_docs": pa.array([int(pc.sum(pc.cast(b.column("first"), pa.int64())).as_py() or 0)], pa.int64()),
+                "total_tokens": pa.array([int(pc.sum(b.column("tf")).as_py() or 0)], pa.int64()),
+            }
+        )
 
-    st = ds.map_batches(stat_partial, batch_format="pyarrow").to_pandas()
+    st = (
+        ray.data.read_parquet(out_dir, columns=["tf", "first"])
+        .map_batches(stat_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
     stats = {
         "n_docs": int(st["n_docs"].sum()),
         "total_tokens": int(st["total_tokens"].sum()),
