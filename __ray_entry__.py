@@ -1258,6 +1258,50 @@ ORDER BY doc_id
 """
 
 
+def _q_training_prep(sf_dir: str):
+    """End-to-end training prep (round 4): p50 quality gate → exact dedup →
+    greedy packing, composed — verified as ONE SQL statement."""
+    import ray.data
+
+    from rasterflow.pipelines.curation import training_prep
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text", "n_chars"]
+    )
+    return training_prep(ds, budget=512, q=0.5)
+
+
+_TRAINING_PREP_SQL = r"""
+WITH RECURSIVE
+c AS (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY n_chars),
+cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc FROM c),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+thr AS (SELECT min(v) AS t FROM cum CROSS JOIN tot WHERE cc >= CEIL(0.5 * tot.n)),
+kept AS (SELECT d.* FROM documents d CROSS JOIN thr WHERE d.n_chars >= thr.t),
+ded AS (
+  SELECT * FROM kept
+  WHERE doc_id = (SELECT min(doc_id) FROM kept k2 WHERE k2.text = kept.text)
+),
+t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok
+  FROM ded
+),
+ord AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM t),
+pack AS (
+  SELECT source, rn, doc_id, n_tok, n_tok AS fill, 0 AS bin_id FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.doc_id, o.n_tok,
+         CASE WHEN p.fill + o.n_tok > 512 THEN o.n_tok ELSE p.fill + o.n_tok END,
+         CASE WHEN p.fill + o.n_tok > 512 THEN p.bin_id + 1 ELSE p.bin_id END
+  FROM pack p JOIN ord o ON o.source = p.source AND o.rn = p.rn + 1
+)
+SELECT source, CAST(bin_id AS BIGINT) AS bin_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum
+FROM pack GROUP BY source, bin_id ORDER BY source, bin_id
+"""
+
+
 def _q_cust_orders_left(sf_dir: str):
     """LEFT OUTER partitioned hash join (round 4): every customer with
     their order count/max price, order-less customers surviving with nulls
@@ -1791,6 +1835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch_chars": _q_quantile_sketch_chars,
         "user_value_outer": _q_user_value_outer,
         "quality_tail": _q_quality_tail,
+        "training_prep": _q_training_prep,
         "cust_orders_left": _q_cust_orders_left,
         "lang_stats": _q_lang_stats,
         "lang_sample_k": _q_lang_sample_k,
@@ -2404,6 +2449,7 @@ GROUP BY c_nationkey ORDER BY c_nationkey
         "chunk_docs": _CHUNK_DOCS_SQL,
         "user_value_outer": _USER_VALUE_OUTER_SQL,
         "quality_tail": _QUALITY_TAIL_SQL,
+        "training_prep": _TRAINING_PREP_SQL,
         "repetition_stats": _repetition_stats_sql(),
         "tfidf_top_terms": _tfidf_sql(3),
         "weighted_sample": _weighted_sample_sql(400),

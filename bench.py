@@ -199,6 +199,7 @@ def bench_queries() -> dict[str, float]:
         "quantile_sketch_chars",
         "user_value_outer",
         "quality_tail",
+        "training_prep",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -97,3 +97,54 @@ def filter_by_quantile(
         return t.filter(pc.greater_equal(t.column(col), pa.scalar(thr))).select(cols)
 
     return ds.map_batches(keep, batch_format="pyarrow").sort(id_col)
+
+
+def training_prep(
+    ds,
+    budget: int = 512,
+    q: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    quality_col: str = "n_chars",
+):
+    """The end-to-end training-prep composition: percentile quality gate →
+    exact dedup (min id per distinct content) → greedy sequence packing per
+    stratum.  Returns the per-bin manifest (group, bin_id, n_docs, tok_sum).
+
+    Scale shape: one O(log)-pass quantile selection, then ONE pass that
+    filters + hashes + token-counts and immediately drops the text (only
+    (id, group, n_tok, hash) ints travel), one hash-partitioned first-by-id
+    dedup exchange, and the packing groupby — the full pipeline moves raw
+    text zero times after the prep pass.  Verified as ONE SQL statement
+    (window quantile + text-equality dedup + recursive packing CTE), so
+    stage ordering and interaction are pinned, not just the pieces."""
+    import pyarrow.compute as pc
+
+    from .dedup import content_hash64
+    from .packing import pack_sequences
+    from .sampling import _grouped_head, column_quantiles_select
+
+    thr_tbl = column_quantiles_select(ds, quality_col, qs=(q,)).to_pandas()
+    thr = float(thr_tbl["value"].iloc[0])
+
+    def prep(b: pa.Table) -> pa.Table:
+        tb = b.filter(pc.greater_equal(b.column(quality_col), pa.scalar(thr)))
+        h = content_hash64(tb.column(text_col)).astype(np.int64)
+        n_tok = pc.cast(pc.count_substring_regex(tb.column(text_col), r"\S+"), pa.int64())
+        return pa.table(
+            {
+                "h": pa.array(h),
+                id_col: tb.column(id_col),
+                group_col: tb.column(group_col),
+                "n_tok": n_tok,
+            }
+        )
+
+    slim = ds.map_batches(prep, batch_format="pyarrow")
+    survivors = _grouped_head(
+        slim, "h", [id_col], [True], 1, ["h", id_col, group_col, "n_tok"]
+    )
+    return pack_sequences(
+        survivors, budget=budget, group_col=group_col, id_col=id_col, token_col="n_tok"
+    )
