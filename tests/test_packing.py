@@ -181,3 +181,47 @@ def test_compress_cdf_conserves_mass_and_extremes():
         assert (cw > 0).all()
 
     check()
+
+
+def test_training_prep_matches_pandas_composition(ray_session):
+    """The composed pipeline ≡ the same three stages applied with pandas."""
+    import ray.data
+
+    from rasterflow.pipelines.curation import training_prep
+    from rasterflow.pipelines.packing import greedy_bins
+
+    rng = np.random.default_rng(21)
+    n = 300
+    texts = [" ".join(f"w{j}" for j in rng.integers(0, 40, rng.integers(1, 60))) for _ in range(n)]
+    # engineered duplicates across the quality boundary
+    texts[50] = texts[10]
+    texts[51] = texts[10]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": [f"s{i % 5}" for i in range(n)],
+            "text": texts,
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    got = training_prep(
+        ray.data.from_pandas(docs).repartition(4), budget=64, q=0.5
+    ).to_pandas()
+
+    # pandas reference with the SAME rules
+    sv = np.sort(docs["n_chars"].to_numpy())
+    thr = sv[int(np.ceil(0.5 * n)) - 1]
+    kept = docs[docs["n_chars"] >= thr]
+    ded = kept.loc[kept.groupby("text")["doc_id"].idxmin()].sort_values("doc_id")
+    ded = ded.assign(n_tok=ded["text"].str.split().str.len())
+    rows = []
+    for src, g in ded.groupby("source"):
+        g = g.sort_values("doc_id")
+        bins = greedy_bins(g["n_tok"].to_numpy(), 64)
+        agg = g.assign(bin_id=bins).groupby("bin_id").agg(
+            n_docs=("doc_id", "size"), tok_sum=("n_tok", "sum")
+        ).reset_index()
+        agg.insert(0, "source", src)
+        rows.append(agg)
+    exp = pd.concat(rows, ignore_index=True)[["source", "bin_id", "n_docs", "tok_sum"]]
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
