@@ -1672,13 +1672,14 @@ def _q_funnel_users(sf_dir: str):
 
 
 def _q_hash_vectorize(sf_dir: str):
-    """Hashed bag-of-words features (rows-only: bucket assignment has no SQL
-    replica; exact features pinned by pytest brute-force).  The summary
-    columns exposed here (n_tok, nnz, fmax) make the rows-only check
-    schema-stable."""
+    """Hashed bag-of-words features with the SQL-replicable mulrot31 token
+    hash (round 5): base-31 byte polynomial + mul-rotate mixer, replicated
+    bit-for-bit in HUGEINT by the oracle, so the per-doc summary (n_tok,
+    nnz, fmax) is hash-checked — exact features additionally pinned by
+    pytest brute-force."""
     from rasterflow.pipelines.textstats import hashing_vectorize
 
-    out = hashing_vectorize(_docs(sf_dir), dim=64)
+    out = hashing_vectorize(_docs(sf_dir), dim=64, hash_fn="mulrot31")
 
     def summarize(t: pa.Table) -> pa.Table:
         col = t.column("features")
@@ -2124,6 +2125,62 @@ ORDER BY doc_id
 """
 
 
+def _hash_vectorize_sql(dim: int = 64) -> str:
+    """SQL replica of textstats.hashing_vectorize(hash_fn='mulrot31'):
+    per-token base-31 byte polynomial (recursive-CTE powers of 31 mod 2^64 —
+    31·z < 2^69 needs no limb splitting), then the mulrot chain in HUGEINT,
+    bucket = z % dim, and the per-doc summary (n_tok, nnz, fmax).  ASCII
+    replica: ascii(substr(tok, i, 1)) reads code points, which equal the
+    engine's UTF-8 bytes for the all-ASCII fixture corpus."""
+    M64 = "18446744073709551616::HUGEINT"
+    M32 = "4294967296"
+
+    def mulmod(z: str, c: int) -> str:
+        return (
+            f"(((({z}) // {M32}) * {c}) % {M32} * {M32}"
+            f" + (({z}) % {M32}) * {c}) % {M64}"
+        )
+
+    def rotl32(z: str) -> str:
+        return f"((({z}) * {M32}) % {M64} + ({z}) // {M32})"
+
+    z1 = mulmod("z", 0x9E3779B97F4A7C15)
+    return f"""
+WITH RECURSIVE {_TOKS_CTE},
+pw(i, p) AS (
+  SELECT 0, 1::HUGEINT
+  UNION ALL SELECT i + 1, (p * 31) % {M64} FROM pw WHERE i < 127
+),
+chars AS (
+  SELECT doc_id, pos, tok, length(tok) AS L,
+         unnest(range(1, length(tok) + 1)) AS ci
+  FROM toks
+),
+fold AS (
+  SELECT doc_id, pos,
+         SUM((CAST(ascii(substr(tok, CAST(ci AS INT), 1)) AS HUGEINT) * pw.p) % {M64}) % {M64} AS z
+  FROM chars JOIN pw ON pw.i = L - ci
+  GROUP BY doc_id, pos
+),
+s1 AS (SELECT doc_id, pos, {z1} AS z FROM fold),
+s2 AS (SELECT doc_id, pos, {rotl32('z')} AS z FROM s1),
+s3 AS (SELECT doc_id, pos, {mulmod('z', 0xBF58476D1CE4E5B9)} AS z FROM s2),
+s4 AS (SELECT doc_id, pos, {rotl32('z')} AS z FROM s3),
+s5 AS (SELECT doc_id, pos, {mulmod('z', 0x94D049BB133111EB)} AS z FROM s4),
+bkt AS (SELECT doc_id, CAST(z % {dim} AS BIGINT) AS b FROM s5),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bkt GROUP BY 1, 2),
+per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+               CAST(count(*) AS BIGINT) AS nnz, CAST(max(c) AS BIGINT) AS fmax
+        FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(per.n_tok, 0) AS n_tok,
+       COALESCE(per.nnz, 0) AS nnz,
+       COALESCE(per.fmax, 0) AS fmax
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # toks CTE shared by the repetition/tf-idf oracles: whitespace tokens with
 # positions, empties filtered exactly like the Ray kernels
 _TOKS_CTE = r"""toks AS (
@@ -2441,6 +2498,7 @@ FROM customer JOIN orders ON o_custkey = c_custkey
 GROUP BY c_nationkey ORDER BY c_nationkey
 """,
         "bm25_search": _bm25_sql(),
+        "hash_vectorize": _hash_vectorize_sql(64),
         "pack_bins": _PACK_BINS_SQL,
         "decode_wav": _decode_wav_sql(),
         "export_manifest": _export_manifest_sql(8),

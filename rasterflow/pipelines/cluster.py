@@ -44,12 +44,13 @@ def _init_centroids(ds, emb_col: str, id_col: str, k: int, sample_size: int, see
         m = _emb_matrix(b, emb_col)
         order = np.argsort(h, kind="stable")[: min(sample_size, len(ids))]
         flat = m[order].astype(np.float32)
+        # m is (0, d) even for an empty batch: the list size MUST stay d so
+        # every block emits the same fixed_size_list<float, d> schema (a
+        # size-0 list on empty blocks made the downstream sort fail)
         return pa.table(
             {
                 "h": pa.array(h[order]),
-                "vec": pa.FixedSizeListArray.from_arrays(
-                    pa.array(flat.ravel()), flat.shape[1] if len(flat) else 0
-                ),
+                "vec": pa.FixedSizeListArray.from_arrays(pa.array(flat.ravel()), flat.shape[1]),
             }
         )
 

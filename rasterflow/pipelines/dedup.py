@@ -57,7 +57,21 @@ def content_hash64(col) -> np.ndarray:
     return doc_hashes(data, offs)
 
 
-def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id", verify: bool = False):
+#: verify=True ships the sorted multi-occurrence hash set to every task via
+#: one ray.put; above this many distinct duplicated contents (80 MB of int64
+#: at 10^7) the broadcast-array plan is replaced by a direct hash-partitioned
+#: (hash, text) grouping with NO driver-side set at all — bounded driver RSS
+#: at any dup rate (a 30-50% dup-rate crawl makes the set multi-GB)
+VERIFY_BROADCAST_MAX = 10_000_000
+
+
+def exact_dedup(
+    ds,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = False,
+    broadcast_max: int = VERIFY_BROADCAST_MAX,
+):
     """Keep the minimum id per distinct content; returns (id, n) per group.
 
     Two-stage: per-batch pandas pre-aggregation (hash -> min id, count), then
@@ -68,7 +82,12 @@ def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id", verify: b
     inside those (tiny) groups, so the result is exact even at 10^12 docs
     where ~O(30) random 64-bit collisions are expected.  The second pass
     re-scans the input but moves only rows whose hash is in the (broadcast)
-    multi-occurrence set — at web scale a sub-percent fraction.
+    multi-occurrence set — at web scale a sub-percent fraction.  When the
+    multi-occurrence set exceeds ``broadcast_max`` distinct hashes, the
+    broadcast plan is swapped for a direct distributed grouping of
+    per-batch-deduped ``(hash, text)`` partials: one shuffle whose volume is
+    the per-batch-distinct text (~corpus size in the worst case) but whose
+    driver footprint is O(1).
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -95,10 +114,46 @@ def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id", verify: b
     def multis(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t.column("n"), 1)).select(["content_hash"])
 
-    multi_tbl = red.map_batches(multis, batch_format="pyarrow").to_pandas()
+    def multi_count(t: pa.Table) -> pa.Table:
+        return pa.table({"c": pa.array([t.filter(pc.greater(t.column("n"), 1)).num_rows], pa.int64())})
+
+    n_multi = int(
+        red.map_batches(multi_count, batch_format="pyarrow").sum("c") or 0
+    )
     single_ds = red.map_batches(singles, batch_format="pyarrow")
-    if len(multi_tbl) == 0:
+    if n_multi == 0:
         return single_ds.sort(id_col)
+    if n_multi > broadcast_max:
+        # scale fallback: no driver-side hash set.  Re-scan the input with
+        # per-batch (hash, text) pre-aggregation and group distributed —
+        # collision-proof because rows agreeing on BOTH hash and text are
+        # genuinely identical; the first pass's partials are discarded.
+        def partial_ht(batch: pa.Table) -> pa.Table:
+            h = content_hash64(batch.column(content_col)).astype(np.int64)
+            df = pd.DataFrame(
+                {
+                    "h": h,
+                    "t": batch.column(content_col).to_pandas(),
+                    "id": batch.column(id_col).to_numpy(zero_copy_only=False),
+                }
+            )
+            g = df.groupby(["h", "t"], sort=False).agg(id=("id", "min"), n=("id", "size")).reset_index()
+            return pa.table(
+                {
+                    "content_hash": g["h"].to_numpy(),
+                    content_col: pa.array(g["t"], type=pa.string()),
+                    id_col: g["id"].to_numpy(),
+                    "n": g["n"].to_numpy().astype(np.int64),
+                }
+            )
+
+        verified_all = grouped_aggregate(
+            coalesce_small(ds.map_batches(partial_ht, batch_format="pyarrow"), 0.125),
+            ["content_hash", content_col],
+            {id_col: (id_col, "min"), "n": ("n", "sum")},
+        ).map_batches(lambda t: t.select([id_col, "n"]), batch_format="pyarrow")
+        return verified_all.sort(id_col)
+    multi_tbl = red.map_batches(multis, batch_format="pyarrow").to_pandas()
     hot = np.sort(multi_tbl["content_hash"].to_numpy().astype(np.int64))
     hot_ref = ray.put(hot) if ray.is_initialized() else hot
 

@@ -263,13 +263,27 @@ def hash_join(
 
     def pad_cols(m: pd.DataFrame, cols) -> pd.DataFrame:
         # one uniform schema whether or not this partition had misses:
-        # NaN-padded numerics become float64, the rest object-with-None
+        # NaN-padded numerics become float64, the rest object-with-None.
+        # float64 is exact only up to 2^53 — id-/hash-valued int64 columns
+        # above that silently round, so warn (matched rows included).
         for c in cols:
-            m[c] = (
-                m[c].astype(np.float64)
-                if numeric(c)
-                else m[c].astype(object).where(pd.notna(m[c]), None)
-            )
+            if numeric(c):
+                v = m[c].astype(np.float64)
+                t = coltype.get(c)
+                if t is not None and pa.types.is_integer(t) and len(v):
+                    mx = np.nanmax(np.abs(v.to_numpy())) if v.notna().any() else 0.0
+                    if mx >= 2.0**53:
+                        import warnings
+
+                        warnings.warn(
+                            f"outer/left join pads integer column {c!r} as float64; "
+                            f"values reach {mx:.3e} > 2^53 and may lose precision",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
+                m[c] = v
+            else:
+                m[c] = m[c].astype(object).where(pd.notna(m[c]), None)
         return m
 
     def finish(m: pd.DataFrame) -> pd.DataFrame:

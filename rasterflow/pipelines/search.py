@@ -106,6 +106,14 @@ def build_inverted_index(
             }
         )
 
+    # Ray write_parquet APPENDS uniquely-named fragments: a rerun into a
+    # non-empty dir (e.g. bm25-build after a partial failure) would silently
+    # double-count postings / sidecars.  Clear stale fragments first (same
+    # stale-dir discipline as dedup's checkpoint persist).
+    import shutil
+
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     ds.map_batches(postings, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["part"]
@@ -262,16 +270,33 @@ def bm25_topk(
         weight=0.5,
     )
 
-    def finish(t: pa.Table) -> pa.Table:
+    def _take_topk(ids: np.ndarray, score: np.ndarray) -> pa.Table:
+        # top-k by (score desc, id asc — the oracle tie-break); -score is an
+        # exact float64 negation
+        order = np.lexsort((ids, -score))[:k]
+        return pa.table({id_col: pa.array(ids[order]), "score": pa.array(score[order], type=pa.float64())})
+
+    def topk_block(t: pa.Table) -> pa.Table:
         score = t.column(scols[0]).to_numpy(zero_copy_only=False).copy()
         for c in scols[1:]:
             score = score + t.column(c).to_numpy(zero_copy_only=False)
-        return pa.table({id_col: t.column(id_col), "score": pa.array(score, type=pa.float64())})
+        return _take_topk(t.column(id_col).to_numpy(zero_copy_only=False), score)
 
+    def topk_merge(t: pa.Table) -> pa.Table:
+        return _take_topk(
+            t.column(id_col).to_numpy(zero_copy_only=False),
+            t.column("score").to_numpy(zero_copy_only=False),
+        )
+
+    # Each doc exists once globally after the grouped sum, so per-block
+    # partial top-k keeps every global winner; the final merge sees only
+    # (#blocks × k) rows coalesced into ONE block — no global sort AllToAll
+    # over every doc matching any term (stopword-ish terms made that the
+    # whole corpus).
     return (
-        agg.map_batches(finish, batch_format="pyarrow")
-        .sort(["score", id_col], descending=[True, False])
-        .limit(k)
+        agg.map_batches(topk_block, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(topk_merge, batch_format="pyarrow")
     )
 
 

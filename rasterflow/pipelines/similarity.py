@@ -37,6 +37,8 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
         dim = arr.type.list_size
         return np.asarray(arr.values.to_numpy(zero_copy_only=False)).reshape(-1, dim)
     offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    if len(offsets) < 2:  # empty plain-list batch carries no dim information
+        return np.zeros((0, 0), dtype=np.float64)
     dim = int(offsets[1] - offsets[0])
     flat = arr.values.to_numpy(zero_copy_only=False)
     return flat.reshape(-1, dim)

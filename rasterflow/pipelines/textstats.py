@@ -417,12 +417,19 @@ def hashing_vectorize(
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int = 64,
+    hash_fn: str = "mix64",
 ):
     """Feature-hashing (hashed bag-of-words) vectorizer: each document
     becomes a fixed ``dim``-bucket token-count vector
-    (``bucket = mix64(token_hash) % dim``) — the HashingVectorizer
+    (``bucket = mix(token_hash) % dim``) — the HashingVectorizer
     primitive that feeds hashed features to downstream similarity / model
     stages without a vocabulary pass.
+
+    ``hash_fn="mix64"`` (default): FNV-prime polynomial + splitmix64
+    finalizer.  ``hash_fn="mulrot31"``: base-31 polynomial over token bytes
+    + the mul-rotate mixer — every step expressible in ANSI SQL over
+    HUGEINT, so the bucket assignment (and thus the whole feature vector)
+    has an exact DuckDB oracle for ASCII text.
 
     Fully vectorized per batch: one flat-buffer token-hash pass
     (:func:`rasterflow.stages.texthash.token_hashes` — no per-doc loop),
@@ -430,15 +437,30 @@ def hashing_vectorize(
     ``(id, features fixed_size_list<int32>[dim], n_tok)``.  Embarrassingly
     parallel, no shuffle; approximate only in the hashing-trick sense
     (bucket collisions), deterministic across runs and partitionings."""
+    if hash_fn not in ("mix64", "mulrot31"):
+        raise ValueError(f"hash_fn must be mix64|mulrot31, got {hash_fn!r}")
 
     def f(b: pa.Table) -> pa.Table:
-        from ..stages.texthash import flat_utf8, mix64, token_hashes
+        from ..stages.texthash import (
+            PrefixHash,
+            flat_utf8,
+            mix64,
+            mulrot_hash64,
+            token_hashes,
+            token_spans,
+        )
 
         data, offs = flat_utf8(b.column(text_col))
-        th, indptr = token_hashes(data, offs)
+        if hash_fn == "mulrot31":
+            starts, ends, indptr = token_spans(data, offs)
+            ph = PrefixHash(data, base=np.uint64(31))
+            th = mulrot_hash64(ph.range_hashes(starts, ends))
+        else:
+            th, indptr = token_hashes(data, offs)
+            th = mix64(th)
         n = len(b)
         with np.errstate(over="ignore"):
-            bucket = (mix64(th) % np.uint64(dim)).astype(np.int64)
+            bucket = (th % np.uint64(dim)).astype(np.int64)
         tok_doc = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
         counts = np.bincount(tok_doc * dim + bucket, minlength=n * dim).astype(np.int32)
         feats = pa.FixedSizeListArray.from_arrays(pa.array(counts), dim)

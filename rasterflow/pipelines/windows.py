@@ -179,9 +179,11 @@ def lag_deltas(
             d[0] = np.nan
         if len(us) > 1:
             d[1:] = np.where(k[1:] == k[:-1], (us[1:] - us[:-1]).astype(np.float64), np.nan)
+        # float64 with NaN for the first-event null: matches DuckDB's pandas
+        # conversion of a nullable BIGINT (and the representation every other
+        # nullable-int query emits, cf. relational.hash_join's NaN padding) —
+        # pandas nullable Int64 hash-mismatched the driver oracle (r04).
         out = pd.DataFrame({id_col: g[id_col].to_numpy(), key: k, out_col: d})
-        # nullable int64 so the first-event null survives with integer dtype
-        out[out_col] = out[out_col].astype("Int64")
         return out
 
     withpk = ds.map_batches(addpk, batch_format="pyarrow")

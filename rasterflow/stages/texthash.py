@@ -158,19 +158,30 @@ def _powers(base: np.uint64, n: int) -> np.ndarray:
     return out
 
 
-class PrefixHash:
-    """Cumulative polynomial-hash state over one flat byte buffer."""
+_BASE_INV: dict[int, np.uint64] = {int(P): PINV}
 
-    def __init__(self, data: np.ndarray):
+
+class PrefixHash:
+    """Cumulative polynomial-hash state over one flat byte buffer.
+
+    ``base`` defaults to the FNV prime; any ODD base works (odd => invertible
+    mod 2^64).  Base 31 is the SQL-replicable choice: 31·z stays < 2^69, so a
+    DuckDB HUGEINT replica needs no 32-bit limb splitting per step."""
+
+    def __init__(self, data: np.ndarray, base: np.uint64 = P):
         n = len(data)
+        binv = _BASE_INV.get(int(base))
+        if binv is None:
+            binv = np.uint64(pow(int(base), -1, 1 << 64))
+            _BASE_INV[int(base)] = binv
         with np.errstate(over="ignore"):
-            pw = _powers(P, n + 1)
+            pw = _powers(base, n + 1)
             c = np.zeros(n + 1, dtype=np.uint64)
             if n:
-                piw = _powers(PINV, n)
+                piw = _powers(binv, n)
                 np.cumsum(data.astype(np.uint64) * piw, out=c[1:])
-        self.pw = pw  # pw[i] = P^i
-        self.c = c  # c[i] = sum_{t<i} b_t * P^-t
+        self.pw = pw  # pw[i] = base^i
+        self.c = c  # c[i] = sum_{t<i} b_t * base^-t
         self.n = n
 
     def range_hashes(self, s: np.ndarray, e: np.ndarray) -> np.ndarray:
@@ -214,18 +225,15 @@ def window_hashes(
     return ph.range_hashes(starts, ends), indptr
 
 
-def token_hashes(
-    data: np.ndarray, offs: np.ndarray, ph: PrefixHash | None = None
-) -> tuple[np.ndarray, np.ndarray]:
-    """Whitespace-token hashes -> (flat token hashes, token->doc indptr).
+def token_spans(data: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whitespace-token byte spans -> (starts, ends, token->doc indptr).
 
     Tokens never cross document boundaries; empty/whitespace-only docs own
     zero tokens.  Token order is document order."""
-    if ph is None:
-        ph = PrefixHash(data)
     n_docs = len(offs) - 1
     if len(data) == 0:
-        return np.empty(0, dtype=np.uint64), np.zeros(n_docs + 1, dtype=np.int64)
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.zeros(n_docs + 1, dtype=np.int64)
     is_ws = np.zeros(len(data), dtype=bool)
     for w in _WS:
         is_ws |= data == w
@@ -244,6 +252,16 @@ def token_hashes(
     ends = np.flatnonzero(~is_ws & next_ws) + 1
     tok_doc = np.searchsorted(offs, starts, side="right") - 1
     indptr = np.searchsorted(tok_doc, np.arange(n_docs + 1))
+    return starts, ends, indptr
+
+
+def token_hashes(
+    data: np.ndarray, offs: np.ndarray, ph: PrefixHash | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-token hashes -> (flat token hashes, token->doc indptr)."""
+    if ph is None:
+        ph = PrefixHash(data)
+    starts, ends, indptr = token_spans(data, offs)
     return ph.range_hashes(starts, ends), indptr
 
 

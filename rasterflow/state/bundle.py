@@ -22,6 +22,8 @@ fully vectorized.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from ..geom.cells import Grid
@@ -225,14 +227,22 @@ class PolygonBundle:
     def __getstate__(self):
         state = dict(self.__dict__)
         state.pop("_ucell_index", None)
-        # the direct table is pure function of (ucells, grid): rebuilding it on
-        # load (~0.5 s) beats pickling/reading up to 1 GB of -1s
-        state.pop("ucell_table", None)
+        # The direct table is a pure function of (ucells, grid).  For the DISK
+        # cache, rebuilding on load (~0.5 s) beats writing/reading up to 1 GB
+        # of -1s, so _save_disk_cache strips it via _STRIP_DERIVED.  For
+        # object-store (plasma) pickles it MUST stay in: Ray ships numpy
+        # buffers zero-copy and shares them once per node, whereas a rebuild
+        # on deserialize would run privately in every worker process (32x the
+        # heap + oversubscribed fill threads — the exact per-worker-index
+        # pathology _build_table's comment documents).
+        if _STRIP_DERIVED.active:
+            state.pop("ucell_table", None)
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
-        self._build_table()
+        if "ucell_table" not in state:
+            self._build_table()
 
     def expand(self, lin: np.ndarray, kind: str = "cand") -> tuple[np.ndarray, np.ndarray]:
         """Candidate pairs ``(point_idx, poly_id)`` for query cells ``lin``
@@ -532,6 +542,17 @@ def _dir_ok(path) -> bool:
 _CACHE_MAGIC = b"RFB4"
 
 
+class _StripDerived(threading.local):
+    """Thread-local flag: _save_disk_cache sets it so __getstate__ drops the
+    (derived, up to 1 GB) direct table from DISK pickles only — object-store
+    pickles keep it (see PolygonBundle.__getstate__)."""
+
+    active = False
+
+
+_STRIP_DERIVED = _StripDerived()
+
+
 def _load_disk_cache(key):
     import os
     import pickle
@@ -572,17 +593,32 @@ def _save_disk_cache(key, bundle) -> None:
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
         bufs: list = []
-        payload = pickle.dumps(bundle, protocol=5, buffer_callback=bufs.append)
+        _STRIP_DERIVED.active = True
+        try:
+            payload = pickle.dumps(bundle, protocol=5, buffer_callback=bufs.append)
+        finally:
+            _STRIP_DERIVED.active = False
         raws = [b.raw() for b in bufs]
         header = pickle.dumps((payload, [r.nbytes for r in raws]))
-        # unbuffered raw writes: each array segment goes down in one write()
-        # instead of being re-chunked through a BufferedWriter memcpy
+
+        # unbuffered raw writes: each array segment goes down in write()
+        # syscalls instead of being re-chunked through a BufferedWriter
+        # memcpy.  Raw FileIO.write may return a SHORT count for buffers
+        # near/above 2 GB on Linux — loop until each is fully written.
+        def write_all(fh, buf) -> None:
+            mv = memoryview(buf).cast("B")
+            while len(mv):
+                n = fh.write(mv)
+                if not n:
+                    raise OSError("short write to bundle cache")
+                mv = mv[n:]
+
         with os.fdopen(fd, "wb", buffering=0) as fh:
-            fh.write(_CACHE_MAGIC)
-            fh.write(len(header).to_bytes(8, "little"))
-            fh.write(header)
+            write_all(fh, _CACHE_MAGIC)
+            write_all(fh, len(header).to_bytes(8, "little"))
+            write_all(fh, header)
             for r in raws:
-                fh.write(r)
+                write_all(fh, r)
         os.replace(tmp, _cache_path(key))
     except Exception:  # noqa: BLE001 - cache is best-effort
         if os.path.exists(tmp):
