@@ -85,6 +85,16 @@ def _q_agg_poly_hybrid_avg(sf_dir: str):
     )
 
 
+def _q_agg_poly_sum(sf_dir: str):
+    """Per-polygon SUM (round 5): the reference declares Sum in its agg enum
+    (Common.h:26) but never wires it to its CLI (main.cpp:140-142); here it
+    is first-class.  Integer-valued float accumulation — hash-safe."""
+    return aggregate_by_polygon(
+        documents_points(sf_dir), oracle_poly_layer(), how="hybrid",
+        value_col="n_chars", agg="sum", cell_size=0.05, concurrency=2,
+    )
+
+
 def _q_agg_poly_sharded(sf_dir: str):
     """Tile-sharded join (the giant-layer scale path) on the oracle plane —
     must produce counts identical to the single-bundle index join."""
@@ -931,6 +941,80 @@ def _q_pack_bins(sf_dir: str):
     return pack_sequences(ds, budget=512)
 
 
+#: per-(sf_dir) memo of the frozen BPE merge table (retraining is
+#: deterministic; the memo only saves the repeated corpus pass)
+_BPE_MERGES_CACHE: dict = {}
+#: parquet sidecar the pack_bins_bpe oracle packs (fixed path: oracle SQL is
+#: static; the engine query rewrites it before the oracle runs)
+_BPE_COUNTS_DIR = "/tmp/rasterflow_bpe_counts"
+
+
+def _bpe_merges(sf_dir: str):
+    m = _BPE_MERGES_CACHE.get(sf_dir)
+    if m is None:
+        from rasterflow.stages.bpe import train_bpe_on_dataset
+
+        m = train_bpe_on_dataset(_docs(sf_dir), num_merges=200)
+        _BPE_MERGES_CACHE[sf_dir] = m
+    return m
+
+
+def _q_bpe_token_stats(sf_dir: str):
+    """REAL-tokenizer token counts (round 5): byte-BPE merges trained on the
+    corpus itself (frozen, deterministic tie-breaks), encoding in an
+    actor-pool stage with per-actor distinct-word caches.  Rows-only: the
+    iterative merge loop has no SQL replica; encoding is pinned in pytest
+    against an independent per-word reference implementation."""
+    from rasterflow.stages.bpe import bpe_token_counts
+
+    return bpe_token_counts(_docs(sf_dir), _bpe_merges(sf_dir)).sort("doc_id")
+
+
+def _q_pack_bins_bpe(sf_dir: str):
+    """Greedy sequence packing under REAL tokenizer budgets (round 5): BPE
+    token counts feed ``pack_sequences`` as the precomputed token column.
+    The per-doc counts are also written to a parquet sidecar that the
+    oracle's recursive CTE packs — an exact check of the packing plan over
+    the real counts (the counts themselves are rows-only + pytest-pinned,
+    BPE having no SQL form)."""
+    import shutil
+
+    import ray.data
+
+    from rasterflow.pipelines.packing import pack_sequences
+    from rasterflow.stages.bpe import bpe_token_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    counts = bpe_token_counts(
+        ds, _bpe_merges(sf_dir), keep_cols=("doc_id", "source")
+    ).materialize()
+    shutil.rmtree(_BPE_COUNTS_DIR, ignore_errors=True)
+    counts.write_parquet(_BPE_COUNTS_DIR)
+    return pack_sequences(counts, budget=512, token_col="n_tok_bpe")
+
+
+_PACK_BINS_BPE_SQL = rf"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source, n_tok_bpe AS n_tok
+  FROM read_parquet('{_BPE_COUNTS_DIR}/*.parquet')
+),
+ord AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM t),
+pack AS (
+  SELECT source, rn, doc_id, n_tok, n_tok AS fill, 0 AS bin_id FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.doc_id, o.n_tok,
+         CASE WHEN p.fill + o.n_tok > 512 THEN o.n_tok ELSE p.fill + o.n_tok END,
+         CASE WHEN p.fill + o.n_tok > 512 THEN p.bin_id + 1 ELSE p.bin_id END
+  FROM pack p JOIN ord o ON o.source = p.source AND o.rn = p.rn + 1
+)
+SELECT source, CAST(bin_id AS BIGINT) AS bin_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum
+FROM pack GROUP BY source, bin_id ORDER BY source, bin_id
+"""
+
+
 _PACK_BINS_SQL = r"""
 WITH RECURSIVE t AS (
   SELECT doc_id, source,
@@ -1447,6 +1531,16 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(_docs(sf_dir)).sort("doc_id")
 
 
+def _q_unicode_norm(sf_dir: str):
+    """NFC + casefold normalization (round 5): DuckDB's
+    ``nfc_normalize(lower(text))`` replicates it byte-for-byte wherever
+    casefold == lower (all of ASCII; the fixture corpus qualifies).
+    Non-ASCII semantics (ß→ss, accent strip) pinned in pytest."""
+    from rasterflow.pipelines.textstats import unicode_normalize
+
+    return unicode_normalize(_docs(sf_dir)).sort("doc_id")
+
+
 def _q_corpus_summary(sf_dir: str):
     """Multi-key rollup: per (source, lang) doc count + char sum (integer
     accumulations — hash-safe across engines)."""
@@ -1823,7 +1917,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # additions, then the 24 round-3 entries the r3 driver file never
     # sampled, then the long-green remainder.
     return {
-        # -- round-4 additions (newest first) --
+        # -- round-5 additions (newest first) --
+        "pack_bins_bpe": _q_pack_bins_bpe,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "unicode_norm": _q_unicode_norm,
+        "agg_poly_sum": _q_agg_poly_sum,
+        # -- round-4 additions --
         "bm25_search": _q_bm25_search,
         "pack_bins": _q_pack_bins,
         "decode_wav": _q_decode_wav,
@@ -2498,8 +2597,13 @@ FROM customer JOIN orders ON o_custkey = c_custkey
 GROUP BY c_nationkey ORDER BY c_nationkey
 """,
         "bm25_search": _bm25_sql(),
+        "unicode_norm": """
+SELECT doc_id, nfc_normalize(lower(text)) AS norm_text
+FROM documents ORDER BY doc_id
+""",
         "hash_vectorize": _hash_vectorize_sql(64),
         "pack_bins": _PACK_BINS_SQL,
+        "pack_bins_bpe": _PACK_BINS_BPE_SQL,
         "decode_wav": _decode_wav_sql(),
         "export_manifest": _export_manifest_sql(8),
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
@@ -2845,6 +2949,15 @@ WITH {GEO_CTE.strip()},
 hits AS ({PIP_JOIN_SQL.strip()})
 SELECT CAST(poly_id AS INTEGER) AS poly_id, count(*) AS "count",
        CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg
+FROM hits GROUP BY poly_id ORDER BY poly_id
+""",
+        # SUM: integer-valued accumulation in float64 — exact across engines
+        "agg_poly_sum": f"""
+WITH {GEO_CTE.strip()},
+{poly_edges_values_sql()},
+hits AS ({PIP_JOIN_SQL.strip()})
+SELECT CAST(poly_id AS INTEGER) AS poly_id, count(*) AS "count",
+       CAST(sum(n_chars) AS DOUBLE) AS "sum"
 FROM hits GROUP BY poly_id ORDER BY poly_id
 """,
         "join_rows_poly": f"""

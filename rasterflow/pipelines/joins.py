@@ -379,6 +379,11 @@ def aggregate_by_polygon(
     """
     if not _strategy_ok(how):
         raise ValueError(f"how must be one of {_STRATEGIES} or a registered strategy, got {how!r}")
+    # "sum" is the reference's declared-but-CLI-unreachable aggregation
+    # (Common.h:26 declares Sum; main.cpp:140-142 never maps it) — exposed
+    # here as a first-class agg: the partials already carry the value sum.
+    if agg not in ("count", "avg", "sum"):
+        raise ValueError(f"agg must be count|avg|sum, got {agg!r}")
     cls = _agg_cls(how)
     # registered strategies predating the dtype plane keep their own default
     import inspect

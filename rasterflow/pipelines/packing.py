@@ -61,6 +61,23 @@ def greedy_bins(ntok: np.ndarray, budget: int) -> np.ndarray:
 STRATUM_WARN_ROWS = 2_000_000
 
 
+def _warn_giant_stratum(n_rows: int, key) -> None:
+    """One stratum = one task (greedy packing is order-sequential within a
+    stratum); a single giant stratum therefore serializes.  Warn so a caller
+    packing a whole corpus as ONE group sees the straggler — the escape hatch
+    is a two-level group key (e.g. (source, shard))."""
+    if n_rows > STRATUM_WARN_ROWS:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pack_sequences: stratum %r has %d rows in a single task; "
+            "greedy packing is sequential per stratum — consider a "
+            "two-level group key (e.g. (source, shard)) to parallelize",
+            key,
+            n_rows,
+        )
+
+
 def pack_sequences(
     ds,
     budget: int,
@@ -88,20 +105,7 @@ def pack_sequences(
         return pa.table({group_col: b.column(group_col), id_col: b.column(id_col), "n_tok": n})
 
     def pack_group(g: pd.DataFrame) -> pd.DataFrame:
-        # one stratum = one task (greedy packing is order-sequential within a
-        # stratum).  A single giant stratum therefore serializes: warn so a
-        # caller packing a whole corpus as ONE group sees the straggler —
-        # the escape hatch is a two-level group key (e.g. source + shard).
-        if len(g) > STRATUM_WARN_ROWS:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "pack_sequences: stratum %r has %d rows in a single task; "
-                "greedy packing is sequential per stratum — consider a "
-                "two-level group key (e.g. (source, shard)) to parallelize",
-                g[group_col].iloc[0] if len(g) else None,
-                len(g),
-            )
+        _warn_giant_stratum(len(g), g[group_col].iloc[0] if len(g) else None)
         g = g.sort_values(id_col, kind="stable").reset_index(drop=True)
         g["bin_id"] = greedy_bins(g["n_tok"].to_numpy(), budget)
         if not per_bin:

@@ -188,6 +188,23 @@ def _typed_empty(cols, coltype: dict) -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series(dtype=dt(c)) for c in cols})
 
 
+def _warn_if_beyond_2p53(v: "pd.Series", name: str, arrow_type) -> None:
+    """float64 padding is exact only up to 2^53 — id-/hash-valued int64
+    columns above that silently round (matched rows included), so warn."""
+    if arrow_type is None or not pa.types.is_integer(arrow_type) or not len(v):
+        return
+    mx = np.nanmax(np.abs(v.to_numpy())) if v.notna().any() else 0.0
+    if mx >= 2.0**53:
+        import warnings
+
+        warnings.warn(
+            f"outer/left join pads integer column {name!r} as float64; "
+            f"values reach {mx:.3e} > 2^53 and may lose precision",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def hash_join(
     left_ds,
     right_ds,
@@ -264,23 +281,10 @@ def hash_join(
     def pad_cols(m: pd.DataFrame, cols) -> pd.DataFrame:
         # one uniform schema whether or not this partition had misses:
         # NaN-padded numerics become float64, the rest object-with-None.
-        # float64 is exact only up to 2^53 — id-/hash-valued int64 columns
-        # above that silently round, so warn (matched rows included).
         for c in cols:
             if numeric(c):
                 v = m[c].astype(np.float64)
-                t = coltype.get(c)
-                if t is not None and pa.types.is_integer(t) and len(v):
-                    mx = np.nanmax(np.abs(v.to_numpy())) if v.notna().any() else 0.0
-                    if mx >= 2.0**53:
-                        import warnings
-
-                        warnings.warn(
-                            f"outer/left join pads integer column {c!r} as float64; "
-                            f"values reach {mx:.3e} > 2^53 and may lose precision",
-                            RuntimeWarning,
-                            stacklevel=2,
-                        )
+                _warn_if_beyond_2p53(v, c, coltype.get(c))
                 m[c] = v
             else:
                 m[c] = m[c].astype(object).where(pd.notna(m[c]), None)

@@ -163,6 +163,64 @@ def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def unicode_normalize(
+    ds,
+    form: str = "NFC",
+    casefold: bool = True,
+    strip_accents: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Unicode normalization (the first step of every dedup recipe on real
+    crawl text): NFC/NFKC composition + casefold, optionally accent-strip
+    (NFD, drop combining marks, recompose).
+
+    ASCII fast path: rows that are pure ASCII (checked with the Arrow
+    ``string_is_ascii`` kernel) are NFC-invariant and casefold == lower, so
+    whole-ASCII batches run entirely on Arrow kernels; only non-ASCII rows
+    fall back to CPython ``unicodedata`` (no C kernel exists) — on web text
+    that's a small minority of rows, and the loop is per *row*, not per
+    token.  Oracle note: DuckDB ``nfc_normalize(lower(...))`` replicates the
+    NFC+casefold mode byte-for-byte on text where ``casefold == lower``
+    (always true for ASCII; differs on e.g. ``ß`` → ``ss``)."""
+    if form not in ("NFC", "NFKC"):
+        raise ValueError(f"form must be NFC|NFKC, got {form!r}")
+
+    def f(b: pa.Table) -> pa.Table:
+        col = b.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        is_ascii = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
+        fast = pc.utf8_lower(col) if casefold else col
+        if bool(is_ascii.all()):
+            out = fast
+        else:
+            import unicodedata
+
+            vals = col.to_pylist()
+            fvals = fast.to_pylist()
+            res = []
+            for s, fv, a in zip(vals, fvals, is_ascii):
+                if a or s is None:
+                    res.append(fv)
+                    continue
+                s2 = unicodedata.normalize(form, s)
+                if casefold:
+                    s2 = s2.casefold()
+                if strip_accents:
+                    s2 = "".join(
+                        ch
+                        for ch in unicodedata.normalize("NFD", s2)
+                        if not unicodedata.combining(ch)
+                    )
+                s2 = unicodedata.normalize(form, s2)
+                res.append(s2)
+            out = pa.array(res, type=pa.string())
+        return pa.table({id_col: b.column(id_col), "norm_text": out})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _doc_tokens(b: pa.Table, text_col: str):
     """Whitespace tokens of a batch as (doc_idx, token-codes, vocab, n_docs)
     — empties filtered exactly like the SQL oracle's list_filter, token

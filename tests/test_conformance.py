@@ -156,7 +156,7 @@ def test_driver_contract_consistency():
         "embed_topk_ivf",          # IVF probing (recall-pinned)
         "minhash_lsh_pairs",       # MinHash banding (recall-pinned)
         "simhash_pairs",           # SimHash banding (pigeonhole-pinned)
-        "hash_vectorize",          # hashing trick (brute-force-pinned)
+        "bpe_token_stats",         # BPE merge loop has no SQL form (pytest-pinned)
         "heavy_hitters",           # Misra-Gries sketch (guarantee-pinned)
         "group_distinct_users",    # grouped HLL (error-pinned)
         "kmeans_clusters",         # iterative Lloyd's (driver-parity-pinned)

@@ -1187,7 +1187,9 @@ def test_lag_deltas_matches_pandas(ray_session):
     exp = pd.DataFrame(
         {"event_id": e["event_id"], "user_id": e["user_id"], "delta_us": exp_delta}
     ).sort_values("event_id").reset_index(drop=True)
-    exp["delta_us"] = exp["delta_us"].astype("Int64")
+    # float64/NaN, NOT pandas Int64: matches DuckDB's pandas conversion of a
+    # nullable BIGINT — the representation the driver oracle hashes (r5 fix)
+    exp["delta_us"] = exp["delta_us"].astype(np.float64)
     pd.testing.assert_frame_equal(got, exp)
 
 

@@ -1,0 +1,425 @@
+"""Round-5 regression tests: the round-4 VERDICT directives (event_lag
+float64 representation, de-drivered dedup verify, BM25 partial top-k,
+oracle-izable hash_vectorize) and ADVICE findings (bundle object-store
+pickles keep the direct table, inverted-index stale-dir guard, k-means
+empty-block schema, 2^53 join padding warning, packing stratum guard)."""
+
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_lag_deltas_emits_float64_like_duckdb(ray_session):
+    """VERDICT r4 #1: the driver hashes DuckDB's pandas conversion of a
+    nullable BIGINT, which is float64/NaN — pandas nullable Int64 mismatched."""
+    import duckdb
+    import ray.data
+
+    from rasterflow.pipelines.windows import lag_deltas
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:05", "2024-01-01 00:01:00", "2024-01-01 00:00:30"]
+    )
+    df = pd.DataFrame(
+        {"event_id": [1, 2, 3, 4], "user_id": [7, 7, 9, 7], "ts": ts}
+    )
+    got = lag_deltas(ray.data.from_pandas(df).repartition(2)).to_pandas()
+    exp = duckdb.sql(
+        """
+        SELECT event_id, user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS delta_us
+        FROM df ORDER BY event_id
+        """
+    ).df()
+    assert got["delta_us"].dtype == exp["delta_us"].dtype == np.float64
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_exact_dedup_fallback_path_matches_broadcast(ray_session):
+    """VERDICT r4 #2: above broadcast_max the verify pass must not collect
+    the multi-hash set to the driver; forcing the fallback (broadcast_max=0)
+    must give byte-identical results to the broadcast plan and no-verify."""
+    import ray.data
+
+    from rasterflow.pipelines.dedup import exact_dedup
+
+    rng = np.random.default_rng(5)
+    texts = [f"doc body {i % 37}" for i in range(400)]  # heavy duplication
+    rng.shuffle(texts)
+    df = pd.DataFrame({"doc_id": np.arange(400), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(5)
+    base = exact_dedup(ds, verify=False).to_pandas().reset_index(drop=True)
+    bcast = exact_dedup(ds, verify=True).to_pandas().reset_index(drop=True)
+    fallb = exact_dedup(ds, verify=True, broadcast_max=0).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, bcast)
+    pd.testing.assert_frame_equal(base, fallb)
+
+
+def test_bm25_partial_topk_common_term(ray_session, tmp_path):
+    """VERDICT r4 #4: a term present in ~half the corpus must not feed a
+    global sort; partial top-k per block + one merged block must equal the
+    brute-force ranking exactly (score desc, id asc tie-break)."""
+    import ray.data
+
+    from rasterflow.pipelines.search import bm25_topk, build_inverted_index
+
+    n = 600
+    texts = []
+    for i in range(n):
+        toks = ["common"] * (1 + i % 3) if i % 2 == 0 else ["rare"]
+        toks += [f"filler{i % 11}"] * (i % 5)
+        texts.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": np.arange(n), "text": texts})
+    idx = str(tmp_path / "bm25_idx")
+    build_inverted_index(ray.data.from_pandas(df).repartition(6), idx, num_parts=4)
+    got = bm25_topk(idx, ["common", "filler3"], k=10).to_pandas()
+
+    # brute-force BM25 with identical parameters
+    k1, b = 1.25, 0.75
+    toks = [t.split() for t in texts]
+    dl = np.array([len(t) for t in toks], dtype=np.float64)
+    n_docs = sum(1 for t in toks if t)
+    avgdl = sum(len(t) for t in toks) / n_docs
+    import math
+
+    score = np.zeros(n)
+    for term in ["common", "filler3"]:
+        dfreq = sum(1 for t in toks if term in t)
+        idf = math.log(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+        tf = np.array([t.count(term) for t in toks], dtype=np.float64)
+        with np.errstate(invalid="ignore"):
+            s = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * dl) / avgdl))
+        score += np.where(tf > 0, idf * np.nan_to_num(s), 0.0)
+    order = np.lexsort((np.arange(n), -score))[:10]
+    assert list(got["doc_id"]) == list(order)
+    np.testing.assert_allclose(got["score"].to_numpy(), score[order], rtol=0, atol=0)
+
+
+def test_hashing_vectorize_mulrot31_matches_brute(ray_session):
+    """VERDICT r4 #3: the mulrot31 mode (base-31 byte polynomial + mul-rotate
+    mixer) is the SQL-replicable bucket hash; pin it against a per-token
+    Python brute force."""
+    import ray.data
+
+    from rasterflow.pipelines.textstats import hashing_vectorize
+    from rasterflow.stages.texthash import mulrot_hash64
+
+    texts = ["the cat sat", "", "  ", "a a a b", "zz yy zz", "Unicode-frei ascii"]
+    dim = 16
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ).repartition(3)
+    got = hashing_vectorize(ds, dim=dim, hash_fn="mulrot31").to_pandas().sort_values("doc_id")
+
+    def tok_fold(tok: bytes) -> np.uint64:
+        with np.errstate(over="ignore"):
+            h = np.uint64(0)
+            for byte in tok:
+                h = h * np.uint64(31) + np.uint64(byte)
+        return h
+
+    for i, t in enumerate(texts):
+        exp = np.zeros(dim, dtype=np.int64)
+        for tok in t.split():
+            with np.errstate(over="ignore"):
+                z = mulrot_hash64(np.array([tok_fold(tok.encode())], dtype=np.uint64))[0]
+            exp[int(z % np.uint64(dim))] += 1
+        row = got[got["doc_id"] == i]
+        assert list(row["features"].iloc[0]) == list(exp), (i, t)
+
+
+def test_bundle_object_store_pickle_keeps_table(tmp_path):
+    """ADVICE r4 (medium): plain pickles (the object-store path) must CARRY
+    the direct-address table so plasma shares it per node; only the disk
+    cache strips it (rebuild-on-load beats writing 1 GB of -1s)."""
+    from rasterflow.geom.cells import Grid
+    from rasterflow.sources.fixtures import synthetic_layer
+    from rasterflow.state import bundle as B
+
+    layer = synthetic_layer(60, seed=3)
+    xmin, ymin, xmax, ymax = layer.bounds
+    grid = Grid.from_bounds(xmin, ymin, xmax, ymax, max(xmax - xmin, ymax - ymin) / 64)
+    b = B.PolygonBundle(layer, grid)
+    # force the direct table regardless of the size gate
+    old_min = B.PolygonBundle.DIRECT_TABLE_MIN_KEYS
+    B.PolygonBundle.DIRECT_TABLE_MIN_KEYS = 0
+    try:
+        b._build_table()
+        assert b.ucell_table is not None
+        state = b.__getstate__()
+        assert "ucell_table" in state  # object-store path: table shipped
+        rt = pickle.loads(pickle.dumps(b))
+        np.testing.assert_array_equal(rt.ucell_table, b.ucell_table)
+
+        # disk-cache path strips it but the loaded bundle rebuilds it
+        B._STRIP_DERIVED.active = True
+        try:
+            stripped = b.__getstate__()
+        finally:
+            B._STRIP_DERIVED.active = False
+        assert "ucell_table" not in stripped
+
+        os.environ["RASTERFLOW_CACHE_DIR"] = str(tmp_path / "cache")
+        try:
+            B._save_disk_cache(("t5", "layer", 1), b)
+            loaded = B._load_disk_cache(("t5", "layer", 1))
+        finally:
+            del os.environ["RASTERFLOW_CACHE_DIR"]
+        assert loaded is not None
+        np.testing.assert_array_equal(loaded.ucell_table, b.ucell_table)
+        np.testing.assert_array_equal(loaded.ucells, b.ucells)
+    finally:
+        B.PolygonBundle.DIRECT_TABLE_MIN_KEYS = old_min
+
+
+def test_build_inverted_index_clears_stale_dir(ray_session, tmp_path):
+    """ADVICE r4: a rerun into a non-empty index dir must not double-count
+    postings (write_parquet appends uniquely-named fragments)."""
+    import ray.data
+
+    from rasterflow.pipelines.search import bm25_topk, build_inverted_index
+
+    df = pd.DataFrame({"doc_id": np.arange(50), "text": ["alpha beta"] * 25 + ["gamma"] * 25})
+    ds = ray.data.from_pandas(df)
+    idx = str(tmp_path / "idx")
+    build_inverted_index(ds, idx, num_parts=2)
+    first = bm25_topk(idx, ["alpha"], k=5).to_pandas()
+    build_inverted_index(ds, idx, num_parts=2)  # rerun into the same dir
+    second = bm25_topk(idx, ["alpha"], k=5).to_pandas()
+    pd.testing.assert_frame_equal(first, second)
+    import json
+
+    with open(os.path.join(idx, "_stats.json")) as f:
+        stats = json.load(f)
+    assert stats["n_docs"] == 50  # doubled postings would read 100
+
+
+def test_kmeans_init_survives_empty_block(ray_session):
+    """ADVICE r4: an empty block must emit the same fixed_size_list<_, d>
+    schema as non-empty ones (size-0 lists broke the downstream sort)."""
+    import ray.data
+
+    from rasterflow.pipelines.cluster import kmeans_fit
+
+    rng = np.random.default_rng(11)
+    n, d = 120, 4
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n), "emb": list(m)})
+    # 40 blocks over 120 rows: Ray emits some empty blocks after repartition
+    ds = ray.data.from_pandas(df).repartition(40)
+    cents, inertia = kmeans_fit(ds, k=3, emb_col="emb", id_col="vec_id", iters=2)
+    assert cents.shape == (3, d)
+    assert np.isfinite(inertia)
+
+
+def test_outer_join_warns_beyond_2p53():
+    """ADVICE r4: int64 values above 2^53 lose precision in float64 padding;
+    the join's padding helper must warn (it runs inside worker tasks, so the
+    unit is tested directly)."""
+    import warnings
+
+    from rasterflow.pipelines.relational import _warn_if_beyond_2p53
+
+    big = float((1 << 60) + 1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _warn_if_beyond_2p53(pd.Series([big, np.nan]), "v", pa.int64())
+    assert any("2^53" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _warn_if_beyond_2p53(pd.Series([5.0, np.nan]), "v", pa.int64())
+        _warn_if_beyond_2p53(pd.Series([big]), "v", pa.float64())
+    assert not w
+
+
+def test_pack_sequences_warns_on_giant_stratum(ray_session, caplog):
+    """VERDICT r4 #8: a single stratum above the row threshold must emit the
+    straggler warning (unit, since it fires inside worker tasks) and the
+    pipeline must still complete on a single-stratum input."""
+    import logging
+
+    import ray.data
+
+    from rasterflow.pipelines import packing
+
+    old = packing.STRATUM_WARN_ROWS
+    packing.STRATUM_WARN_ROWS = 100
+    try:
+        with caplog.at_level(logging.WARNING, logger="rasterflow.pipelines.packing"):
+            packing._warn_giant_stratum(101, "one")
+            packing._warn_giant_stratum(99, "two")
+        msgs = [r.getMessage() for r in caplog.records]
+        assert any("sequential per stratum" in m and "'one'" in m for m in msgs)
+        assert not any("'two'" in m for m in msgs)
+    finally:
+        packing.STRATUM_WARN_ROWS = old
+    df = pd.DataFrame(
+        {"source": ["one"] * 500, "doc_id": np.arange(500), "n_tok": np.full(500, 7)}
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = packing.pack_sequences(ds, budget=100, token_col="n_tok").to_pandas()
+    assert len(out) == 36  # greedy: 14 docs x 7 tok = 98 per bin; ceil(500/14)
+
+
+def test_prefix_hash_custom_base_roundtrip():
+    """PrefixHash(base=31) range hashes equal the per-range brute force."""
+    from rasterflow.stages.texthash import PrefixHash
+
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, size=200, dtype=np.uint8)
+    ph = PrefixHash(data, base=np.uint64(31))
+    s = np.array([0, 5, 17, 100, 199, 3])
+    e = np.array([4, 5, 42, 200, 200, 200])
+    got = ph.range_hashes(s, e)
+    for i in range(len(s)):
+        with np.errstate(over="ignore"):
+            h = np.uint64(0)
+            for t in range(s[i], e[i]):
+                h = h * np.uint64(31) + np.uint64(data[t])
+        assert got[i] == h, (s[i], e[i])
+
+
+# ---------------------------------------------------------------------------
+# round-5 new operators: BPE tokenizer, unicode normalization, spatial SUM
+# ---------------------------------------------------------------------------
+
+
+def _ref_encode_in_rank_order(word: str, merges):
+    """Independent reference: apply each merge ONCE, simultaneously, in rank
+    order (equivalent to the lowest-rank-first loop: a merge can never
+    re-enable an earlier-ranked pair, since the merged token did not exist
+    when the earlier rule was learned)."""
+    from rasterflow.stages.bpe import merge_seq
+
+    seq = [bytes([c]) for c in word.encode()]
+    for pair in merges:
+        if len(seq) < 2:
+            break
+        seq = merge_seq(seq, pair)
+    return seq
+
+
+def test_bpe_training_hand_corpus():
+    from rasterflow.stages.bpe import train_bpe
+
+    words = ["low", "lower", "lowest"]
+    freqs = np.array([3, 1, 1])
+    merges = train_bpe(words, freqs, num_merges=4)
+    # pair counts: (l,o)=5, (o,w)=5 -> lexicographic tie-break picks (l,o);
+    # then (lo,w)=5; then (low,e)=2
+    assert merges[0] == (b"l", b"o")
+    assert merges[1] == (b"lo", b"w")
+    assert merges[2] == (b"low", b"e")
+
+
+def test_bpe_encode_matches_rank_order_reference():
+    from rasterflow.stages.bpe import encode_word, train_bpe
+
+    rng = np.random.default_rng(7)
+    vocab = ["".join(rng.choice(list("abcd"), size=rng.integers(1, 9))) for _ in range(120)]
+    freqs = rng.integers(1, 50, size=len(vocab))
+    merges = train_bpe(vocab, freqs, num_merges=60)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for w in vocab + ["aaaa", "abcdabcd", "dddddddd", "a"]:
+        got = encode_word(w, ranks)
+        exp = _ref_encode_in_rank_order(w, merges)
+        assert got == exp, w
+        assert b"".join(got) == w.encode()  # tokens reassemble the word
+
+
+def test_bpe_token_counts_dataset(ray_session):
+    import ray.data
+
+    from rasterflow.stages.bpe import (
+        bpe_token_counts,
+        encode_word,
+        train_bpe_on_dataset,
+    )
+
+    rng = np.random.default_rng(3)
+    base = ["aba", "abab", "cc", "ddd", "abcd", "a"]
+    texts = [" ".join(rng.choice(base, size=rng.integers(0, 7))) for _ in range(200)]
+    df = pd.DataFrame({"doc_id": np.arange(200), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(5)
+    merges = train_bpe_on_dataset(ds, num_merges=10)
+    got = bpe_token_counts(ds, merges).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    exp = [sum(len(encode_word(w, ranks)) for w in t.split()) for t in texts]
+    assert list(got["n_tok_bpe"]) == exp
+    # batch-placement independence
+    got2 = (
+        bpe_token_counts(ds.repartition(17), merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got2["n_tok_bpe"]) == exp
+
+
+def test_unicode_normalize_non_ascii(ray_session):
+    import duckdb
+    import ray.data
+
+    from rasterflow.pipelines.textstats import unicode_normalize
+
+    # strings where Python casefold == DuckDB lower (no ß), mixed with ASCII
+    texts = ["Hello WORLD", "Café CRÈME", "näive", "Å ANGSTROM", ""]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = (
+        unicode_normalize(ray.data.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT doc_id, nfc_normalize(lower(text)) AS norm_text FROM df ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp)
+    # casefold beyond lower(): the engine folds sharp-s (documented delta)
+    df2 = pd.DataFrame({"doc_id": [0], "text": ["STRASSE straße"]})
+    g2 = unicode_normalize(ray.data.from_pandas(df2)).to_pandas()
+    assert g2["norm_text"].iloc[0] == "strasse strasse"
+    # accent strip mode
+    g3 = unicode_normalize(ray.data.from_pandas(df), strip_accents=True).to_pandas()
+    assert g3.sort_values("doc_id")["norm_text"].iloc[1] == "cafe creme"
+
+
+def test_aggregate_by_polygon_sum(ray_session):
+    """VERDICT r4 #9: agg='sum' (the reference's declared-but-unwired Sum
+    enum) — per-polygon value sum equals the PIP brute force; hybrid == index."""
+    from rasterflow.geom.pip import points_in_polygon
+    from rasterflow.pipelines.joins import aggregate_by_polygon
+    from rasterflow.sources.fixtures import neigh_like_layer, pages_dataset
+    from rasterflow.stages.geocode import prepare_points
+
+    ds = pages_dataset(1500, override_num_blocks=4)
+    pts = prepare_points(ds, geocoder="url", dtype=np.float64)
+    layer = neigh_like_layer(25, seed=8)
+
+    def add_val(b: pa.Table) -> pa.Table:
+        v = (b.column("t").to_numpy(zero_copy_only=False).astype(np.int64) % 1000).astype(np.float64)
+        return b.append_column("val", pa.array(v))
+
+    pts_v = pts.map_batches(add_val, batch_format="pyarrow")
+    got = aggregate_by_polygon(
+        pts_v, layer, how="hybrid", value_col="val", agg="sum", concurrency=2
+    ).to_pandas()
+    exact = aggregate_by_polygon(
+        pts_v, layer, how="index", value_col="val", agg="sum", concurrency=2
+    ).to_pandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exact.reset_index(drop=True))
+    assert list(got.columns) == ["poly_id", "count", "sum"]
+    tbl = pts_v.to_pandas()
+    x, y = tbl["x"].to_numpy(), tbl["y"].to_numpy()
+    v = tbl["val"].to_numpy()
+    for _, row in got.iterrows():
+        m = points_in_polygon(x, y, layer.verts, layer.rings_of(int(row["poly_id"])))
+        assert row["count"] == m.sum()
+        np.testing.assert_allclose(row["sum"], v[m].sum(), rtol=0, atol=0)
+    with pytest.raises(ValueError, match="agg must be"):
+        aggregate_by_polygon(pts_v, layer, agg="median")
