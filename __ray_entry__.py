@@ -995,6 +995,53 @@ def _q_pack_bins_bpe(sf_dir: str):
     return pack_sequences(counts, budget=512, token_col="n_tok_bpe")
 
 
+_BPE_WORD_COUNTS_DIR = "/tmp/rasterflow_bpe_word_counts"
+
+
+def _q_chunk_docs_bpe(sf_dir: str):
+    """RAG chunking under real-tokenizer budgets (round 5): greedy runs of
+    consecutive words whose BPE counts sum ≤ 48 tokens.  Per-word counts go
+    to a parquet sidecar the oracle's recursive CTE re-chunks, with
+    chunk_text re-joined in SQL — byte-exact boundaries AND text (the counts
+    themselves pytest-pinned, BPE having no SQL form)."""
+    import shutil
+
+    from rasterflow.pipelines.packing import chunk_documents_bpe
+    from rasterflow.stages.bpe import bpe_word_count_rows
+
+    merges = _bpe_merges(sf_dir)
+    shutil.rmtree(_BPE_WORD_COUNTS_DIR, ignore_errors=True)
+    bpe_word_count_rows(_docs(sf_dir), merges).write_parquet(_BPE_WORD_COUNTS_DIR)
+    return chunk_documents_bpe(_docs(sf_dir), merges, budget=48)
+
+
+_CHUNK_DOCS_BPE_SQL = rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok,
+         generate_subscripts(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), 1) AS pos
+  FROM documents
+),
+c AS (
+  SELECT t.doc_id, t.pos, t.tok, w.n_bpe
+  FROM toks t JOIN read_parquet('{_BPE_WORD_COUNTS_DIR}/*.parquet') w
+    ON w.doc_id = t.doc_id AND w.pos = t.pos
+),
+walk AS (
+  SELECT doc_id, pos, tok, n_bpe, n_bpe AS fill, 0 AS chunk_id FROM c WHERE pos = 1
+  UNION ALL
+  SELECT c.doc_id, c.pos, c.tok, c.n_bpe,
+         CASE WHEN w.fill + c.n_bpe > 48 THEN c.n_bpe ELSE w.fill + c.n_bpe END,
+         CASE WHEN w.fill + c.n_bpe > 48 THEN w.chunk_id + 1 ELSE w.chunk_id END
+  FROM walk w JOIN c ON c.doc_id = w.doc_id AND c.pos = w.pos + 1
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_bpe) AS BIGINT) AS n_tok_bpe,
+       string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+FROM walk GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id
+"""
+
+
 _PACK_BINS_BPE_SQL = rf"""
 WITH RECURSIVE t AS (
   SELECT doc_id, source, n_tok_bpe AS n_tok
@@ -1918,6 +1965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "chunk_docs_bpe": _q_chunk_docs_bpe,
         "pack_bins_bpe": _q_pack_bins_bpe,
         "bpe_token_stats": _q_bpe_token_stats,
         "unicode_norm": _q_unicode_norm,
@@ -2604,6 +2652,7 @@ FROM documents ORDER BY doc_id
         "hash_vectorize": _hash_vectorize_sql(64),
         "pack_bins": _PACK_BINS_SQL,
         "pack_bins_bpe": _PACK_BINS_BPE_SQL,
+        "chunk_docs_bpe": _CHUNK_DOCS_BPE_SQL,
         "decode_wav": _decode_wav_sql(),
         "export_manifest": _export_manifest_sql(8),
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,

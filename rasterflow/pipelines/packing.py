@@ -190,6 +190,133 @@ def chunk_documents(
     return ds.map_batches(chunks, batch_format="pyarrow").sort([id_col, "chunk_id"])
 
 
+def greedy_bins_bounded(ntok: np.ndarray, budget: int, indptr: np.ndarray) -> np.ndarray:
+    """:func:`greedy_bins` with forced breaks at document boundaries.
+
+    ``indptr`` delimits documents in the flat ``ntok`` array; bins never
+    cross a boundary and the bin counter is GLOBAL (renumber per doc with
+    the gathered first-bin-per-doc).  O(total bins) like greedy_bins — the
+    loop steps per emitted chunk, not per token."""
+    n = len(ntok)
+    bins = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return bins
+    cum = np.cumsum(ntok.astype(np.int64))
+    ends = indptr[1:]
+    start, b, di = 0, 0, 0
+    while start < n:
+        while ends[di] <= start:  # skip empty docs
+            di += 1
+        base = int(cum[start - 1]) if start else 0
+        j = int(np.searchsorted(cum, base + budget, side="right"))
+        j = max(j, start + 1)
+        j = min(j, int(ends[di]))
+        bins[start:j] = b
+        b += 1
+        start = j
+    return bins
+
+
+class BpeChunkStage:
+    """Actor-pool stage: documents -> budget-bounded BPE-token chunks.
+
+    RAG chunking under REAL tokenizer budgets: each chunk is the longest run
+    of consecutive whitespace words whose BPE token counts sum ≤ ``budget``
+    (greedy reset; a single word above budget forms its own chunk — the
+    ``greedy_bins`` rule).  Per-actor distinct-word count cache (the
+    ``stages.bpe.BpeCounter`` pattern); all index math vectorized, the only
+    loop is per emitted chunk.  Output: ``(id, chunk_id, n_words,
+    n_tok_bpe, chunk_text)``; zero-token docs yield no chunks."""
+
+    def __init__(self, merges_ref, budget: int, text_col: str = "text", id_col: str = "doc_id"):
+        from ..stages.bpe import BpeCounter
+
+        # reuse BpeCounter's rank table + word cache via composition
+        self._bc = BpeCounter(merges_ref, text_col=text_col)
+        self.budget = int(budget)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def word_rows(self, b: pa.Table):
+        """(flat words, per-word bpe counts, doc index, per-doc indptr)."""
+        toks = pc.utf8_split_whitespace(b.column(self.text_col))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        didx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        keep = flat != ""
+        flat, didx = flat[keep], didx[keep]
+        L = np.bincount(didx, minlength=len(b)).astype(np.int64)
+        indptr = np.concatenate(([0], np.cumsum(L)))
+        import pandas as pd
+
+        codes, vocab = pd.factorize(flat)
+        per_word = np.fromiter(
+            (self._bc._count(w) for w in vocab), dtype=np.int64, count=len(vocab)
+        )
+        return flat, per_word[codes] if len(flat) else np.empty(0, np.int64), didx, indptr
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, wtok, didx, indptr = self.word_rows(b)
+        ids = b.column(self.id_col).to_numpy(zero_copy_only=False)
+        gbins = greedy_bins_bounded(wtok, self.budget, indptr)
+        nb = int(gbins[-1]) + 1 if len(gbins) else 0
+        n_words = np.bincount(gbins, minlength=nb).astype(np.int64)
+        n_tok = np.bincount(gbins, weights=wtok.astype(np.float64), minlength=nb).astype(np.int64)
+        if nb:
+            # per-chunk doc + doc-local chunk id: gather at each chunk's
+            # first word; the doc's first GLOBAL bin renumbers to 0
+            first_word = np.searchsorted(gbins, np.arange(nb))
+            chunk_doc = didx[first_word]
+            L = np.diff(indptr)
+            doc_first_bin = np.zeros(len(b), dtype=np.int64)
+            doc_first_bin[L > 0] = gbins[indptr[:-1][L > 0]]
+            chunk_local = np.arange(nb) - doc_first_bin[chunk_doc]
+            texts = pd.Series(flat).groupby(gbins, sort=True).agg(" ".join).to_numpy()
+        else:
+            chunk_doc = np.empty(0, np.int64)
+            chunk_local = np.empty(0, np.int64)
+            texts = np.empty(0, dtype=object)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids[chunk_doc]),
+                "chunk_id": pa.array(chunk_local),
+                "n_words": pa.array(n_words),
+                "n_tok_bpe": pa.array(n_tok),
+                "chunk_text": pa.array(list(texts), type=pa.string()),
+            }
+        )
+
+
+def chunk_documents_bpe(
+    ds,
+    merges,
+    budget: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=(1, 8),
+    batch_size: int = 4096,
+):
+    """RAG chunking under real-tokenizer (BPE) budgets — see
+    :class:`BpeChunkStage`.  Row-local, no shuffle; the frozen merge table
+    ships once via ``ray.put``."""
+    import ray
+
+    ref = ray.put(merges) if ray.is_initialized() else merges
+    out = ds.map_batches(
+        BpeChunkStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(
+            merges_ref=ref, budget=budget, text_col=text_col, id_col=id_col
+        ),
+    )
+    return out.sort([id_col, "chunk_id"])
+
+
 def _ragged_arange(counts: np.ndarray) -> np.ndarray:
     """[0..c0), [0..c1), ... concatenated, vectorized."""
     if len(counts) == 0:

@@ -164,6 +164,55 @@ class BpeCounter:
         return pa.table(cols)
 
 
+class BpeWordRows(BpeCounter):
+    """Variant emitting per-WORD rows ``(id, pos [1-based], n_bpe)`` — the
+    sidecar the chunk-by-BPE oracle joins against its own token split
+    (``generate_subscripts`` is 1-based, hence pos)."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        splits = pc.utf8_split_whitespace(b.column(self.text_col))
+        lens = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(splits).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        mask = flat != ""
+        flat, doc_idx = flat[mask], doc_idx[mask]
+        codes, vocab = pd.factorize(flat)
+        per_word = np.fromiter((self._count(w) for w in vocab), dtype=np.int64, count=len(vocab))
+        # 1-based position within each doc (doc_idx is sorted)
+        starts = np.searchsorted(doc_idx, np.arange(len(b)))
+        pos = np.arange(len(doc_idx), dtype=np.int64) - starts[doc_idx] + 1
+        ids = b.column(self.keep_cols[0]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                self.keep_cols[0]: pa.array(ids[doc_idx]),
+                "pos": pa.array(pos),
+                "n_bpe": pa.array(per_word[codes] if len(flat) else np.empty(0, np.int64)),
+            }
+        )
+
+
+def bpe_word_count_rows(
+    ds,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=(1, 8),
+    batch_size: int = 4096,
+):
+    """Per-word BPE counts as rows — see :class:`BpeWordRows`."""
+    import ray
+
+    ref = ray.put(merges) if ray.is_initialized() else merges
+    return ds.map_batches(
+        BpeWordRows,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(merges_ref=ref, text_col=text_col, keep_cols=(id_col,)),
+    )
+
+
 def bpe_token_counts(
     ds,
     merges: list[tuple[bytes, bytes]],

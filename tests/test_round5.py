@@ -423,3 +423,46 @@ def test_aggregate_by_polygon_sum(ray_session):
         np.testing.assert_allclose(row["sum"], v[m].sum(), rtol=0, atol=0)
     with pytest.raises(ValueError, match="agg must be"):
         aggregate_by_polygon(pts_v, layer, agg="median")
+
+
+def test_chunk_documents_bpe_matches_reference(ray_session):
+    """Greedy BPE-budget chunking ≡ a per-doc Python reference (boundaries,
+    token sums, reassembled text), including the above-budget singleton rule
+    and empty docs yielding no chunks."""
+    import ray.data
+
+    from rasterflow.pipelines.packing import chunk_documents_bpe
+    from rasterflow.stages.bpe import encode_word, train_bpe_on_dataset
+
+    rng = np.random.default_rng(13)
+    base = ["aba", "abab", "cc", "ddddddddddddd", "abcd", "a", "bb"]
+    texts = [" ".join(rng.choice(base, size=rng.integers(0, 12))) for _ in range(150)]
+    texts += ["", "   "]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(4)
+    merges = train_bpe_on_dataset(ds, num_merges=8)
+    budget = 5
+    got = chunk_documents_bpe(ds, merges, budget=budget).to_pandas().reset_index(drop=True)
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    rows = []
+    for i, t in enumerate(texts):
+        words = t.split()
+        if not words:
+            continue
+        counts = [len(encode_word(w, ranks)) for w in words]
+        cid, fill, start = 0, 0, 0
+        bounds = []
+        for j, c in enumerate(counts):
+            if j > start - 1 and fill + c > budget and j > start:
+                bounds.append((start, j))
+                start, fill = j, c
+            else:
+                fill += c
+        bounds.append((start, len(words)))
+        for k, (s, e) in enumerate(bounds):
+            rows.append(
+                (i, k, e - s, sum(counts[s:e]), " ".join(words[s:e]))
+            )
+    exp = pd.DataFrame(rows, columns=["doc_id", "chunk_id", "n_words", "n_tok_bpe", "chunk_text"])
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
