@@ -200,6 +200,12 @@ def bench_queries() -> dict[str, float]:
         "user_value_outer",
         "quality_tail",
         "training_prep",
+        # round-5 additions
+        "unicode_norm",
+        "agg_poly_sum",
+        "bpe_token_stats",
+        "pack_bins_bpe",
+        "chunk_docs_bpe",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
