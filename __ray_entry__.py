@@ -1588,6 +1588,23 @@ def _q_unicode_norm(sf_dir: str):
     return unicode_normalize(_docs(sf_dir)).sort("doc_id")
 
 
+def _q_dsir_select(sf_dir: str):
+    """DSIR importance-weighted selection (round 5, public algorithm —
+    Xie et al. NeurIPS'23): fit hashed-unigram distributions for the
+    lang='en' target slice and the raw corpus, keep the top-100 docs by
+    log importance ratio.  Weights are bit-reproducible float64 (fixed-dim
+    left-to-right fold over the SQL-replicable mulrot31 buckets — the
+    bm25_topk technique), so the oracle hash-checks the weight column."""
+    import ray.data
+
+    from rasterflow.pipelines.selection import dsir_select
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return dsir_select(ds, target_col="lang", target_val="en", dim=64, k=100)
+
+
 def _q_corpus_summary(sf_dir: str):
     """Multi-key rollup: per (source, lang) doc count + char sum (integer
     accumulations — hash-safe across engines)."""
@@ -1965,6 +1982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "dsir_select": _q_dsir_select,
         "chunk_docs_bpe": _q_chunk_docs_bpe,
         "pack_bins_bpe": _q_pack_bins_bpe,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -2371,6 +2389,92 @@ ORDER BY d.doc_id
 """
 
 
+def _dsir_sql(dim: int = 64, k: int = 100, target_val: str = "en") -> str:
+    """SQL replica of selection.dsir_select: the mulrot31 bucket chain
+    (shared with ``_hash_vectorize_sql``), add-0.5-smoothed log ratios of
+    the target (lang = target_val) vs raw bucket distributions, and the
+    per-doc weight as the explicit left-to-right parenthesized chain
+    ``(((0.0 + c0·lr0) + c1·lr1) + …)`` — the exact IEEE sequence the
+    engine's fixed-order fold executes (the leading 0.0 reproduces the
+    engine's +0.0 for zero-token docs; a bare chain would yield -0.0)."""
+    M64 = "18446744073709551616::HUGEINT"
+    M32 = "4294967296"
+
+    def mulmod(z: str, c: int) -> str:
+        return (
+            f"(((({z}) // {M32}) * {c}) % {M32} * {M32}"
+            f" + (({z}) % {M32}) * {c}) % {M64}"
+        )
+
+    def rotl32(z: str) -> str:
+        return f"((({z}) * {M32}) % {M64} + ({z}) // {M32})"
+
+    z1 = mulmod("z", 0x9E3779B97F4A7C15)
+    lr_cases = ",\n         ".join(
+        f"max(CASE WHEN b = {j} THEN lr END) AS lr{j}" for j in range(dim)
+    )
+    c_cases = ",\n         ".join(
+        f"coalesce(max(CASE WHEN b = {j} THEN c END), 0) AS c{j}"
+        for j in range(dim)
+    )
+    chain = "0.0"
+    for j in range(dim):
+        chain = f"({chain} + coalesce(dcp.c{j}, 0) * lrp.lr{j})"
+    return f"""
+WITH RECURSIVE {_TOKS_CTE},
+pw(i, p) AS (
+  SELECT 0, 1::HUGEINT
+  UNION ALL SELECT i + 1, (p * 31) % {M64} FROM pw WHERE i < 127
+),
+chars AS (
+  SELECT doc_id, pos, tok, length(tok) AS L,
+         unnest(range(1, length(tok) + 1)) AS ci
+  FROM toks
+),
+fold AS (
+  SELECT doc_id, pos,
+         SUM((CAST(ascii(substr(tok, CAST(ci AS INT), 1)) AS HUGEINT) * pw.p) % {M64}) % {M64} AS z
+  FROM chars JOIN pw ON pw.i = L - ci
+  GROUP BY doc_id, pos
+),
+s1 AS (SELECT doc_id, pos, {z1} AS z FROM fold),
+s2 AS (SELECT doc_id, pos, {rotl32('z')} AS z FROM s1),
+s3 AS (SELECT doc_id, pos, {mulmod('z', 0xBF58476D1CE4E5B9)} AS z FROM s2),
+s4 AS (SELECT doc_id, pos, {rotl32('z')} AS z FROM s3),
+s5 AS (SELECT doc_id, pos, {mulmod('z', 0x94D049BB133111EB)} AS z FROM s4),
+bkt AS (SELECT doc_id, CAST(z % {dim} AS BIGINT) AS b FROM s5),
+allb AS (SELECT unnest(range(0, {dim})) AS b),
+g AS (
+  SELECT bkt.b,
+         count(*) AS cr,
+         count(*) FILTER (WHERE d.lang = '{target_val}') AS ct
+  FROM bkt JOIN documents d USING (doc_id) GROUP BY bkt.b
+),
+tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM g),
+lrt AS (
+  SELECT allb.b,
+         ln((coalesce(g.ct, 0) + 0.5) / (CAST(tot.tt AS DOUBLE) + {0.5 * dim!r}))
+       - ln((coalesce(g.cr, 0) + 0.5) / (CAST(tot.tr AS DOUBLE) + {0.5 * dim!r})) AS lr
+  FROM allb LEFT JOIN g USING (b) CROSS JOIN tot
+),
+lrp AS (SELECT {lr_cases} FROM lrt),
+dc AS (SELECT doc_id, b, count(*) AS c FROM bkt GROUP BY 1, 2),
+dcp AS (SELECT doc_id, {c_cases} FROM dc GROUP BY doc_id),
+nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id),
+w AS (
+  SELECT d.doc_id,
+         coalesce(nt.n_tok, 0) AS n_tok,
+         {chain} AS weight
+  FROM documents d
+  LEFT JOIN dcp USING (doc_id)
+  LEFT JOIN nt USING (doc_id)
+  CROSS JOIN lrp
+)
+SELECT doc_id, n_tok, weight FROM w
+ORDER BY weight DESC, doc_id LIMIT {k}
+"""
+
+
 def _tfidf_sql(k: int = 3) -> str:
     return f"""
 WITH {_TOKS_CTE},
@@ -2650,6 +2754,7 @@ SELECT doc_id, nfc_normalize(lower(text)) AS norm_text
 FROM documents ORDER BY doc_id
 """,
         "hash_vectorize": _hash_vectorize_sql(64),
+        "dsir_select": _dsir_sql(64, 100, "en"),
         "pack_bins": _PACK_BINS_SQL,
         "pack_bins_bpe": _PACK_BINS_BPE_SQL,
         "chunk_docs_bpe": _CHUNK_DOCS_BPE_SQL,

@@ -206,6 +206,7 @@ def bench_queries() -> dict[str, float]:
         "bpe_token_stats",
         "pack_bins_bpe",
         "chunk_docs_bpe",
+        "dsir_select",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

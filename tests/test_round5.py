@@ -466,3 +466,143 @@ def test_chunk_documents_bpe_matches_reference(ray_session):
             )
     exp = pd.DataFrame(rows, columns=["doc_id", "chunk_id", "n_words", "n_tok_bpe", "chunk_text"])
     pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
+
+
+def _dsir_reference(texts, langs, dim, alpha, target="en", ngrams=1):
+    """Per-token Python brute force of selection.dsir_select (same hash
+    plane as test_hashing_vectorize_mulrot31_matches_brute)."""
+    from rasterflow.stages.texthash import mulrot_hash64
+
+    def tok_fold(tok: bytes) -> np.uint64:
+        with np.errstate(over="ignore"):
+            h = np.uint64(0)
+            for byte in tok:
+                h = h * np.uint64(31) + np.uint64(byte)
+        return h
+
+    def doc_buckets(t: str):
+        hs = [
+            mulrot_hash64(np.array([tok_fold(w.encode())], dtype=np.uint64))[0]
+            for w in t.split()
+        ]
+        out = [int(h % np.uint64(dim)) for h in hs]
+        if ngrams == 2:
+            with np.errstate(over="ignore"):
+                out += [
+                    int(
+                        mulrot_hash64(
+                            np.array(
+                                [hs[i] * np.uint64(31) + hs[i + 1]], dtype=np.uint64
+                            )
+                        )[0]
+                        % np.uint64(dim)
+                    )
+                    for i in range(len(hs) - 1)
+                ]
+        return out
+
+    buckets = [doc_buckets(t) for t in texts]
+    cr = np.zeros(dim, dtype=np.int64)
+    ct = np.zeros(dim, dtype=np.int64)
+    for bs, lang in zip(buckets, langs):
+        for b in bs:
+            cr[b] += 1
+            if lang == target:
+                ct[b] += 1
+    import math
+
+    tt = float(ct.sum()) + alpha * dim
+    tr = float(cr.sum()) + alpha * dim
+    lr = [
+        math.log((int(ct[b]) + alpha) / tt) - math.log((int(cr[b]) + alpha) / tr)
+        for b in range(dim)
+    ]
+    rows = []
+    for i, (t, bs) in enumerate(zip(texts, buckets)):
+        c = np.bincount(bs, minlength=dim)
+        w = 0.0
+        for j in range(dim):
+            w += c[j] * lr[j]
+        rows.append((i, len(t.split()), w))
+    return pd.DataFrame(rows, columns=["doc_id", "n_tok", "weight"])
+
+
+def test_dsir_select_matches_reference(ray_session):
+    """Round-5 addition: DSIR importance-weighted selection — engine vs a
+    per-token Python brute force, weights BIT-exact, zero-token docs
+    weigh exactly +0.0, order (weight desc, id asc)."""
+    import ray.data
+
+    from rasterflow.pipelines.selection import dsir_select
+
+    texts = [
+        "the cat sat on the mat",
+        "le chat noir",
+        "",
+        "   ",
+        "the the the quantum flux",
+        "der hund und die katze",
+        "cat mat the",
+        "a b c d e f g",
+    ]
+    langs = ["en", "fr", "en", "de", "en", "de", "en", "fr"]
+    dim = 16
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts, "lang": langs})
+    ).repartition(4)
+    got = dsir_select(ds, dim=dim, k=len(texts), alpha=0.5).to_pandas()
+
+    exp = _dsir_reference(texts, langs, dim, 0.5)
+    exp = exp.sort_values(["weight", "doc_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_tok"].tolist() == exp["n_tok"].tolist()
+    # bit-exact (the fixed-order fold), including +0.0 for token-less docs
+    assert np.array_equal(got["weight"].to_numpy(), exp["weight"].to_numpy())
+    zero = got[got["n_tok"] == 0]["weight"].to_numpy()
+    assert len(zero) == 2 and all(z == 0.0 and not np.signbit(z) for z in zero)
+
+
+def test_dsir_select_partition_invariant(ray_session):
+    """Weights and selection are identical under any partitioning (the
+    per-block top-k keeps every global winner)."""
+    import ray.data
+
+    from rasterflow.pipelines.selection import dsir_select
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 12)).tolist())
+        for _ in range(60)
+    ]
+    langs = rng.choice(["en", "fr"], size=60).tolist()
+    df = pd.DataFrame({"doc_id": np.arange(60), "text": texts, "lang": langs})
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        outs.append(dsir_select(ds, dim=32, k=10).to_pandas())
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_dsir_bigrams_match_reference(ray_session):
+    """ngrams=2 (DSIR's unigram+bigram feature space): engine vs brute
+    force, and bigram grams never cross document boundaries."""
+    import ray.data
+
+    from rasterflow.pipelines.selection import dsir_select
+
+    texts = ["a b c", "b c", "c a b", "", "a", "b c a b"]
+    langs = ["en", "fr", "en", "en", "fr", "en"]
+    dim = 8
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts, "lang": langs})
+    ).repartition(3)
+    got = dsir_select(ds, dim=dim, k=len(texts), ngrams=2).to_pandas()
+    exp = _dsir_reference(texts, langs, dim, 0.5, ngrams=2)
+    exp = exp.sort_values(["weight", "doc_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert np.array_equal(got["weight"].to_numpy(), exp["weight"].to_numpy())
