@@ -1588,6 +1588,45 @@ def _q_unicode_norm(sf_dir: str):
     return unicode_normalize(_docs(sf_dir)).sort("doc_id")
 
 
+#: fixed sidecar path for the semdedup oracle (static SQL; the engine query
+#: rewrites it before the oracle runs — the _BPE_COUNTS_DIR pattern)
+_SEMDEDUP_ASSIGN_DIR = "/tmp/rasterflow_semdedup_assign"
+
+
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (round 5, public algorithm — Abbas et al. 2023): k-means
+    the embedding space, drop within-cluster semantic near-dups (cosine ≥
+    0.45 to an earlier id).  Clustering is iterative (kmeans pytest pins
+    it); the PRUNING decision is fully oracle-checked: the engine persists
+    its (vec_id, cluster) assignments and the SQL replays the NOT EXISTS
+    rule over them with list_cosine_similarity — the same float-threshold
+    comparison embed_neardup_brute already hash-verifies pair-for-pair."""
+    import ray.data
+
+    from rasterflow.pipelines.similarity import semdedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semdedup(
+        ds, k_clusters=8, threshold=0.45, assignments_out=_SEMDEDUP_ASSIGN_DIR
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH a AS (SELECT vec_id, cluster FROM '{_SEMDEDUP_ASSIGN_DIR}/*.parquet'),
+e AS (SELECT a.vec_id, a.cluster, emb.embedding
+      FROM a JOIN embeddings emb USING (vec_id))
+SELECT e.vec_id, e.cluster FROM e
+WHERE NOT EXISTS (
+  SELECT 1 FROM e e2
+  WHERE e2.cluster = e.cluster AND e2.vec_id < e.vec_id
+    AND list_cosine_similarity(e2.embedding, e.embedding) >= 0.45
+)
+ORDER BY e.vec_id
+"""
+
+
 def _q_dsir_select(sf_dir: str):
     """DSIR importance-weighted selection (round 5, public algorithm —
     Xie et al. NeurIPS'23): fit hashed-unigram distributions for the
@@ -1982,6 +2021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "semdedup_keep": _q_semdedup,
         "dsir_select": _q_dsir_select,
         "chunk_docs_bpe": _q_chunk_docs_bpe,
         "pack_bins_bpe": _q_pack_bins_bpe,
@@ -2755,6 +2795,7 @@ FROM documents ORDER BY doc_id
 """,
         "hash_vectorize": _hash_vectorize_sql(64),
         "dsir_select": _dsir_sql(64, 100, "en"),
+        "semdedup_keep": _SEMDEDUP_SQL,
         "pack_bins": _PACK_BINS_SQL,
         "pack_bins_bpe": _PACK_BINS_BPE_SQL,
         "chunk_docs_bpe": _CHUNK_DOCS_BPE_SQL,

@@ -207,6 +207,7 @@ def bench_queries() -> dict[str, float]:
         "pack_bins_bpe",
         "chunk_docs_bpe",
         "dsir_select",
+        "semdedup_keep",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -490,3 +490,92 @@ def embedding_neardup_pairs(
     return grouped_aggregate(
         pairs, ["id_a", "id_b"], {"cos": ("cos", "max")}, weight=0.5
     ).sort(["id_a", "id_b"])
+
+
+def semdedup(
+    emb_ds,
+    *,
+    k_clusters: int = 8,
+    threshold: float = 0.45,
+    iters: int = 10,
+    seed: int = 0,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    assignments_out: str | None = None,
+):
+    """SemDeDup (public algorithm — Abbas et al., "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication", 2023): k-means
+    cluster the embedding space, then within each cluster keep a row only
+    if NO earlier row (id order) is cosine-similar at ``threshold`` —
+    semantic near-dup pruning without an all-pairs pass.
+
+    Plan: :func:`cluster.kmeans_fit` (one streaming pass per Lloyd
+    iteration, (k×d) partials) → one assignment pass carrying (id, cluster,
+    embedding) → ``groupby(cluster).map_groups`` pruning, one normalized
+    matmul per cluster.  Pairwise work is n_c² per CLUSTER, not corpus² —
+    the bucketed posture of the LSH family; a pathologically hot cluster is
+    the caller's k_clusters knob (same caveat as LSH super-buckets).
+
+    The paper orders candidates by similarity-to-centroid; any fixed order
+    yields the same dedup guarantee, so this uses id order — deterministic
+    under partitioning and exactly replicable by a SQL NOT EXISTS over the
+    persisted assignments.  ``assignments_out`` (optional) writes the
+    (id, cluster) sidecar the oracle replays; clustering itself is
+    iterative (no SQL form) and is pinned by the kmeans pytest instead.
+
+    Output: kept ``(id_col, cluster)``, sorted by id.  Float-threshold
+    cross-engine safety: decisions are a subset of the pair decisions
+    ``embedding_neardup_brute`` already hash-verifies at the same
+    threshold on the same tables."""
+    from .cluster import kmeans_fit
+
+    cent, _ = kmeans_fit(
+        emb_ds, k_clusters, emb_col=emb_col, id_col=id_col, iters=iters, seed=seed
+    )
+    ref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = _emb_matrix(b, emb_col).astype(np.float64)
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+        a = d2.argmin(axis=1)
+        n = _normalize(x)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "cluster": pa.array(a.astype(np.int32)),
+                # pre-normalized f64 rows as fixed-width blobs (the
+                # embedding_neardup_pairs convention): zero-copy through
+                # the shuffle, one frombuffer per group
+                "vec": pa.array(
+                    [r.tobytes() for r in n], type=pa.binary(n.shape[1] * 8)
+                ),
+            }
+        )
+
+    assigned = emb_ds.map_batches(assign, batch_format="pyarrow")
+    if assignments_out is not None:
+        import pyarrow.fs as pafs
+
+        fs = pafs.LocalFileSystem()
+        try:  # stale fragments double-count (the build_inverted_index lesson)
+            fs.delete_dir(assignments_out)
+        except FileNotFoundError:
+            pass
+        assigned.map_batches(
+            lambda t: t.select([id_col, "cluster"]), batch_format="pyarrow"
+        ).write_parquet(assignments_out)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({id_col: [], "cluster": []})
+        vecs = np.frombuffer(b"".join(df["vec"].to_numpy()), dtype=np.float64).reshape(n, -1)
+        sim = vecs @ vecs.T
+        dup = np.any(np.tril(sim >= threshold, k=-1), axis=1)
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy()[~dup], "cluster": df["cluster"].to_numpy()[~dup]}
+        )
+
+    return assigned.groupby("cluster").map_groups(prune, batch_format="pandas").sort(id_col)

@@ -606,3 +606,56 @@ def test_dsir_bigrams_match_reference(ray_session):
     )
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     assert np.array_equal(got["weight"].to_numpy(), exp["weight"].to_numpy())
+
+
+def test_semdedup_drops_planted_neardups(ray_session):
+    """Round-5 addition: SemDeDup — two well-separated blobs, each with a
+    planted exact duplicate; the duplicate (higher id) is dropped, every
+    other row kept, under any partitioning."""
+    import ray.data
+
+    from rasterflow.pipelines.similarity import semdedup
+
+    # isotropic gaussian directions: expected |cos| ≈ 1/√8, so only the
+    # planted exact duplicates cross a 0.99 cosine threshold
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(40, 8))
+    x = np.vstack([x, x[5], x[27]])  # ids 40, 41 duplicate ids 5 and 27
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(x)), "embedding": [r.astype(np.float32) for r in x]}
+    )
+    for parts in (1, 5):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        kept = semdedup(ds, k_clusters=2, threshold=0.99).to_pandas()
+        assert 40 not in kept["vec_id"].values and 41 not in kept["vec_id"].values
+        assert len(kept) == 40, parts
+        # the originals survive (earlier id wins)
+        assert 5 in kept["vec_id"].values and 27 in kept["vec_id"].values
+
+
+def test_semdedup_assignments_sidecar_roundtrip(ray_session, tmp_path):
+    """The persisted (vec_id, cluster) sidecar replays to the same keep set
+    (the oracle's contract), and a rerun into the same dir does not
+    double-count (stale-fragment rule)."""
+    import ray.data
+
+    from rasterflow.pipelines.similarity import semdedup
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(50, 8))
+    x[30] = x[4]
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(x)), "embedding": [r.astype(np.float32) for r in x]}
+    )
+    out_dir = str(tmp_path / "assign")
+    ds = ray.data.from_pandas(df).repartition(3)
+    kept1 = semdedup(ds, k_clusters=3, threshold=0.999, assignments_out=out_dir).to_pandas()
+    import pyarrow.parquet as pq
+
+    asg1 = pq.read_table(out_dir).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    kept2 = semdedup(ds, k_clusters=3, threshold=0.999, assignments_out=out_dir).to_pandas()
+    asg2 = pq.read_table(out_dir).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(kept1, kept2)
+    pd.testing.assert_frame_equal(asg1, asg2)
+    assert len(asg1) == 50  # no stale-fragment double count
+    assert 30 not in kept1["vec_id"].values and 4 in kept1["vec_id"].values
