@@ -1644,6 +1644,22 @@ def _q_dsir_select(sf_dir: str):
     return dsir_select(ds, target_col="lang", target_val="en", dim=64, k=100)
 
 
+def _q_lm_nll(sf_dir: str):
+    """Perplexity-style LM quality filter (round 5, the CCNet/Gopher
+    recipe): fit a hashed-unigram LM on the lang='en' slice, score every
+    doc by mean negative log-likelihood, keep the 100 WORST (the
+    filter-out candidates).  Same bit-reproducible fold plane as
+    dsir_select; the per-doc mean is one correctly-rounded division."""
+    import ray.data
+
+    from rasterflow.pipelines.selection import lm_nll_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return lm_nll_topk(ds, target_col="lang", target_val="en", dim=64, k=100)
+
+
 def _q_corpus_summary(sf_dir: str):
     """Multi-key rollup: per (source, lang) doc count + char sum (integer
     accumulations — hash-safe across engines)."""
@@ -2022,6 +2038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- round-5 additions (newest first) --
         "semdedup_keep": _q_semdedup,
+        "lm_nll_worst": _q_lm_nll,
         "dsir_select": _q_dsir_select,
         "chunk_docs_bpe": _q_chunk_docs_bpe,
         "pack_bins_bpe": _q_pack_bins_bpe,
@@ -2515,6 +2532,87 @@ ORDER BY weight DESC, doc_id LIMIT {k}
 """
 
 
+def _lm_nll_sql(dim: int = 64, k: int = 100, target_val: str = "en") -> str:
+    """SQL replica of selection.lm_nll_topk: the mulrot31 bucket chain,
+    the add-0.5-smoothed log-prob pivot of the lang=target slice, the
+    left-to-right weight chain (see _dsir_sql), and the per-doc mean NLL
+    as one division (-chain / n_tok; 0.0 for token-less docs)."""
+    M64 = "18446744073709551616::HUGEINT"
+    M32 = "4294967296"
+
+    def mulmod(z: str, c: int) -> str:
+        return (
+            f"(((({z}) // {M32}) * {c}) % {M32} * {M32}"
+            f" + (({z}) % {M32}) * {c}) % {M64}"
+        )
+
+    def rotl32(z: str) -> str:
+        return f"((({z}) * {M32}) % {M64} + ({z}) // {M32})"
+
+    z1 = mulmod("z", 0x9E3779B97F4A7C15)
+    lp_cases = ",\n         ".join(
+        f"max(CASE WHEN b = {j} THEN lp END) AS lp{j}" for j in range(dim)
+    )
+    c_cases = ",\n         ".join(
+        f"coalesce(max(CASE WHEN b = {j} THEN c END), 0) AS c{j}"
+        for j in range(dim)
+    )
+    chain = "0.0"
+    for j in range(dim):
+        chain = f"({chain} + coalesce(dcp.c{j}, 0) * lpp.lp{j})"
+    return f"""
+WITH RECURSIVE {_TOKS_CTE},
+pw(i, p) AS (
+  SELECT 0, 1::HUGEINT
+  UNION ALL SELECT i + 1, (p * 31) % {M64} FROM pw WHERE i < 127
+),
+chars AS (
+  SELECT doc_id, pos, tok, length(tok) AS L,
+         unnest(range(1, length(tok) + 1)) AS ci
+  FROM toks
+),
+fold AS (
+  SELECT doc_id, pos,
+         SUM((CAST(ascii(substr(tok, CAST(ci AS INT), 1)) AS HUGEINT) * pw.p) % {M64}) % {M64} AS z
+  FROM chars JOIN pw ON pw.i = L - ci
+  GROUP BY doc_id, pos
+),
+s1 AS (SELECT doc_id, pos, {z1} AS z FROM fold),
+s2 AS (SELECT doc_id, pos, {rotl32('z')} AS z FROM s1),
+s3 AS (SELECT doc_id, pos, {mulmod('z', 0xBF58476D1CE4E5B9)} AS z FROM s2),
+s4 AS (SELECT doc_id, pos, {rotl32('z')} AS z FROM s3),
+s5 AS (SELECT doc_id, pos, {mulmod('z', 0x94D049BB133111EB)} AS z FROM s4),
+bkt AS (SELECT doc_id, CAST(z % {dim} AS BIGINT) AS b FROM s5),
+allb AS (SELECT unnest(range(0, {dim})) AS b),
+g AS (
+  SELECT bkt.b, count(*) FILTER (WHERE d.lang = '{target_val}') AS ct
+  FROM bkt JOIN documents d USING (doc_id) GROUP BY bkt.b
+),
+tot AS (SELECT sum(ct) AS tt FROM g),
+lpt AS (
+  SELECT allb.b,
+         ln((coalesce(g.ct, 0) + 0.5) / (CAST(tot.tt AS DOUBLE) + {0.5 * dim!r})) AS lp
+  FROM allb LEFT JOIN g USING (b) CROSS JOIN tot
+),
+lpp AS (SELECT {lp_cases} FROM lpt),
+dc AS (SELECT doc_id, b, count(*) AS c FROM bkt GROUP BY 1, 2),
+dcp AS (SELECT doc_id, {c_cases} FROM dc GROUP BY doc_id),
+nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id),
+w AS (
+  SELECT d.doc_id,
+         coalesce(nt.n_tok, 0) AS n_tok,
+         CASE WHEN coalesce(nt.n_tok, 0) > 0
+              THEN -({chain}) / nt.n_tok ELSE 0.0 END AS nll
+  FROM documents d
+  LEFT JOIN dcp USING (doc_id)
+  LEFT JOIN nt USING (doc_id)
+  CROSS JOIN lpp
+)
+SELECT doc_id, n_tok, nll FROM w
+ORDER BY nll DESC, doc_id LIMIT {k}
+"""
+
+
 def _tfidf_sql(k: int = 3) -> str:
     return f"""
 WITH {_TOKS_CTE},
@@ -2796,6 +2894,7 @@ FROM documents ORDER BY doc_id
         "hash_vectorize": _hash_vectorize_sql(64),
         "dsir_select": _dsir_sql(64, 100, "en"),
         "semdedup_keep": _SEMDEDUP_SQL,
+        "lm_nll_worst": _lm_nll_sql(64, 100, "en"),
         "pack_bins": _PACK_BINS_SQL,
         "pack_bins_bpe": _PACK_BINS_BPE_SQL,
         "chunk_docs_bpe": _CHUNK_DOCS_BPE_SQL,

@@ -208,6 +208,7 @@ def bench_queries() -> dict[str, float]:
         "chunk_docs_bpe",
         "dsir_select",
         "semdedup_keep",
+        "lm_nll_worst",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

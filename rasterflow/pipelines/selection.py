@@ -208,3 +208,121 @@ def dsir_select(
         .repartition(1)
         .map_batches(merge, batch_format="pyarrow")
     )
+
+
+def fit_log_probs(
+    ds,
+    *,
+    text_col: str = "text",
+    target_col: str | None = None,
+    target_val: str = "",
+    dim: int = 64,
+    alpha: float = 0.5,
+    ngrams: int = 1,
+) -> np.ndarray:
+    """Hashed-unigram language model: the add-α-smoothed log probability of
+    each bucket, fit over the ``target_col == target_val`` slice (or the
+    whole corpus when ``target_col`` is None).  Same one-pass partial plan
+    as :func:`fit_log_ratios`; scalar libm logs for cross-engine bit
+    identity."""
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        bucket, gram_doc, _ntok = _token_buckets(b, text_col, dim, ngrams)
+        if target_col is not None:
+            tmask = np.asarray(
+                pc.equal(b.column(target_col), pa.scalar(target_val)).to_numpy(
+                    zero_copy_only=False
+                ),
+                dtype=bool,
+            )
+            bucket = bucket[tmask[gram_doc]]
+        c = np.bincount(bucket, minlength=dim).astype(np.int64)
+        return pa.table({"c": pa.FixedSizeListArray.from_arrays(pa.array(c), dim)})
+
+    def reduce_block(t: pa.Table) -> pa.Table:
+        c = t.column("c").combine_chunks().flatten().to_numpy().reshape(-1, dim)
+        return pa.table(
+            {
+                "c": pa.FixedSizeListArray.from_arrays(
+                    pa.array(c.sum(axis=0, dtype=np.int64)), dim
+                )
+            }
+        )
+
+    parts = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125)
+    pdf = parts.map_batches(reduce_block, batch_format="pyarrow").to_pandas()
+    c = (
+        np.sum(np.stack(pdf["c"].to_numpy()), axis=0, dtype=np.int64)
+        if len(pdf)
+        else np.zeros(dim, np.int64)
+    )
+    tot = float(c.sum()) + alpha * dim
+    return np.array(
+        [math.log((int(c[b]) + alpha) / tot) for b in range(dim)], dtype=np.float64
+    )
+
+
+def lm_nll_topk(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_col: str | None = "lang",
+    target_val: str = "en",
+    dim: int = 64,
+    k: int = 100,
+    alpha: float = 0.5,
+    ngrams: int = 1,
+    worst: bool = True,
+):
+    """Perplexity-style quality scoring (the CCNet/Gopher recipe's LM
+    filter, public): fit a hashed-unigram LM on the target slice
+    (:func:`fit_log_probs`), score every document by its mean negative
+    log-likelihood, and keep the k highest-NLL (``worst=True``, the
+    filter-out candidates) or lowest-NLL documents.
+
+    Same two-pass, per-block-partial-top-k plan and the same
+    bit-reproducible fixed-dim fold as :func:`dsir_select`; the per-doc
+    mean is one correctly-rounded division (fold / n_tok), and zero-token
+    documents score exactly 0.0.  Output ``(id_col, n_tok, nll)``."""
+    lp = fit_log_probs(
+        ds,
+        text_col=text_col,
+        target_col=target_col,
+        target_val=target_val,
+        dim=dim,
+        alpha=alpha,
+        ngrams=ngrams,
+    )
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        bucket, gram_doc, ntok = _token_buckets(b, text_col, dim, ngrams)
+        n = len(b)
+        cnt = np.bincount(gram_doc * dim + bucket, minlength=n * dim).reshape(n, dim)
+        s = np.zeros(n, dtype=np.float64)
+        for j in range(dim):  # fixed-order fold (see dsir_select)
+            s += cnt[:, j] * lp[j]
+        nll = np.where(ntok > 0, -s / np.maximum(ntok, 1), 0.0)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        key = -nll if worst else nll
+        order = np.lexsort((ids, key))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                "n_tok": pa.array(ntok[order]),
+                "nll": pa.array(nll[order], type=pa.float64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        v = t.column("nll").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -v if worst else v))[:k]
+        return t.take(pa.array(order))
+
+    return (
+        ds.map_batches(score_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )

@@ -659,3 +659,76 @@ def test_semdedup_assignments_sidecar_roundtrip(ray_session, tmp_path):
     pd.testing.assert_frame_equal(asg1, asg2)
     assert len(asg1) == 50  # no stale-fragment double count
     assert 30 not in kept1["vec_id"].values and 4 in kept1["vec_id"].values
+
+
+def test_lm_nll_matches_reference(ray_session):
+    """Round-5 addition: hashed-unigram LM perplexity scoring — engine vs a
+    per-token brute force fit on the 'en' slice; zero-token docs score
+    exactly 0.0; worst/best selection both ordered (nll, id)."""
+    import math
+
+    import ray.data
+
+    from rasterflow.pipelines.selection import lm_nll_topk
+
+    texts = [
+        "the cat sat on the mat",
+        "zq xv qqq",
+        "",
+        "the the the",
+        "rare tokens here zq",
+        "cat mat the on",
+    ]
+    langs = ["en", "fr", "en", "en", "en", "en"]
+    dim = 16
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts, "lang": langs})
+    ).repartition(3)
+    got = lm_nll_topk(ds, dim=dim, k=len(texts), target_col="lang", target_val="en").to_pandas()
+
+    ref = _dsir_reference(texts, langs, dim, 0.5)  # reuse its bucket hashing
+    # refit: log-probs of the en slice only
+    from rasterflow.stages.texthash import mulrot_hash64
+
+    def tok_fold(tok: bytes) -> np.uint64:
+        with np.errstate(over="ignore"):
+            h = np.uint64(0)
+            for byte in tok:
+                h = h * np.uint64(31) + np.uint64(byte)
+        return h
+
+    buckets = [
+        [
+            int(
+                mulrot_hash64(np.array([tok_fold(w.encode())], dtype=np.uint64))[0]
+                % np.uint64(dim)
+            )
+            for w in t.split()
+        ]
+        for t in texts
+    ]
+    ct = np.zeros(dim, dtype=np.int64)
+    for bs, lang in zip(buckets, langs):
+        if lang == "en":
+            for b in bs:
+                ct[b] += 1
+    tt = float(ct.sum()) + 0.5 * dim
+    lp = [math.log((int(ct[b]) + 0.5) / tt) for b in range(dim)]
+    rows = []
+    for i, bs in enumerate(buckets):
+        c = np.bincount(bs, minlength=dim)
+        s = 0.0
+        for j in range(dim):
+            s += c[j] * lp[j]
+        rows.append((i, len(bs), -s / len(bs) if bs else 0.0))
+    exp = (
+        pd.DataFrame(rows, columns=["doc_id", "n_tok", "nll"])
+        .sort_values(["nll", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert np.array_equal(got["nll"].to_numpy(), exp["nll"].to_numpy())
+    # the rare-token docs outscore the common-token docs
+    assert got["doc_id"].iloc[0] in (1, 4)
+    z = got[got["n_tok"] == 0]["nll"].to_numpy()
+    assert len(z) == 1 and z[0] == 0.0 and not np.signbit(z[0])
