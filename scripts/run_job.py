@@ -31,7 +31,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--pipeline",
-        choices=["raster", "index", "hybrid", "bounds", "ingest", "stream-ingest", "rows", "dedup", "export", "bm25-build"],
+        choices=["raster", "index", "hybrid", "bounds", "ingest", "stream-ingest", "rows", "dedup", "export", "bm25-build", "dsir", "lm-filter", "semdedup"],
         default="hybrid",
     )
     ap.add_argument("--input", required=True, help="pages parquet file/dir (or glob)")
@@ -44,6 +44,10 @@ def main() -> int:
     ap.add_argument("--geocoder", choices=["text", "url"], default="text")
     ap.add_argument("--partition-size", type=int, default=64, help="input files per resumable partition")
     ap.add_argument("--concurrency", type=int, default=0, help="join actor pool size (0 = cpus)")
+    ap.add_argument("--target-val", default="en", help="dsir/lm-filter: target lang slice")
+    ap.add_argument("--topk", type=int, default=1000, help="dsir/lm-filter: rows kept")
+    ap.add_argument("--threshold", type=float, default=0.45, help="semdedup: cosine near-dup threshold")
+    ap.add_argument("--clusters", type=int, default=8, help="semdedup: k-means cluster count")
     args = ap.parse_args()
 
     import ray
@@ -122,6 +126,39 @@ def main() -> int:
         )
         build_inverted_index(ds, args.out, text_col="text2", id_col="url")
         print(json.dumps({"out": args.out}))
+        if owns_ray:
+            ray.shutdown()
+        return 0
+
+    if args.pipeline in ("dsir", "lm-filter"):
+        # data-selection over the pages table: extract text, fit the hashed
+        # distribution(s) on the --target-val lang slice, keep --topk rows
+        from rasterflow.pipelines.selection import dsir_select, lm_nll_topk
+        from rasterflow.stages.extract import extract_text
+
+        ds = ray.data.read_parquet(paths, columns=["url", "html", "lang"]).map_batches(
+            extract_text, batch_format="pyarrow"
+        )
+        kw = dict(
+            text_col="text2", id_col="url",
+            target_col="lang", target_val=args.target_val, k=args.topk,
+        )
+        out = dsir_select(ds, **kw) if args.pipeline == "dsir" else lm_nll_topk(ds, **kw)
+        out.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "k": args.topk, "target": args.target_val}))
+        if owns_ray:
+            ray.shutdown()
+        return 0
+
+    if args.pipeline == "semdedup":
+        # semantic near-dup pruning over an embeddings table
+        # (columns: vec_id, embedding list<float>)
+        from rasterflow.pipelines.similarity import semdedup
+
+        ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+        kept = semdedup(ds, k_clusters=args.clusters, threshold=args.threshold)
+        kept.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "clusters": args.clusters, "threshold": args.threshold}))
         if owns_ray:
             ray.shutdown()
         return 0
