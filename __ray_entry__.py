@@ -1608,8 +1608,12 @@ def _q_semdedup(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+    # iters=5: SemDeDup needs cluster LOCALITY, not Lloyd convergence (the
+    # paper runs loose k-means); wall here is iteration-count-bound at
+    # bench scale (each pass is ~all Ray overhead on 5k rows)
     return semdedup(
-        ds, k_clusters=8, threshold=0.45, assignments_out=_SEMDEDUP_ASSIGN_DIR
+        ds, k_clusters=8, threshold=0.45, iters=5,
+        assignments_out=_SEMDEDUP_ASSIGN_DIR,
     )
 
 

@@ -544,11 +544,11 @@ def semdedup(
             {
                 id_col: b.column(id_col),
                 "cluster": pa.array(a.astype(np.int32)),
-                # pre-normalized f64 rows as fixed-width blobs (the
-                # embedding_neardup_pairs convention): zero-copy through
-                # the shuffle, one frombuffer per group
-                "vec": pa.array(
-                    [r.tobytes() for r in n], type=pa.binary(n.shape[1] * 8)
+                # pre-normalized f64 rows as a fixed_size_list column: one
+                # vectorized flatten per batch (no per-row loop), one
+                # np.stack per group
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(n.ravel()), n.shape[1]
                 ),
             }
         )
@@ -562,6 +562,10 @@ def semdedup(
             fs.delete_dir(assignments_out)
         except FileNotFoundError:
             pass
+        # persist-once: the sidecar write and the prune both consume the
+        # assign stage; materializing avoids re-executing read+assign (the
+        # documented persist-assignments-then-reuse pattern)
+        assigned = assigned.materialize()
         assigned.map_batches(
             lambda t: t.select([id_col, "cluster"]), batch_format="pyarrow"
         ).write_parquet(assignments_out)
@@ -571,7 +575,7 @@ def semdedup(
         n = len(df)
         if n == 0:
             return pd.DataFrame({id_col: [], "cluster": []})
-        vecs = np.frombuffer(b"".join(df["vec"].to_numpy()), dtype=np.float64).reshape(n, -1)
+        vecs = np.stack(df["vec"].to_numpy())
         sim = vecs @ vecs.T
         dup = np.any(np.tril(sim >= threshold, k=-1), axis=1)
         return pd.DataFrame(
