@@ -2351,13 +2351,15 @@ ORDER BY doc_id
 """
 
 
-def _hash_vectorize_sql(dim: int = 64) -> str:
-    """SQL replica of textstats.hashing_vectorize(hash_fn='mulrot31'):
-    per-token base-31 byte polynomial (recursive-CTE powers of 31 mod 2^64 —
-    31·z < 2^69 needs no limb splitting), then the mulrot chain in HUGEINT,
-    bucket = z % dim, and the per-doc summary (n_tok, nnz, fmax).  ASCII
-    replica: ascii(substr(tok, i, 1)) reads code points, which equal the
-    engine's UTF-8 bytes for the all-ASCII fixture corpus."""
+def _mulrot_bkt_ctes(dim: int) -> str:
+    """Shared oracle SQL: whitespace tokens (the ``toks`` CTE must precede
+    this text) → mulrot31 bucket.  Per-token base-31 byte polynomial
+    (recursive-CTE powers of 31 mod 2^64 — 31·z < 2^69 needs no limb
+    splitting), then the mulrot chain in HUGEINT, ``bkt(doc_id, b)`` with
+    ``b = z % dim``.  ASCII replica: ascii(substr(tok, i, 1)) reads code
+    points, which equal the engine's UTF-8 bytes for the all-ASCII fixture
+    corpus.  Consumed by the hash_vectorize / dsir_select / lm_nll_worst
+    oracles — ONE copy, so a chain fix cannot silently diverge them."""
     M64 = "18446744073709551616::HUGEINT"
     M32 = "4294967296"
 
@@ -2371,9 +2373,7 @@ def _hash_vectorize_sql(dim: int = 64) -> str:
         return f"((({z}) * {M32}) % {M64} + ({z}) // {M32})"
 
     z1 = mulmod("z", 0x9E3779B97F4A7C15)
-    return f"""
-WITH RECURSIVE {_TOKS_CTE},
-pw(i, p) AS (
+    return f"""pw(i, p) AS (
   SELECT 0, 1::HUGEINT
   UNION ALL SELECT i + 1, (p * 31) % {M64} FROM pw WHERE i < 127
 ),
@@ -2393,7 +2393,16 @@ s2 AS (SELECT doc_id, pos, {rotl32('z')} AS z FROM s1),
 s3 AS (SELECT doc_id, pos, {mulmod('z', 0xBF58476D1CE4E5B9)} AS z FROM s2),
 s4 AS (SELECT doc_id, pos, {rotl32('z')} AS z FROM s3),
 s5 AS (SELECT doc_id, pos, {mulmod('z', 0x94D049BB133111EB)} AS z FROM s4),
-bkt AS (SELECT doc_id, CAST(z % {dim} AS BIGINT) AS b FROM s5),
+bkt AS (SELECT doc_id, CAST(z % {dim} AS BIGINT) AS b FROM s5)"""
+
+
+def _hash_vectorize_sql(dim: int = 64) -> str:
+    """SQL replica of textstats.hashing_vectorize(hash_fn='mulrot31'):
+    the shared mulrot31 bucket chain (:func:`_mulrot_bkt_ctes`) and the
+    per-doc summary (n_tok, nnz, fmax)."""
+    return f"""
+WITH RECURSIVE {_TOKS_CTE},
+{_mulrot_bkt_ctes(dim)},
 bc AS (SELECT doc_id, b, count(*) AS c FROM bkt GROUP BY 1, 2),
 per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
                CAST(count(*) AS BIGINT) AS nnz, CAST(max(c) AS BIGINT) AS fmax
@@ -2458,19 +2467,6 @@ def _dsir_sql(dim: int = 64, k: int = 100, target_val: str = "en") -> str:
     ``(((0.0 + c0·lr0) + c1·lr1) + …)`` — the exact IEEE sequence the
     engine's fixed-order fold executes (the leading 0.0 reproduces the
     engine's +0.0 for zero-token docs; a bare chain would yield -0.0)."""
-    M64 = "18446744073709551616::HUGEINT"
-    M32 = "4294967296"
-
-    def mulmod(z: str, c: int) -> str:
-        return (
-            f"(((({z}) // {M32}) * {c}) % {M32} * {M32}"
-            f" + (({z}) % {M32}) * {c}) % {M64}"
-        )
-
-    def rotl32(z: str) -> str:
-        return f"((({z}) * {M32}) % {M64} + ({z}) // {M32})"
-
-    z1 = mulmod("z", 0x9E3779B97F4A7C15)
     lr_cases = ",\n         ".join(
         f"max(CASE WHEN b = {j} THEN lr END) AS lr{j}" for j in range(dim)
     )
@@ -2483,27 +2479,7 @@ def _dsir_sql(dim: int = 64, k: int = 100, target_val: str = "en") -> str:
         chain = f"({chain} + coalesce(dcp.c{j}, 0) * lrp.lr{j})"
     return f"""
 WITH RECURSIVE {_TOKS_CTE},
-pw(i, p) AS (
-  SELECT 0, 1::HUGEINT
-  UNION ALL SELECT i + 1, (p * 31) % {M64} FROM pw WHERE i < 127
-),
-chars AS (
-  SELECT doc_id, pos, tok, length(tok) AS L,
-         unnest(range(1, length(tok) + 1)) AS ci
-  FROM toks
-),
-fold AS (
-  SELECT doc_id, pos,
-         SUM((CAST(ascii(substr(tok, CAST(ci AS INT), 1)) AS HUGEINT) * pw.p) % {M64}) % {M64} AS z
-  FROM chars JOIN pw ON pw.i = L - ci
-  GROUP BY doc_id, pos
-),
-s1 AS (SELECT doc_id, pos, {z1} AS z FROM fold),
-s2 AS (SELECT doc_id, pos, {rotl32('z')} AS z FROM s1),
-s3 AS (SELECT doc_id, pos, {mulmod('z', 0xBF58476D1CE4E5B9)} AS z FROM s2),
-s4 AS (SELECT doc_id, pos, {rotl32('z')} AS z FROM s3),
-s5 AS (SELECT doc_id, pos, {mulmod('z', 0x94D049BB133111EB)} AS z FROM s4),
-bkt AS (SELECT doc_id, CAST(z % {dim} AS BIGINT) AS b FROM s5),
+{_mulrot_bkt_ctes(dim)},
 allb AS (SELECT unnest(range(0, {dim})) AS b),
 g AS (
   SELECT bkt.b,
@@ -2541,19 +2517,6 @@ def _lm_nll_sql(dim: int = 64, k: int = 100, target_val: str = "en") -> str:
     the add-0.5-smoothed log-prob pivot of the lang=target slice, the
     left-to-right weight chain (see _dsir_sql), and the per-doc mean NLL
     as one division (-chain / n_tok; 0.0 for token-less docs)."""
-    M64 = "18446744073709551616::HUGEINT"
-    M32 = "4294967296"
-
-    def mulmod(z: str, c: int) -> str:
-        return (
-            f"(((({z}) // {M32}) * {c}) % {M32} * {M32}"
-            f" + (({z}) % {M32}) * {c}) % {M64}"
-        )
-
-    def rotl32(z: str) -> str:
-        return f"((({z}) * {M32}) % {M64} + ({z}) // {M32})"
-
-    z1 = mulmod("z", 0x9E3779B97F4A7C15)
     lp_cases = ",\n         ".join(
         f"max(CASE WHEN b = {j} THEN lp END) AS lp{j}" for j in range(dim)
     )
@@ -2566,27 +2529,7 @@ def _lm_nll_sql(dim: int = 64, k: int = 100, target_val: str = "en") -> str:
         chain = f"({chain} + coalesce(dcp.c{j}, 0) * lpp.lp{j})"
     return f"""
 WITH RECURSIVE {_TOKS_CTE},
-pw(i, p) AS (
-  SELECT 0, 1::HUGEINT
-  UNION ALL SELECT i + 1, (p * 31) % {M64} FROM pw WHERE i < 127
-),
-chars AS (
-  SELECT doc_id, pos, tok, length(tok) AS L,
-         unnest(range(1, length(tok) + 1)) AS ci
-  FROM toks
-),
-fold AS (
-  SELECT doc_id, pos,
-         SUM((CAST(ascii(substr(tok, CAST(ci AS INT), 1)) AS HUGEINT) * pw.p) % {M64}) % {M64} AS z
-  FROM chars JOIN pw ON pw.i = L - ci
-  GROUP BY doc_id, pos
-),
-s1 AS (SELECT doc_id, pos, {z1} AS z FROM fold),
-s2 AS (SELECT doc_id, pos, {rotl32('z')} AS z FROM s1),
-s3 AS (SELECT doc_id, pos, {mulmod('z', 0xBF58476D1CE4E5B9)} AS z FROM s2),
-s4 AS (SELECT doc_id, pos, {rotl32('z')} AS z FROM s3),
-s5 AS (SELECT doc_id, pos, {mulmod('z', 0x94D049BB133111EB)} AS z FROM s4),
-bkt AS (SELECT doc_id, CAST(z % {dim} AS BIGINT) AS b FROM s5),
+{_mulrot_bkt_ctes(dim)},
 allb AS (SELECT unnest(range(0, {dim})) AS b),
 g AS (
   SELECT bkt.b, count(*) FILTER (WHERE d.lang = '{target_val}') AS ct

@@ -1,27 +1,36 @@
-"""Importance-weighted data selection (DSIR).
+"""Importance-weighted data selection (DSIR) and LM-perplexity scoring.
 
-Implements the hashed-n-gram importance-resampling selector from the
-public DSIR algorithm (Xie et al., "Data Selection for Language Models
-via Importance Resampling", NeurIPS 2023): fit bucketed unigram(/bigram)
-distributions for a TARGET slice and for the RAW corpus, score every raw
-document by its log importance ratio under the two distributions, and
-keep the top-k most target-like documents.  No reference-repo analogue —
-this is one of the training-data assembly operators the engine adds
-beyond parity (builder brief).
+Implements two public training-data curation algorithms over hashed
+n-gram features:
+
+- :func:`dsir_select` — the hashed-n-gram importance-resampling selector
+  (Xie et al., "Data Selection for Language Models via Importance
+  Resampling", NeurIPS 2023): fit bucketed unigram(/bigram) distributions
+  for a TARGET slice and for the RAW corpus, score every document by its
+  log importance ratio, keep the top-k most target-like.
+- :func:`lm_nll_topk` — the CCNet/Gopher recipe's LM quality filter: fit
+  a hashed-unigram LM on the target slice, score every document by mean
+  negative log-likelihood, keep the k worst (filter-out candidates).
+
+No reference-repo analogue — these are training-data assembly operators
+the engine adds beyond parity (builder brief).
 
 Scale posture (100 TB): two streaming passes over the corpus — one to fit
-the two dim-bucket count vectors (per-batch partials, each batch collapses
-to ONE (2·dim)-int row; the driver folds only #coalesced-blocks rows), one
+the dim-bucket count vectors (per-batch partials, each batch collapses to
+ONE fixed-dim int row; the driver folds only #coalesced-blocks rows), one
 to score (embarrassingly parallel, per-block partial top-k so the final
 merge sees ≤ k·blocks rows in ONE block — no global sort AllToAll).  The
 model that ships to pass 2 is a dim-length float64 vector (≤ a few KB),
 closed over directly (smaller than any broadcast machinery).
 
-Float reproducibility: the per-document weight is a LEFT-TO-RIGHT fold
-over the FIXED dim buckets (``w = ((c0·lr0 + c1·lr1) + c2·lr2) …``), the
-same technique that makes ``bm25_topk``'s scores bit-reproducible — the
-DuckDB oracle replicates the identical chain with explicit parentheses,
-so weights hash-match exactly (never a variable-arity float SUM).
+Float reproducibility: per-document scores are a LEFT-TO-RIGHT fold over
+the FIXED dim buckets (``w = ((c0·v0 + c1·v1) + c2·v2) …``), the same
+technique that makes ``bm25_topk``'s scores bit-reproducible — the DuckDB
+oracles replicate the identical chain with explicit parentheses, so
+scores hash-match exactly (never a variable-arity float SUM).  The model
+vectors use scalar ``math.log`` (glibc libm): numpy's SIMD ``np.log`` can
+differ from DuckDB's ``ln`` by 1 ulp per bucket, which accumulates across
+the fold.
 """
 
 from __future__ import annotations
@@ -72,6 +81,74 @@ def _token_buckets(b: pa.Table, text_col: str, dim: int, ngrams: int):
     return bucket[order], grams_doc[order], ntok
 
 
+def _fit_counts(
+    ds,
+    *,
+    text_col: str,
+    dim: int,
+    ngrams: int,
+    target_col: str | None,
+    target_val: str,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """One streaming pass counting bucket occurrences: raw counts ``cr``
+    over every document and — when ``target_col`` is given — target counts
+    ``ct`` over the ``target_col == target_val`` slice.  Partials are one
+    fixed-dim int64 row per batch, coalesced then folded — driver traffic
+    is O(blocks·dim), independent of corpus size."""
+    planes = ["cr"] + (["ct"] if target_col is not None else [])
+
+    def fixed(v: np.ndarray) -> pa.FixedSizeListArray:
+        return pa.FixedSizeListArray.from_arrays(pa.array(v), dim)
+
+    def partial(b: pa.Table) -> pa.Table:
+        bucket, gram_doc, _ntok = _token_buckets(b, text_col, dim, ngrams)
+        cols = {"cr": np.bincount(bucket, minlength=dim).astype(np.int64)}
+        if target_col is not None:
+            tmask = np.asarray(
+                pc.equal(b.column(target_col), pa.scalar(target_val)).to_numpy(
+                    zero_copy_only=False
+                ),
+                dtype=bool,
+            )
+            cols["ct"] = np.bincount(
+                bucket[tmask[gram_doc]], minlength=dim
+            ).astype(np.int64)
+        return pa.table({p: fixed(cols[p]) for p in planes})
+
+    def reduce_block(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                p: fixed(
+                    t.column(p)
+                    .combine_chunks()
+                    .flatten()
+                    .to_numpy()
+                    .reshape(-1, dim)
+                    .sum(axis=0, dtype=np.int64)
+                )
+                for p in planes
+            }
+        )
+
+    parts = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125)
+    pdf = parts.map_batches(reduce_block, batch_format="pyarrow").to_pandas()
+
+    def fold(p: str) -> np.ndarray:
+        if not len(pdf):
+            return np.zeros(dim, np.int64)
+        return np.sum(np.stack(pdf[p].to_numpy()), axis=0, dtype=np.int64)
+
+    return fold("cr"), (fold("ct") if target_col is not None else None)
+
+
+def _smoothed_logs(c: np.ndarray, dim: int, alpha: float) -> list[float]:
+    """Add-α-smoothed log probabilities via scalar libm (see module doc)."""
+    import math
+
+    tot = float(c.sum()) + alpha * dim
+    return [math.log((int(c[b]) + alpha) / tot) for b in range(dim)]
+
+
 def fit_log_ratios(
     ds,
     *,
@@ -82,62 +159,98 @@ def fit_log_ratios(
     alpha: float = 0.5,
     ngrams: int = 1,
 ) -> np.ndarray:
-    """One streaming pass fitting BOTH hashed distributions: raw counts
-    over every document, target counts over the ``target_col ==
-    target_val`` slice.  Returns the dim-length float64 log-ratio vector
+    """DSIR model fit: the dim-length float64 log-ratio vector
 
         lr[b] = ln((ct[b]+α) / (Σct+α·dim)) − ln((cr[b]+α) / (Σcr+α·dim))
 
-    computed once on the driver from integer counts (identical doubles in
-    any replica: integer+0.5 and the division are exact/correctly-rounded,
-    ln is the shared libm).  Partials are one (2·dim)-int64 row per batch,
-    coalesced then folded — driver traffic is O(blocks·dim), independent
-    of corpus size."""
+    from one :func:`_fit_counts` pass (identical doubles in any replica:
+    integer+α and the division are exact/correctly-rounded, ln is the
+    shared libm)."""
+    cr, ct = _fit_counts(
+        ds, text_col=text_col, dim=dim, ngrams=ngrams,
+        target_col=target_col, target_val=target_val,
+    )
+    lt = _smoothed_logs(ct, dim, alpha)
+    lraw = _smoothed_logs(cr, dim, alpha)
+    return np.array([lt[b] - lraw[b] for b in range(dim)], dtype=np.float64)
 
-    def partial(b: pa.Table) -> pa.Table:
-        bucket, gram_doc, _ntok = _token_buckets(b, text_col, dim, ngrams)
-        cr = np.bincount(bucket, minlength=dim).astype(np.int64)
-        is_t = pc.equal(b.column(target_col), pa.scalar(target_val))
-        tmask = is_t.to_numpy(zero_copy_only=False)
-        tmask = np.asarray(tmask, dtype=bool)
-        ct = np.bincount(bucket[tmask[gram_doc]], minlength=dim).astype(np.int64)
-        return pa.table(
-            {
-                "cr": pa.FixedSizeListArray.from_arrays(pa.array(cr), dim),
-                "ct": pa.FixedSizeListArray.from_arrays(pa.array(ct), dim),
-            }
-        )
 
-    def reduce_block(t: pa.Table) -> pa.Table:
-        cr = t.column("cr").combine_chunks().flatten().to_numpy().reshape(-1, dim)
-        ct = t.column("ct").combine_chunks().flatten().to_numpy().reshape(-1, dim)
-        return pa.table(
-            {
-                "cr": pa.FixedSizeListArray.from_arrays(
-                    pa.array(cr.sum(axis=0, dtype=np.int64)), dim
-                ),
-                "ct": pa.FixedSizeListArray.from_arrays(
-                    pa.array(ct.sum(axis=0, dtype=np.int64)), dim
-                ),
-            }
-        )
-
-    parts = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125)
-    pdf = parts.map_batches(reduce_block, batch_format="pyarrow").to_pandas()
-    cr = np.sum(np.stack(pdf["cr"].to_numpy()), axis=0, dtype=np.int64) if len(pdf) else np.zeros(dim, np.int64)
-    ct = np.sum(np.stack(pdf["ct"].to_numpy()), axis=0, dtype=np.int64) if len(pdf) else np.zeros(dim, np.int64)
-    # scalar math.log (glibc libm) — numpy's SIMD np.log can differ from
-    # DuckDB's ln by 1 ulp per bucket, which accumulates across the fold
-    import math
-
-    tt = float(ct.sum()) + alpha * dim
-    tr = float(cr.sum()) + alpha * dim
+def fit_log_probs(
+    ds,
+    *,
+    text_col: str = "text",
+    target_col: str | None = None,
+    target_val: str = "",
+    dim: int = 64,
+    alpha: float = 0.5,
+    ngrams: int = 1,
+) -> np.ndarray:
+    """Hashed-unigram language model: the add-α-smoothed log probability of
+    each bucket, fit over the ``target_col == target_val`` slice (or the
+    whole corpus when ``target_col`` is None)."""
+    cr, ct = _fit_counts(
+        ds, text_col=text_col, dim=dim, ngrams=ngrams,
+        target_col=target_col, target_val=target_val,
+    )
     return np.array(
-        [
-            math.log((int(ct[b]) + alpha) / tt) - math.log((int(cr[b]) + alpha) / tr)
-            for b in range(dim)
-        ],
-        dtype=np.float64,
+        _smoothed_logs(ct if ct is not None else cr, dim, alpha), dtype=np.float64
+    )
+
+
+def _fold_scores(cnt: np.ndarray, vec: np.ndarray) -> np.ndarray:
+    """Fixed-order left-to-right fold: bit-identical to the SQL chain."""
+    w = np.zeros(len(cnt), dtype=np.float64)
+    for j in range(vec.shape[0]):
+        w += cnt[:, j] * vec[j]
+    return w
+
+
+def _score_topk(
+    ds,
+    *,
+    text_col: str,
+    id_col: str,
+    dim: int,
+    ngrams: int,
+    k: int,
+    vec: np.ndarray,
+    value_col: str,
+    finalize,
+    descending: bool,
+):
+    """Score every doc (bucket counts → fixed-dim fold → ``finalize``) and
+    keep the global top-k by (value, id): each block keeps only its own
+    top-k, so the single-block merge orders ≤ k·blocks rows.  Ties break
+    by id at both stages — stable under any partitioning, exactly the SQL
+    window-oracle order.  Output ``(id_col, n_tok, value_col)``; the id
+    column is ``take``-n from the source block, preserving its type (an
+    untyped rebuild would emit a null-typed column for empty blocks)."""
+
+    def score_block(b: pa.Table) -> pa.Table:
+        bucket, gram_doc, ntok = _token_buckets(b, text_col, dim, ngrams)
+        n = len(b)
+        cnt = np.bincount(gram_doc * dim + bucket, minlength=n * dim).reshape(n, dim)
+        val = finalize(_fold_scores(cnt, vec), ntok)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -val if descending else val))[:k]
+        return pa.table(
+            {
+                id_col: b.column(id_col).take(pa.array(order)),
+                "n_tok": pa.array(ntok[order], type=pa.int64()),
+                value_col: pa.array(val[order], type=pa.float64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -v if descending else v))[:k]
+        return t.take(pa.array(order))
+
+    return (
+        ds.map_batches(score_block, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
     )
 
 
@@ -154,112 +267,26 @@ def dsir_select(
     ngrams: int = 1,
     log_ratios: np.ndarray | None = None,
 ):
-    """Top-k most target-like documents by DSIR importance weight.
+    """Top-k most target-like documents by DSIR importance weight
+    (module doc).  Pass 1 (:func:`fit_log_ratios`) fits the two hashed
+    distributions (pass ``log_ratios=`` to amortize it across reruns);
+    pass 2 scores and selects (:func:`_score_topk`).
 
-    Pass 1 (:func:`fit_log_ratios`) fits the two hashed distributions;
-    pass 2 scores every doc — per-doc bucket counts via one ``bincount``,
-    weight via the left-to-right fixed-dim fold — and keeps each block's
-    top-k, so the single-block merge orders ≤ k·blocks rows.  Ties break
-    by (weight desc, id asc) at both stages: stable under any
-    partitioning, exactly the SQL window-oracle order.
-
-    Output: ``(id_col, n_tok, weight)``, the selected rows.  Zero-token
-    documents weigh exactly 0.0 and participate normally (the oracle's
+    Output: ``(id_col, n_tok, weight)``, weight desc / id asc.  Zero-token
+    documents weigh exactly +0.0 and participate normally (the oracle's
     COALESCE path reproduces them)."""
     lr = (
         fit_log_ratios(
-            ds,
-            text_col=text_col,
-            target_col=target_col,
-            target_val=target_val,
-            dim=dim,
-            alpha=alpha,
-            ngrams=ngrams,
+            ds, text_col=text_col, target_col=target_col, target_val=target_val,
+            dim=dim, alpha=alpha, ngrams=ngrams,
         )
         if log_ratios is None
         else np.asarray(log_ratios, dtype=np.float64)
     )
-
-    def score_topk(b: pa.Table) -> pa.Table:
-        bucket, gram_doc, ntok = _token_buckets(b, text_col, dim, ngrams)
-        n = len(b)
-        cnt = np.bincount(gram_doc * dim + bucket, minlength=n * dim).reshape(n, dim)
-        w = np.zeros(n, dtype=np.float64)
-        for j in range(dim):  # fixed-order fold: bit-identical to the SQL chain
-            w += cnt[:, j] * lr[j]
-        ids = b.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -w))[:k]
-        return pa.table(
-            {
-                id_col: pa.array(ids[order]),
-                "n_tok": pa.array(ntok[order]),
-                "weight": pa.array(w[order], type=pa.float64()),
-            }
-        )
-
-    def merge(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        w = t.column("weight").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -w))[:k]
-        return t.take(pa.array(order))
-
-    return (
-        ds.map_batches(score_topk, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(merge, batch_format="pyarrow")
-    )
-
-
-def fit_log_probs(
-    ds,
-    *,
-    text_col: str = "text",
-    target_col: str | None = None,
-    target_val: str = "",
-    dim: int = 64,
-    alpha: float = 0.5,
-    ngrams: int = 1,
-) -> np.ndarray:
-    """Hashed-unigram language model: the add-α-smoothed log probability of
-    each bucket, fit over the ``target_col == target_val`` slice (or the
-    whole corpus when ``target_col`` is None).  Same one-pass partial plan
-    as :func:`fit_log_ratios`; scalar libm logs for cross-engine bit
-    identity."""
-    import math
-
-    def partial(b: pa.Table) -> pa.Table:
-        bucket, gram_doc, _ntok = _token_buckets(b, text_col, dim, ngrams)
-        if target_col is not None:
-            tmask = np.asarray(
-                pc.equal(b.column(target_col), pa.scalar(target_val)).to_numpy(
-                    zero_copy_only=False
-                ),
-                dtype=bool,
-            )
-            bucket = bucket[tmask[gram_doc]]
-        c = np.bincount(bucket, minlength=dim).astype(np.int64)
-        return pa.table({"c": pa.FixedSizeListArray.from_arrays(pa.array(c), dim)})
-
-    def reduce_block(t: pa.Table) -> pa.Table:
-        c = t.column("c").combine_chunks().flatten().to_numpy().reshape(-1, dim)
-        return pa.table(
-            {
-                "c": pa.FixedSizeListArray.from_arrays(
-                    pa.array(c.sum(axis=0, dtype=np.int64)), dim
-                )
-            }
-        )
-
-    parts = coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125)
-    pdf = parts.map_batches(reduce_block, batch_format="pyarrow").to_pandas()
-    c = (
-        np.sum(np.stack(pdf["c"].to_numpy()), axis=0, dtype=np.int64)
-        if len(pdf)
-        else np.zeros(dim, np.int64)
-    )
-    tot = float(c.sum()) + alpha * dim
-    return np.array(
-        [math.log((int(c[b]) + alpha) / tot) for b in range(dim)], dtype=np.float64
+    return _score_topk(
+        ds, text_col=text_col, id_col=id_col, dim=dim, ngrams=ngrams, k=k,
+        vec=lr, value_col="weight",
+        finalize=lambda w, ntok: w, descending=True,
     )
 
 
@@ -276,53 +303,19 @@ def lm_nll_topk(
     ngrams: int = 1,
     worst: bool = True,
 ):
-    """Perplexity-style quality scoring (the CCNet/Gopher recipe's LM
-    filter, public): fit a hashed-unigram LM on the target slice
-    (:func:`fit_log_probs`), score every document by its mean negative
-    log-likelihood, and keep the k highest-NLL (``worst=True``, the
-    filter-out candidates) or lowest-NLL documents.
-
-    Same two-pass, per-block-partial-top-k plan and the same
-    bit-reproducible fixed-dim fold as :func:`dsir_select`; the per-doc
-    mean is one correctly-rounded division (fold / n_tok), and zero-token
-    documents score exactly 0.0.  Output ``(id_col, n_tok, nll)``."""
+    """Perplexity-style quality scoring (module doc): fit a hashed-unigram
+    LM on the target slice (:func:`fit_log_probs`), score every document
+    by mean negative log-likelihood — one correctly-rounded division of
+    the fold; zero-token documents score exactly 0.0 — and keep the k
+    highest-NLL (``worst=True``, the filter-out candidates) or lowest-NLL
+    documents.  Output ``(id_col, n_tok, nll)``."""
     lp = fit_log_probs(
-        ds,
-        text_col=text_col,
-        target_col=target_col,
-        target_val=target_val,
-        dim=dim,
-        alpha=alpha,
-        ngrams=ngrams,
+        ds, text_col=text_col, target_col=target_col, target_val=target_val,
+        dim=dim, alpha=alpha, ngrams=ngrams,
     )
-
-    def score_topk(b: pa.Table) -> pa.Table:
-        bucket, gram_doc, ntok = _token_buckets(b, text_col, dim, ngrams)
-        n = len(b)
-        cnt = np.bincount(gram_doc * dim + bucket, minlength=n * dim).reshape(n, dim)
-        s = np.zeros(n, dtype=np.float64)
-        for j in range(dim):  # fixed-order fold (see dsir_select)
-            s += cnt[:, j] * lp[j]
-        nll = np.where(ntok > 0, -s / np.maximum(ntok, 1), 0.0)
-        ids = b.column(id_col).to_numpy(zero_copy_only=False)
-        key = -nll if worst else nll
-        order = np.lexsort((ids, key))[:k]
-        return pa.table(
-            {
-                id_col: pa.array(ids[order]),
-                "n_tok": pa.array(ntok[order]),
-                "nll": pa.array(nll[order], type=pa.float64()),
-            }
-        )
-
-    def merge(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        v = t.column("nll").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -v if worst else v))[:k]
-        return t.take(pa.array(order))
-
-    return (
-        ds.map_batches(score_topk, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(merge, batch_format="pyarrow")
+    return _score_topk(
+        ds, text_col=text_col, id_col=id_col, dim=dim, ngrams=ngrams, k=k,
+        vec=lp, value_col="nll",
+        finalize=lambda s, ntok: np.where(ntok > 0, -s / np.maximum(ntok, 1), 0.0),
+        descending=worst,
     )

@@ -537,8 +537,13 @@ def semdedup(
     def assign(b: pa.Table) -> pa.Table:
         c = ray.get(ref)
         x = _emb_matrix(b, emb_col).astype(np.float64)
+        if len(x) == 0:
+            # an empty plain-list block loses its width ((0, 0)); rebuild
+            # (0, d) from the centroids so every block emits the same
+            # fixed_size_list<double, d> schema (the _init_centroids lesson)
+            x = np.empty((0, c.shape[1]), dtype=np.float64)
         d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
-        a = d2.argmin(axis=1)
+        a = d2.argmin(axis=1) if len(x) else np.empty(0, dtype=np.int64)
         n = _normalize(x)
         return pa.table(
             {
@@ -573,8 +578,13 @@ def semdedup(
     def prune(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(id_col)
         n = len(df)
-        if n == 0:
-            return pd.DataFrame({id_col: [], "cluster": []})
+        if n == 0:  # dtype-matched empty (schema must unify across groups)
+            return pd.DataFrame(
+                {
+                    id_col: np.empty(0, dtype=df[id_col].dtype),
+                    "cluster": np.empty(0, dtype=np.int32),
+                }
+            )
         vecs = np.stack(df["vec"].to_numpy())
         sim = vecs @ vecs.T
         dup = np.any(np.tril(sim >= threshold, k=-1), axis=1)

@@ -686,8 +686,6 @@ def test_lm_nll_matches_reference(ray_session):
     ).repartition(3)
     got = lm_nll_topk(ds, dim=dim, k=len(texts), target_col="lang", target_val="en").to_pandas()
 
-    ref = _dsir_reference(texts, langs, dim, 0.5)  # reuse its bucket hashing
-    # refit: log-probs of the en slice only
     from rasterflow.stages.texthash import mulrot_hash64
 
     def tok_fold(tok: bytes) -> np.uint64:
@@ -732,3 +730,37 @@ def test_lm_nll_matches_reference(ray_session):
     assert got["doc_id"].iloc[0] in (1, 4)
     z = got[got["n_tok"] == 0]["nll"].to_numpy()
     assert len(z) == 1 and z[0] == 0.0 and not np.signbit(z[0])
+
+
+def test_selection_and_semdedup_survive_empty_blocks(ray_session):
+    """Code-review r5: an empty block must not emit a null-typed id column
+    (string ids) or a width-0 fixed_size_list vec (semdedup assign)."""
+    import ray.data
+
+    from rasterflow.pipelines.selection import dsir_select, lm_nll_topk
+    from rasterflow.pipelines.similarity import semdedup
+
+    df = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(12)],
+            "text": [f"tok{i % 3} tok{i % 5} common" for i in range(12)],
+            "lang": ["en", "fr"] * 6,
+        }
+    )
+    empty = df.iloc[:0]
+    ds = ray.data.from_pandas([df.iloc[:6], empty, df.iloc[6:]])
+    got = dsir_select(ds, id_col="url", k=5).to_pandas()
+    assert len(got) == 5 and got["url"].map(type).eq(str).all()
+    got = lm_nll_topk(ds, id_col="url", k=5).to_pandas()
+    assert len(got) == 5 and got["url"].map(type).eq(str).all()
+
+    rng = np.random.default_rng(2)
+    edf = pd.DataFrame(
+        {
+            "vec_id": np.arange(30),
+            "embedding": [r.astype(np.float32) for r in rng.normal(size=(30, 8))],
+        }
+    )
+    eds = ray.data.from_pandas([edf.iloc[:15], edf.iloc[:0], edf.iloc[15:]])
+    kept = semdedup(eds, k_clusters=2, threshold=0.999).to_pandas()
+    assert len(kept) == 30  # no dups planted; every row survives
