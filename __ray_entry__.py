@@ -1687,6 +1687,15 @@ def _q_substring_dups(sf_dir: str):
     return substring_dup_pairs(_docs(sf_dir), min_len=30, k=20)
 
 
+def _q_segment_dedup(sf_dir: str):
+    """Corpus-wide segment-level dedup (CCNet-style line dedup over 8-token
+    segments): later occurrences of a segment are dropped and each doc is
+    reassembled from its survivors — text byte-matches the SQL string_agg."""
+    from rasterflow.pipelines.dedup import segment_dedup
+
+    return segment_dedup(_docs(sf_dir), seg_tokens=8)
+
+
 def _q_weighted_sample(sf_dir: str):
     import ray.data
 
@@ -1798,6 +1807,19 @@ def _q_uniform_sample(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     return uniform_sample_k(ds, k=200, extra_cols=("lang",))
+
+
+def _q_token_budget_sample(sf_dir: str):
+    """Per-language selection to a 1500-token budget in deterministic hash
+    order — the data-mixing step; cum_tok audits the running total."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import token_budget_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    return token_budget_sample(ds, budget=1500)
 
 
 def _q_vocab_stats(sf_dir: str):
@@ -2087,6 +2109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_by_type": _q_props_k_by_type,
         "lang_chars_quantiles": _q_lang_chars_quantiles,
         "uniform_sample": _q_uniform_sample,
+        "token_budget_sample": _q_token_budget_sample,
         "vocab_stats": _q_vocab_stats,
         "video_frames": _q_video_frames,
         "rolling_value_sum": _q_rolling_value_sum,
@@ -2104,6 +2127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "weighted_sample": _q_weighted_sample,
         "substring_dups": _q_substring_dups,
+        "segment_dedup": _q_segment_dedup,
         "cust_no_orders": _q_cust_no_orders,
         "normalize_text": _q_normalize_text,
         "corpus_summary": _q_corpus_summary,
@@ -2286,6 +2310,43 @@ h AS (SELECT doc_id, lang,
                        THEN z - {M64} ELSE z END AS BIGINT) AS h
       FROM s5)
 SELECT doc_id, lang, h FROM h ORDER BY h, doc_id LIMIT {k}
+"""
+
+
+def _token_budget_sql(budget: int = 1500) -> str:
+    """SQL replica of sampling.token_budget_sample: the mulrot chain's signed
+    int64 view orders each lang stratum; a window running-sum of whitespace
+    token counts keeps rows while cum_tok <= budget."""
+    M64 = "18446744073709551616::HUGEINT"
+    M32 = "4294967296"
+
+    def mulmod(z: str, c: int) -> str:
+        return (
+            f"(((({z}) // {M32}) * {c}) % {M32} * {M32}"
+            f" + (({z}) % {M32}) * {c}) % {M64}"
+        )
+
+    def rotl32(z: str) -> str:
+        return f"((({z}) * {M32}) % {M64} + ({z}) // {M32})"
+
+    z1 = mulmod("CAST(doc_id AS HUGEINT)", 0x9E3779B97F4A7C15)
+    return rf"""
+WITH s1 AS (SELECT doc_id, lang, text, {z1} AS z FROM documents),
+s2 AS (SELECT doc_id, lang, text, {rotl32('z')} AS z FROM s1),
+s3 AS (SELECT doc_id, lang, text, {mulmod('z', 0xBF58476D1CE4E5B9)} AS z FROM s2),
+s4 AS (SELECT doc_id, lang, text, {rotl32('z')} AS z FROM s3),
+s5 AS (SELECT doc_id, lang, text, {mulmod('z', 0x94D049BB133111EB)} AS z FROM s4),
+t AS (SELECT doc_id, lang,
+             CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
+                       THEN z - {M64} ELSE z END AS BIGINT) AS h,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+      FROM s5),
+c AS (SELECT lang, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM t)
+SELECT lang, doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+FROM c WHERE cum_tok <= {budget} ORDER BY doc_id
 """
 
 
@@ -2884,6 +2945,28 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM d a JOIN d b ON a.sub = b.sub AND a.doc_id < b.doc_id
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
+        # segment_dedup keeps, per distinct 8-token segment, the first
+        # (doc_id, seg_no) occurrence corpus-wide and reassembles docs from
+        # survivors — the engine's text byte-matches string_agg
+        "segment_dedup": r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+nz AS (SELECT * FROM t WHERE len(toks) > 0),
+segs AS (
+  SELECT doc_id, CAST((start - 1) / 8 AS BIGINT) AS seg_no,
+         array_to_string(toks[start:least(start + 8 - 1, len(toks))], ' ') AS seg
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 8)) AS start FROM nz)
+),
+k AS (
+  SELECT doc_id, seg_no, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+  FROM segs
+)
+SELECT doc_id, count(*) AS n_seg, string_agg(seg, ' ' ORDER BY seg_no) AS text
+FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+""",
         "window_agg": """
 SELECT (epoch_us(ts) // 1000000) // 3600 AS "window",
        count(*) AS n, count(DISTINCT user_id) AS nd_user_id
@@ -3294,6 +3377,7 @@ FROM s JOIN qs ON s.rn = GREATEST(1, CAST(CEIL(qs.q * s.n) AS BIGINT))
 ORDER BY event_type, q
 """,
         "uniform_sample": _uniform_sample_sql(200),
+        "token_budget_sample": _token_budget_sql(1500),
         "vocab_stats": r"""
 WITH toks AS (
   SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok

@@ -1671,3 +1671,92 @@ def substring_dup_pairs(
     return out.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow").sort(
         ["id_a", "id_b"]
     )
+
+
+def segment_dedup(
+    ds,
+    seg_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+):
+    """Corpus-wide segment-level exact dedup (the CCNet/RefinedWeb line-dedup
+    recipe, applied to fixed ``seg_tokens``-token segments because crawl text
+    arrives here newline-free): every segment that already occurred earlier
+    in corpus order — at a smaller ``(doc_id, seg_no)`` — is DROPPED, and
+    each document is reassembled from its surviving segments.
+
+    Contrast with :func:`exact_dedup` (whole-document) and
+    :func:`substring_dup_pairs` (reporting shared spans): this one *rewrites*
+    documents, removing boilerplate segments that repeat across the corpus
+    (headers, navigation, license blurbs) while keeping the unique remainder.
+
+    Plan (two key shuffles, both on narrow-ish rows):
+
+    1. row-local explode via :func:`packing.chunk_kernel` (overlap 0) —
+       (id, seg_no, seg_text); zero-token docs vanish here, matching the SQL.
+    2. hash-partition by ``content_hash64(seg_text)``; each partition keeps,
+       per distinct segment text, the row with the minimum (doc_id, seg_no)
+       — collision-safe because the winner rule groups on the *text* within
+       the hash partition.  Segment text rides this shuffle once (like the
+       reference implementations, which shuffle the line itself); a 100 TB
+       corpus can swap the payload for a 128-bit hash + re-join, at the cost
+       of a second scan.
+    3. hash-partition the survivors by doc id; reassemble each doc's text as
+       the ' '-join of surviving segments in seg_no order (one vectorized
+       pandas grouped join per partition, no per-doc dispatch).
+
+    Output: ``(doc_id, n_seg, text)`` for every doc with ≥1 surviving
+    segment, sorted by doc_id; ``text`` byte-matches the SQL oracle's
+    ``string_agg``.  Docs whose every segment was seen earlier are dropped
+    (the group simply has no rows — same rule both sides).
+    """
+    from .packing import chunk_kernel
+
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
+
+    segs = ds.map_batches(
+        chunk_kernel(seg_tokens, 0, text_col, id_col), batch_format="pyarrow"
+    )
+
+    def add_seg_pk(t: pa.Table) -> pa.Table:
+        h = content_hash64(t.column("chunk_text"))
+        pk = (h % np.uint64(num_partitions)).astype(np.int32)
+        return t.select([id_col, "chunk_id", "chunk_text"]).append_column(
+            "_pk", pa.array(pk)
+        )
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "chunk_id"], kind="stable")
+        first = g.groupby("chunk_text", sort=False).head(1)
+        return first[[id_col, "chunk_id", "chunk_text"]]
+
+    kept = (
+        segs.map_batches(add_seg_pk, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(winners, batch_format="pandas")
+    )
+
+    def add_doc_pk(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        hk = pd.util.hash_array(ids, hash_key="0123456789123456").astype(np.uint64)
+        pk = (hk % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_pk", pa.array(pk))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "chunk_id"], kind="stable")
+        out = (
+            g.groupby(id_col, sort=False)
+            .agg(n_seg=("chunk_id", "size"), text=("chunk_text", " ".join))
+            .reset_index()
+        )
+        out["n_seg"] = out["n_seg"].astype(np.int64)
+        return out[[id_col, "n_seg", "text"]]
+
+    return (
+        kept.map_batches(add_doc_pk, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(rebuild, batch_format="pandas")
+        .sort(id_col)
+    )

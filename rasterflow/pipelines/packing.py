@@ -143,6 +143,15 @@ def chunk_documents(
     starts); the per-chunk string assembly is one pandas grouped join.
     Zero-token documents yield no chunks (the explicit rule both sides).
     """
+    kernel = chunk_kernel(chunk_tokens, overlap, text_col, id_col)
+    return ds.map_batches(kernel, batch_format="pyarrow").sort([id_col, "chunk_id"])
+
+
+def chunk_kernel(chunk_tokens: int, overlap: int, text_col: str, id_col: str):
+    """The row-local explode kernel behind :func:`chunk_documents`, exposed so
+    other pipelines (``dedup.segment_dedup``) can reuse the exact same
+    windowing without the trailing sort.  Returns a pyarrow ``map_batches``
+    fn emitting (id, chunk_id, n_tok, chunk_text)."""
     if not (0 <= overlap < chunk_tokens):
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
@@ -187,7 +196,7 @@ def chunk_documents(
             }
         )
 
-    return ds.map_batches(chunks, batch_format="pyarrow").sort([id_col, "chunk_id"])
+    return chunks
 
 
 def greedy_bins_bounded(ntok: np.ndarray, budget: int, indptr: np.ndarray) -> np.ndarray:

@@ -980,3 +980,65 @@ def mixture_weights(ds, group_col: str, target: dict[str, float]):
         )
 
     return red.repartition(1).map_batches(finalize, batch_format="pyarrow").sort(group_col)
+
+
+def token_budget_sample(
+    ds,
+    budget: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    seed: int = 0,
+):
+    """Per-stratum selection to a TOKEN budget (not a doc count): within each
+    ``group_col`` stratum, walk docs in deterministic pseudo-random order —
+    ascending ``(mulrot_hash64(id + seed) as int64, id)``, the
+    :func:`uniform_sample_k` order — and keep every doc whose running token
+    total stays ≤ ``budget``.  This is the data-mixing step of training-data
+    assembly ("200 B tokens of English, 50 B of German"), where doc-count
+    sampling over-represents short documents.
+
+    The cumulative rule means inclusion depends on ALL earlier docs in the
+    stratum's hash order, so each stratum reduces in one task over narrow
+    ``(group, id, h, n_tok)`` rows — the text never moves (token counts are
+    computed at the scan, like :func:`packing.pack_sequences`, which shares
+    this one-stratum-per-task posture and its ``STRATUM_WARN_ROWS`` guard).
+    A 100 TB stratum escape hatch: pre-split the stratum by a second key and
+    budget each split.
+
+    Output: the kept ``(group, id, n_tok, cum_tok)`` rows sorted by id —
+    ``cum_tok`` is the inclusive running total in selection order, so the
+    result is auditable against the budget.
+    """
+    from .packing import _warn_giant_stratum
+    from ..stages.texthash import mulrot_hash64
+
+    def counts(b: pa.Table) -> pa.Table:
+        if token_col is not None:
+            n = pc.cast(b.column(token_col), pa.int64())
+        else:
+            n = pc.cast(pc.count_substring_regex(b.column(text_col), r"\S+"), pa.int64())
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = mulrot_hash64(ids.astype(np.uint64) + np.uint64(seed)).astype(np.int64)
+        return pa.table(
+            {
+                group_col: b.column(group_col),
+                id_col: b.column(id_col),
+                "h": pa.array(h),
+                "n_tok": n,
+            }
+        )
+
+    def take_budget(g: pd.DataFrame) -> pd.DataFrame:
+        _warn_giant_stratum(len(g), g[group_col].iloc[0] if len(g) else None)
+        g = g.sort_values(["h", id_col], kind="stable").reset_index(drop=True)
+        cum = g["n_tok"].to_numpy().cumsum()
+        keep = cum <= budget
+        out = g.loc[keep, [group_col, id_col, "n_tok"]].copy()
+        out["cum_tok"] = cum[keep]
+        return out
+
+    slim = ds.map_batches(counts, batch_format="pyarrow")
+    return slim.groupby(group_col).map_groups(take_budget, batch_format="pandas").sort(id_col)

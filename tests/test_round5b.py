@@ -1,0 +1,144 @@
+"""Round-5 additions: segment-level corpus dedup and token-budget sampling."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_segment_dedup(df: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Pandas reference: explode n-token segments, keep first corpus-wide
+    occurrence by (doc_id, seg_no), reassemble docs."""
+    rows = []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        toks = text.split()
+        for seg_no, s in enumerate(range(0, len(toks), n)):
+            rows.append((doc_id, seg_no, " ".join(toks[s : s + n])))
+    segs = pd.DataFrame(rows, columns=["doc_id", "seg_no", "seg"])
+    segs = segs.sort_values(["doc_id", "seg_no"], kind="stable")
+    keep = segs.groupby("seg", sort=False).head(1)
+    out = (
+        keep.sort_values(["doc_id", "seg_no"])
+        .groupby("doc_id", sort=True)
+        .agg(n_seg=("seg", "size"), text=("seg", " ".join))
+        .reset_index()
+    )
+    return out
+
+
+def test_segment_dedup_matches_brute(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.dedup import segment_dedup
+
+    src = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    exp = _brute_segment_dedup(src, 8)
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = segment_dedup(ds, seg_tokens=8).to_pandas()
+    assert list(got.columns) == ["doc_id", "n_seg", "text"]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_segment_dedup_partition_invariant(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.dedup import segment_dedup
+
+    ds1 = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    a = segment_dedup(ds1, seg_tokens=8).to_pandas()
+    ds2 = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(13)
+    b = segment_dedup(ds2, seg_tokens=8).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_segment_dedup_planted(ray_session):
+    """Later occurrences of a planted segment are dropped; a doc made
+    entirely of seen segments disappears from the output."""
+    import ray.data
+
+    from rasterflow.pipelines.dedup import segment_dedup
+
+    boiler = "a b c d"  # one 4-token segment, repeated across docs
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                boiler + " u v w x",  # keeps both segments (first occurrence)
+                boiler + " p q r s",  # boilerplate dropped, tail kept
+                boiler,  # all segments seen -> doc dropped
+            ],
+        }
+    )
+    out = segment_dedup(
+        ray.data.from_pandas(df), seg_tokens=4
+    ).to_pandas()
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out.loc[out.doc_id == 1, "text"].iloc[0] == boiler + " u v w x"
+    assert out.loc[out.doc_id == 2, "text"].iloc[0] == "p q r s"
+    assert out["n_seg"].tolist() == [2, 1]
+
+
+def _brute_token_budget(df: pd.DataFrame, budget: int) -> pd.DataFrame:
+    from rasterflow.stages.texthash import mulrot_hash64
+
+    ids = df["doc_id"].to_numpy().astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = mulrot_hash64(ids).astype(np.int64)
+    t = df.assign(h=h, n_tok=[len(s.split()) for s in df["text"]])
+    outs = []
+    for lang, g in t.groupby("lang", sort=True):
+        g = g.sort_values(["h", "doc_id"], kind="stable")
+        cum = g["n_tok"].cumsum()
+        keep = cum <= budget
+        o = g.loc[keep, ["lang", "doc_id", "n_tok"]].copy()
+        o["cum_tok"] = cum[keep]
+        outs.append(o)
+    return (
+        pd.concat(outs).sort_values("doc_id").reset_index(drop=True)
+        if outs
+        else pd.DataFrame(columns=["lang", "doc_id", "n_tok", "cum_tok"])
+    )
+
+
+def test_token_budget_sample_matches_brute(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import token_budget_sample
+
+    src = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"])
+    exp = _brute_token_budget(src, 1500)
+
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).repartition(7)
+    got = token_budget_sample(ds, budget=1500).to_pandas()
+    assert list(got.columns) == ["lang", "doc_id", "n_tok", "cum_tok"]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # every stratum honours the budget (inclusive running total)
+    assert (got.groupby("lang")["cum_tok"].max() <= 1500).all()
+
+
+def test_token_budget_sample_tiny_budget_drops_stratum(ray_session):
+    """A budget below the first doc's token count empties that stratum
+    entirely (the cumulative rule is inclusive)."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import token_budget_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 20],
+            "lang": ["en", "en", "fr"],
+            "text": ["one two three four five", "a b c d e f", "x y"],
+        }
+    )
+    out = token_budget_sample(ray.data.from_pandas(df), budget=3).to_pandas()
+    # en docs are 5 and 6 tokens: neither fits a 3-token budget; fr's 2 fits
+    assert out["doc_id"].tolist() == [20]
+    assert out["cum_tok"].tolist() == [2]
