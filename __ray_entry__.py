@@ -125,6 +125,15 @@ def _q_cell_counts(sf_dir: str):
     return cell_histogram_grid(documents_points(sf_dir), ORACLE_GRID)
 
 
+def _q_hotspot_regions(sf_dir: str):
+    """Raster→vector: threshold the per-cell count raster at 5 points and
+    vectorize 4-connected hot cells into regions (distributed CC; region id
+    = min member cell id; bbox in cell coords)."""
+    from rasterflow.pipelines.cellagg import hotspot_regions
+
+    return hotspot_regions(documents_points(sf_dir), ORACLE_GRID, min_count=5)
+
+
 def _q_events_time_agg(sf_dir: str):
     import ray.data
 
@@ -2098,6 +2107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    only the first 50 keys last round) --
         "filter_agg_rect": _q_filter_agg_rect,
         "cell_counts": _q_cell_counts,
+        "hotspot_regions": _q_hotspot_regions,
         "events_time_agg": _q_events_time_agg,
         "dedup_exact_prefix": _q_dedup_exact_prefix,
         "token_stats": _q_token_stats,
@@ -3298,6 +3308,36 @@ SELECT CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
        + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id,
        count(*) AS n
 FROM geo GROUP BY cell_id ORDER BY cell_id
+""",
+        # hotspot_regions is exact (thresholded raster + 4-adjacency CC), so
+        # the recursive-CTE closure over the hot-cell graph is a true oracle
+        "hotspot_regions": f"""
+WITH RECURSIVE {GEO_CTE.strip()},
+cells AS (
+  SELECT CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id,
+         count(*) AS n
+  FROM geo GROUP BY cell_id
+),
+hot AS (SELECT * FROM cells WHERE n >= 5),
+e AS (
+  SELECT a.cell_id AS u, b.cell_id AS v
+  FROM hot a JOIN hot b
+    ON (b.cell_id = a.cell_id + 1 AND (a.cell_id % {nx}) < {nx - 1})
+    OR b.cell_id = a.cell_id + {nx}
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+r(node, lbl) AS (
+  SELECT cell_id, cell_id FROM hot
+  UNION
+  SELECT sym.v, r.lbl FROM r JOIN sym ON sym.u = r.node
+),
+lab AS (SELECT node AS cell_id, min(lbl) AS region_id FROM r GROUP BY node)
+SELECT l.region_id, count(*) AS n_cells, CAST(sum(h.n) AS BIGINT) AS n_points,
+       min(h.cell_id % {nx}) AS cx_min, max(h.cell_id % {nx}) AS cx_max,
+       min(h.cell_id // {nx}) AS cy_min, max(h.cell_id // {nx}) AS cy_max
+FROM lab l JOIN hot h ON h.cell_id = l.cell_id
+GROUP BY l.region_id ORDER BY l.region_id
 """,
         "events_time_agg": """
 SELECT event_type, count(*) AS n FROM events

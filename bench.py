@@ -209,6 +209,9 @@ def bench_queries() -> dict[str, float]:
         "dsir_select",
         "semdedup_keep",
         "lm_nll_worst",
+        "segment_dedup",
+        "token_budget_sample",
+        "hotspot_regions",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

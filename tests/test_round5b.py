@@ -142,3 +142,74 @@ def test_token_budget_sample_tiny_budget_drops_stratum(ray_session):
     # en docs are 5 and 6 tokens: neither fits a 3-token budget; fr's 2 fits
     assert out["doc_id"].tolist() == [20]
     assert out["cum_tok"].tolist() == [2]
+
+
+def test_hotspot_regions_planted(ray_session):
+    """Hand-built point cloud: an L-shaped 3-cell region, a separate 1-cell
+    singleton, and a diagonal-only neighbor that must NOT merge (4-adjacency,
+    not 8)."""
+    import ray.data
+
+    from rasterflow.geom.cells import Grid
+    from rasterflow.pipelines.cellagg import hotspot_regions
+
+    grid = Grid.from_bounds(0.0, 0.0, 10.0, 10.0, 1.0)  # nx=ny=10
+
+    def cell_pts(cx, cy, k):
+        return [(cx + 0.5, cy + 0.5)] * k
+
+    pts = (
+        cell_pts(2, 2, 5) + cell_pts(3, 2, 6) + cell_pts(3, 3, 7)  # L region
+        + cell_pts(4, 4, 5)    # diagonal to (3,3): separate region
+        + cell_pts(8, 8, 9)    # isolated singleton
+        + cell_pts(6, 6, 4)    # below threshold -> not hot
+    )
+    df = pd.DataFrame(pts, columns=["x", "y"])
+    out = hotspot_regions(ray.data.from_pandas(df), grid, min_count=5).to_pandas()
+
+    # region ids are min member cell ids (cell = cy*10 + cx)
+    assert out["region_id"].tolist() == [22, 44, 88]
+    l_region = out[out.region_id == 22].iloc[0]
+    assert l_region["n_cells"] == 3 and l_region["n_points"] == 18
+    assert (
+        l_region[["cx_min", "cx_max", "cy_min", "cy_max"]].tolist() == [2, 3, 2, 3]
+    )
+    assert out[out.region_id == 44].iloc[0]["n_cells"] == 1
+    s = out[out.region_id == 88].iloc[0]
+    assert s["n_cells"] == 1 and s["n_points"] == 9
+
+
+def test_hotspot_regions_no_hot_cells(ray_session):
+    """All cells below threshold -> empty result, stable schema."""
+    import ray.data
+
+    from rasterflow.geom.cells import Grid
+    from rasterflow.pipelines.cellagg import hotspot_regions
+
+    grid = Grid.from_bounds(0.0, 0.0, 4.0, 4.0, 1.0)
+    df = pd.DataFrame({"x": [0.5, 1.5], "y": [0.5, 1.5]})
+    out = hotspot_regions(ray.data.from_pandas(df), grid, min_count=5)
+    assert out.count() == 0
+    # Dataset schema is the contract (to_pandas drops columns for any
+    # fully-empty dataset in Ray 2.49 — a bridge artifact, not ours)
+    assert out.schema().names == [
+        "region_id", "n_cells", "n_points", "cx_min", "cx_max", "cy_min", "cy_max",
+    ]
+
+
+def test_hotspot_regions_row_wrap_not_adjacent(ray_session):
+    """The last cell of row r and the first cell of row r+1 are consecutive
+    linear ids but NOT neighbors — the east-edge guard must hold."""
+    import ray.data
+
+    from rasterflow.geom.cells import Grid
+    from rasterflow.pipelines.cellagg import hotspot_regions
+
+    grid = Grid.from_bounds(0.0, 0.0, 3.0, 3.0, 1.0)  # nx=3
+    # cell (2,0) = id 2 and cell (0,1) = id 3: consecutive ids, not adjacent
+    df = pd.DataFrame(
+        [(2.5, 0.5)] * 5 + [(0.5, 1.5)] * 5, columns=["x", "y"]
+    )
+    out = hotspot_regions(ray.data.from_pandas(df), grid, min_count=5).to_pandas()
+    assert out["region_id"].tolist() == [2, 3]
+    assert (out["n_cells"] == 1).all()
