@@ -134,6 +134,26 @@ def _q_hotspot_regions(sf_dir: str):
     return hotspot_regions(documents_points(sf_dir), ORACLE_GRID, min_count=5)
 
 
+def _q_focal_smooth(sf_dir: str):
+    """Focal 3x3 binomial (gauss3) weighted sum over the per-cell count
+    raster — GIS focal statistics / kernel-density-lite smoothing; integer
+    stencil weights keep the oracle exact."""
+    from rasterflow.pipelines.cellagg import focal_cell_smooth
+
+    return focal_cell_smooth(documents_points(sf_dir), ORACLE_GRID, kernel="gauss3")
+
+
+def _q_source_overlap(sf_dir: str):
+    """Cross-source duplicate-overlap matrix: distinct shared 8-token
+    segments per unordered source pair (crawl-dump redundancy diagnostic)."""
+    import ray.data
+
+    from rasterflow.pipelines.dedup import source_segment_overlap
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return source_segment_overlap(ds, seg_tokens=8)
+
+
 def _q_events_time_agg(sf_dir: str):
     import ray.data
 
@@ -2108,6 +2128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_agg_rect": _q_filter_agg_rect,
         "cell_counts": _q_cell_counts,
         "hotspot_regions": _q_hotspot_regions,
+        "focal_smooth": _q_focal_smooth,
+        "source_overlap": _q_source_overlap,
         "events_time_agg": _q_events_time_agg,
         "dedup_exact_prefix": _q_dedup_exact_prefix,
         "token_stats": _q_token_stats,
@@ -2897,6 +2919,7 @@ FROM r WHERE rn <= {KNN_K} ORDER BY query_id, dist, doc_id
 
 def oracle_sql() -> dict[str, str]:
     nx = ORACLE_GRID.nx
+    ny = ORACLE_GRID.ny
     qx, qy, r = RADIUS_Q
     return {
         "join_cust_orders": """
@@ -3338,6 +3361,45 @@ SELECT l.region_id, count(*) AS n_cells, CAST(sum(h.n) AS BIGINT) AS n_points,
        min(h.cell_id // {nx}) AS cy_min, max(h.cell_id // {nx}) AS cy_max
 FROM lab l JOIN hot h ON h.cell_id = l.cell_id
 GROUP BY l.region_id ORDER BY l.region_id
+""",
+        # focal_smooth scatters each cell's count x integer stencil weight to
+        # its in-grid 3x3 neighbors; integer weights keep this hash-exact
+        "focal_smooth": f"""
+WITH {GEO_CTE.strip()},
+cells AS (
+  SELECT CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id,
+         count(*) AS n
+  FROM geo GROUP BY cell_id
+),
+xy AS (SELECT cell_id % {nx} AS cx, cell_id // {nx} AS cy, n FROM cells),
+st(dx, dy, w) AS (VALUES (-1,-1,1),(0,-1,2),(1,-1,1),(-1,0,2),(0,0,4),(1,0,2),(-1,1,1),(0,1,2),(1,1,1)),
+nb AS (
+  SELECT (cy + dy) * {nx} + (cx + dx) AS cell_id, n * w AS wn,
+         CASE WHEN dx = 0 AND dy = 0 THEN n ELSE 0 END AS own
+  FROM xy, st
+  WHERE cx + dx BETWEEN 0 AND {nx - 1} AND cy + dy BETWEEN 0 AND {ny - 1}
+)
+SELECT cell_id, CAST(sum(own) AS BIGINT) AS n, CAST(sum(wn) AS BIGINT) AS focal_n
+FROM nb GROUP BY cell_id ORDER BY cell_id
+""",
+        # source_overlap: distinct shared 8-token segments per source pair;
+        # the segment CTE is byte-identical to segment_dedup's
+        "source_overlap": r"""
+WITH t AS (
+  SELECT source, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+nz AS (SELECT * FROM t WHERE len(toks) > 0),
+segs AS (
+  SELECT source,
+         array_to_string(toks[start:least(start + 8 - 1, len(toks))], ' ') AS seg
+  FROM (SELECT source, toks, unnest(generate_series(1, len(toks), 8)) AS start FROM nz)
+),
+d AS (SELECT DISTINCT seg, source FROM segs)
+SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.seg = b.seg AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "events_time_agg": """
 SELECT event_type, count(*) AS n FROM events

@@ -212,6 +212,8 @@ def bench_queries() -> dict[str, float]:
         "segment_dedup",
         "token_budget_sample",
         "hotspot_regions",
+        "focal_smooth",
+        "source_overlap",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

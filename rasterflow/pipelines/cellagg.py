@@ -93,6 +93,69 @@ def cell_histogram_global(points_ds, res: int, x_col: str = "x", y_col: str = "y
     return out.sort("cell_id") if sort else out
 
 
+#: integer 3x3 stencils — integer weights keep the DuckDB oracle exact.
+#: "gauss3" is the binomial (Gaussian-approximating) smoothing kernel;
+#: "sum3" the uniform neighborhood sum (GIS "focal sum").
+_FOCAL_KERNELS = {
+    "gauss3": (1, 2, 1, 2, 4, 2, 1, 2, 1),
+    "sum3": (1, 1, 1, 1, 1, 1, 1, 1, 1),
+}
+
+
+def focal_cell_smooth(points_ds, grid: Grid, kernel: str = "gauss3", num_partitions: int | None = None):
+    """Focal (neighborhood) weighted sum over the per-cell count raster —
+    GIS "focal statistics", the kernel-density-lite smoothing primitive the
+    reference's dense canvas would express as a convolution pass (its canvas
+    readback at ``RasterJoin/join/RasterJoin.cpp:51-78`` never smooths; this
+    is the natural next step a heatmap consumer runs on it).
+
+    Plan: :func:`cell_histogram_grid` collapses the point stream to
+    canvas-sized (cell, n) rows; each cell then *scatters* ``n x w`` to its
+    <=9 in-grid neighbors (row-local ~9x expansion of canvas-sized rows — a
+    gather formulation would need neighbor lookups across partitions; the
+    scatter needs only ONE hash exchange), and :func:`~rasterflow.util.
+    grouped_aggregate` sums per target cell.  Integer stencil weights make
+    the result exactly SQL-replicable.
+
+    Output, sorted by cell id, one row per cell with nonzero focal mass:
+    ``(cell_id, n, focal_n)`` — ``n`` is the cell's own count (0 for empty
+    cells lit only by a neighbor), ``focal_n`` the weighted neighborhood
+    sum."""
+    from ..util import grouped_aggregate
+
+    wgrid = _FOCAL_KERNELS[kernel]
+    nx, ny = np.int64(grid.nx), np.int64(grid.ny)
+    dxs = np.tile(np.array([-1, 0, 1], dtype=np.int64), 3)
+    dys = np.repeat(np.array([-1, 0, 1], dtype=np.int64), 3)
+    ws = np.array(wgrid, dtype=np.int64)
+
+    hist = cell_histogram_grid(points_ds, grid, sort=False)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        c = t.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = c % nx, c // nx
+        tx = cx[:, None] + dxs[None, :]
+        ty = cy[:, None] + dys[None, :]
+        ok = (tx >= 0) & (tx < nx) & (ty >= 0) & (ty < ny)
+        wn = n[:, None] * ws[None, :]
+        own = np.where((dxs[None, :] == 0) & (dys[None, :] == 0), n[:, None], np.int64(0))
+        tgt = (ty * nx + tx)[ok]
+        return pa.table(
+            {"cell_id": pa.array(tgt), "wn": pa.array(wn[ok]), "own": pa.array(own[ok])}
+        )
+
+    scattered = hist.map_batches(scatter, batch_format="pyarrow")
+    out = grouped_aggregate(
+        scattered,
+        "cell_id",
+        {"n": ("own", "sum"), "focal_n": ("wn", "sum")},
+        num_partitions=num_partitions,
+        weight=0.25,
+    )
+    return out.sort("cell_id")
+
+
 def hotspot_regions(points_ds, grid: Grid, min_count: int = 5, num_partitions: int | None = None):
     """Raster→vector extraction: threshold the per-cell count raster at
     ``min_count`` and vectorize the surviving cells into 4-connected regions

@@ -213,3 +213,112 @@ def test_hotspot_regions_row_wrap_not_adjacent(ray_session):
     out = hotspot_regions(ray.data.from_pandas(df), grid, min_count=5).to_pandas()
     assert out["region_id"].tolist() == [2, 3]
     assert (out["n_cells"] == 1).all()
+
+
+def test_focal_smooth_planted(ray_session):
+    """One interior cell with k points lights its full 3x3 neighborhood with
+    binomial weights; a corner cell lights only its 4 in-grid neighbors."""
+    import ray.data
+
+    from rasterflow.geom.cells import Grid
+    from rasterflow.pipelines.cellagg import focal_cell_smooth
+
+    grid = Grid.from_bounds(0.0, 0.0, 10.0, 10.0, 1.0)  # nx=ny=10
+    # 3 points in cell (5,5) = id 55; 2 points in corner cell (0,0) = id 0
+    df = pd.DataFrame([(5.5, 5.5)] * 3 + [(0.5, 0.5)] * 2, columns=["x", "y"])
+    out = (
+        focal_cell_smooth(ray.data.from_pandas(df), grid, kernel="gauss3")
+        .to_pandas()
+        .set_index("cell_id")
+    )
+    # interior: 9 lit cells around 55; corner: 4 lit cells around 0
+    assert len(out) == 13
+    assert out.loc[55, "focal_n"] == 12 and out.loc[55, "n"] == 3  # w=4 center
+    assert out.loc[44, "focal_n"] == 3 and out.loc[44, "n"] == 0   # diag w=1
+    assert out.loc[45, "focal_n"] == 6                              # edge w=2
+    assert out.loc[0, "focal_n"] == 8 and out.loc[0, "n"] == 2      # 2*4
+    assert out.loc[1, "focal_n"] == 4 and out.loc[11, "focal_n"] == 2
+    assert set(out.index) == {44, 45, 46, 54, 55, 56, 64, 65, 66, 0, 1, 10, 11}
+
+
+def test_focal_smooth_sum3_brute(ray_session):
+    """Uniform kernel over a random raster == dense scipy-free brute force."""
+    import ray.data
+
+    from rasterflow.geom.cells import Grid
+    from rasterflow.pipelines.cellagg import focal_cell_smooth
+
+    rng = np.random.default_rng(7)
+    grid = Grid.from_bounds(0.0, 0.0, 6.0, 5.0, 1.0)  # nx=6, ny=5
+    pts = pd.DataFrame(
+        {"x": rng.uniform(0, 6, 300), "y": rng.uniform(0, 5, 300)}
+    )
+    out = (
+        focal_cell_smooth(ray.data.from_pandas(pts), grid, kernel="sum3")
+        .to_pandas()
+        .set_index("cell_id")
+    )
+    dense = np.zeros((5, 6), dtype=np.int64)
+    ix = np.floor(pts["x"]).astype(int)
+    iy = np.floor(pts["y"]).astype(int)
+    np.add.at(dense, (iy, ix), 1)
+    padded = np.pad(dense, 1)
+    focal = sum(
+        padded[1 + dy : 6 + dy, 1 + dx : 7 + dx]
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    )
+    for cid, row in out.iterrows():
+        cy, cx = divmod(cid, 6)
+        assert row["focal_n"] == focal[cy, cx] and row["n"] == dense[cy, cx]
+    # every cell with nonzero focal mass is present
+    assert len(out) == int((focal > 0).sum())
+
+
+def test_source_overlap_planted(ray_session):
+    """Segments shared across sources count once per DISTINCT segment;
+    within-source repeats don't inflate; disjoint sources are absent."""
+    import ray.data
+
+    from rasterflow.pipelines.dedup import source_segment_overlap
+
+    seg1 = "a b c d e f g h"          # exactly one 8-token segment
+    seg2 = "p q r s t u v w"
+    docs = pd.DataFrame(
+        {
+            "source": ["A", "A", "B", "B", "C"],
+            "text": [
+                seg1,                   # A has seg1
+                seg1,                   # ...twice (must not double-count)
+                seg1 + " " + seg2,      # B has seg1 AND seg2
+                seg2,                   # ...seg2 twice
+                "x y z",                # C shares nothing
+            ],
+        }
+    )
+    out = source_segment_overlap(
+        ray.data.from_pandas(docs), seg_tokens=8
+    ).to_pandas()
+    assert out[["src_a", "src_b"]].values.tolist() == [["A", "B"]]
+    assert out["n_shared"].tolist() == [1]
+
+
+def test_source_overlap_partition_invariance(ray_session):
+    """Result is identical at 1 and 7 hash partitions (the matmul partials
+    compose)."""
+    import ray.data
+
+    from rasterflow.pipelines.dedup import source_segment_overlap
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        src = f"s{rng.integers(0, 4)}"
+        text = " ".join(rng.choice(vocab, size=rng.integers(4, 40)))
+        rows.append((src, text))
+    docs = pd.DataFrame(rows, columns=["source", "text"])
+    ds = ray.data.from_pandas(docs)
+    a = source_segment_overlap(ds, seg_tokens=4, num_partitions=1).to_pandas()
+    b = source_segment_overlap(ds, seg_tokens=4, num_partitions=7).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
