@@ -31,6 +31,7 @@ from rasterflow.pipelines.points import (
     oracle_rect_layer,
     poly_edges_values_sql,
     rects_values_sql,
+    sites_values_sql,
 )
 from rasterflow.stages.filters import apply_constraints
 
@@ -93,6 +94,71 @@ def _q_agg_poly_sum(sf_dir: str):
         documents_points(sf_dir), oracle_poly_layer(), how="hybrid",
         value_col="n_chars", agg="sum", cell_size=0.05, concurrency=2,
     )
+
+
+def _q_zonal_minmax(sf_dir: str):
+    """Zonal statistics (round 5): per-polygon count/sum/min/max of n_chars
+    over the exact index join — the GIS zonal-stats family the reference's
+    (count, sum) canvas (RasterJoin/join/RasterJoin.cpp:51-78) cannot express.
+    min/max are order-independent; the sum is exact (integer-valued col)."""
+    from rasterflow.pipelines.zonal import zonal_stats
+
+    return zonal_stats(
+        documents_points(sf_dir), oracle_poly_layer(), value_col="n_chars",
+        how="index", cell_size=0.05,
+    )
+
+
+def _q_uncovered_by_lang(sf_dir: str):
+    """Coverage complement (GIS "erase"): documents whose point lies in NO
+    oracle polygon, counted per lang.  The anti-join is a streaming filter
+    (no shuffle); counts collapse per batch before the tiny lang exchange."""
+    from rasterflow.pipelines.zonal import spatial_anti_join
+    from rasterflow.util import coalesce_small, grouped_aggregate
+
+    anti = spatial_anti_join(
+        documents_points(sf_dir), oracle_poly_layer(), how="index", cell_size=0.05
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(b.column("lang"))
+        return pa.table(
+            {"lang": vc.field("values"), "n_uncovered": vc.field("counts")}
+        )
+
+    partials = anti.map_batches(part, batch_format="pyarrow")
+    return grouped_aggregate(
+        coalesce_small(partials, 0.25), "lang", {"n_uncovered": ("n_uncovered", "sum")}
+    ).sort("lang")
+
+
+def _q_nearest_poly_centroid(sf_dir: str):
+    """Nearest-facility assignment: every point to its nearest polygon
+    centroid (squared Euclidean, ties to the lowest site id) — per-site count
+    + min squared distance.  The site table is a broadcast closure constant
+    shared verbatim with the SQL oracle's VALUES literals."""
+    from rasterflow.pipelines.points import ORACLE_SITES
+    from rasterflow.pipelines.zonal import nearest_site_counts
+
+    return nearest_site_counts(documents_points(sf_dir), ORACLE_SITES)
+
+
+def _q_lang_spatial_profile(sf_dir: str):
+    """Per-lang spatial footprint: point count, distinct occupied 0.5° cells,
+    and bbox — per-(lang, cell) partials, two tiny key-only exchanges."""
+    from rasterflow.pipelines.zonal import group_spatial_profile
+
+    return group_spatial_profile(documents_points(sf_dir), ORACLE_GRID, "lang")
+
+
+def _q_cell_pyramid(sf_dir: str):
+    """Multi-resolution count pyramid (map-tile zoom stack) over the oracle
+    grid: levels 0/1/2 from ONE scan, one (level, cell) shuffle."""
+    from rasterflow.pipelines.zonal import pyramid_histogram
+
+    return pyramid_histogram(documents_points(sf_dir), ORACLE_GRID, levels=3)
 
 
 def _q_agg_poly_sharded(sf_dir: str):
@@ -2092,6 +2158,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "zonal_minmax": _q_zonal_minmax,
+        "uncovered_by_lang": _q_uncovered_by_lang,
+        "nearest_poly_centroid": _q_nearest_poly_centroid,
+        "lang_spatial_profile": _q_lang_spatial_profile,
+        "cell_pyramid": _q_cell_pyramid,
         "semdedup_keep": _q_semdedup,
         "lm_nll_worst": _q_lm_nll,
         "dsir_select": _q_dsir_select,
@@ -2921,7 +2992,74 @@ def oracle_sql() -> dict[str, str]:
     nx = ORACLE_GRID.nx
     ny = ORACLE_GRID.ny
     qx, qy, r = RADIUS_Q
+    # pyramid level widths: ceil(nx / 2^l), matching pyramid_histogram
+    w1 = -(-nx // 2)
+    w2 = -(-nx // 4)
     return {
+        "zonal_minmax": f"""
+WITH {GEO_CTE.strip()},
+{poly_edges_values_sql()},
+hits AS ({PIP_JOIN_SQL.strip()})
+SELECT CAST(poly_id AS INTEGER) AS poly_id, count(*) AS "count",
+       CAST(sum(n_chars) AS DOUBLE) AS "sum",
+       CAST(min(n_chars) AS DOUBLE) AS "min",
+       CAST(max(n_chars) AS DOUBLE) AS "max"
+FROM hits GROUP BY poly_id ORDER BY poly_id
+""",
+        "uncovered_by_lang": f"""
+WITH {GEO_CTE.strip()},
+{poly_edges_values_sql()},
+hits AS ({PIP_JOIN_SQL.strip()})
+SELECT lang, count(*) AS n_uncovered
+FROM geo g
+WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = g.doc_id)
+GROUP BY lang ORDER BY lang
+""",
+        "nearest_poly_centroid": f"""
+WITH {GEO_CTE.strip()},
+{sites_values_sql()},
+d AS (
+  SELECT g.doc_id, s.site_id,
+         (g.lon - s.sx) * (g.lon - s.sx) + (g.lat - s.sy) * (g.lat - s.sy) AS d2
+  FROM geo g CROSS JOIN sites s
+),
+best AS (
+  SELECT doc_id, site_id, d2,
+         row_number() OVER (PARTITION BY doc_id ORDER BY d2, site_id) AS rn
+  FROM d
+)
+SELECT CAST(site_id AS INTEGER) AS site_id, count(*) AS "count", min(d2) AS min_d2
+FROM best WHERE rn = 1 GROUP BY site_id ORDER BY site_id
+""",
+        "lang_spatial_profile": f"""
+WITH {GEO_CTE.strip()},
+pc AS (
+  SELECT lang, lon, lat,
+         CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id
+  FROM geo
+)
+SELECT lang, count(*) AS n_points, count(DISTINCT cell_id) AS n_cells,
+       min(lon) AS min_x, max(lon) AS max_x, min(lat) AS min_y, max(lat) AS max_y
+FROM pc GROUP BY lang ORDER BY lang
+""",
+        "cell_pyramid": f"""
+WITH {GEO_CTE.strip()},
+rc AS (
+  SELECT CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) AS r,
+         CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS c
+  FROM geo
+),
+lv AS (
+  SELECT CAST(0 AS BIGINT) AS "level", r * {nx} + c AS cell_id FROM rc
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), (r // 2) * {w1} + (c // 2) FROM rc
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), (r // 4) * {w2} + (c // 4) FROM rc
+)
+SELECT "level", cell_id, count(*) AS n
+FROM lv GROUP BY "level", cell_id ORDER BY "level", cell_id
+""",
         "join_cust_orders": """
 SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders, max(o_totalprice) AS max_price
 FROM customer JOIN orders ON o_custkey = c_custkey

@@ -214,6 +214,11 @@ def bench_queries() -> dict[str, float]:
         "hotspot_regions",
         "focal_smooth",
         "source_overlap",
+        "zonal_minmax",
+        "uncovered_by_lang",
+        "nearest_poly_centroid",
+        "lang_spatial_profile",
+        "cell_pyramid",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

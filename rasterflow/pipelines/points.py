@@ -61,6 +61,27 @@ ORACLE_POLYS = [
 ]
 
 
+# Nearest-facility sites: the vertex mean of each oracle polygon, computed
+# ONCE here in plain Python — the engine consumes these float64 values and the
+# SQL oracle embeds their repr() literals, so both sides share identical
+# constants (repr round-trips float64 exactly).
+ORACLE_SITES = [
+    (sum(p[0] for p in ring) / len(ring), sum(p[1] for p in ring) / len(ring))
+    for ring in ORACLE_POLYS
+]
+
+
+def sites_values_sql() -> str:
+    # "e0"-suffixed literals parse directly as DOUBLE: DuckDB's plain decimal
+    # literals become DECIMAL, and its decimal->double path rounds 17-digit
+    # mantissas (int/10^scale with the int already above 2^53), which would
+    # shift min_d2 by ~1 ulp vs the engine's float64 arithmetic.
+    rows = ",\n    ".join(
+        f"({i}, {sx!r}e0, {sy!r}e0)" for i, (sx, sy) in enumerate(ORACLE_SITES)
+    )
+    return f"sites(site_id, sx, sy) AS (VALUES\n    {rows}\n)"
+
+
 def oracle_rect_layer() -> PolygonLayer:
     return rect_layer("oracle_rects", np.asarray(ORACLE_RECTS, dtype=np.float64))
 

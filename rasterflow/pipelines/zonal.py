@@ -1,0 +1,315 @@
+"""Zonal / coverage analytics over the spatial-join plane.
+
+The reference's join kernels aggregate per-polygon COUNT and AVG only
+(``RasterJoin/join/RasterJoinAlgo.cpp`` accumulates a (count, sum) canvas;
+``Common.h:24-27`` declares no min/max).  This module adds the GIS "zonal
+statistics" family a raster-join consumer runs next — all expressed as the
+same partial→reduce split as :class:`~rasterflow.pipelines.joins.SpatialJoinAgg`:
+
+* :func:`zonal_stats` — per-polygon count / sum / min / max of a value column
+  (min/max are order-independent and therefore hash-exact; the float sum is
+  exact whenever the value column is integer-valued, cf. ``agg_poly_sum``).
+* :func:`spatial_anti_join` — the coverage complement (points contained in NO
+  polygon of the layer), the GIS "erase" operation.  Streaming row filter, no
+  shuffle.
+* :func:`nearest_site_counts` — nearest-facility assignment of every point to
+  a small broadcast set of sites (squared-Euclidean, ties to the lowest site
+  id) with per-site count + min distance.  Partials are ≤ k rows per batch.
+* :func:`group_spatial_profile` — per-group spatial footprint: point count,
+  distinct occupied cells, bounding box.  Two tiny shuffles of per-(group,
+  cell) partials; the raw points never move.
+* :func:`pyramid_histogram` — multi-resolution count pyramid over a local
+  canvas grid (a map-tile zoom stack): ONE scan of the points, every level
+  emitted from the same per-batch partial, one (level, cell) shuffle.
+
+100 TB posture: every stage reduces inside ``map_batches`` first (partials are
+bounded by the touched-key count per batch, not the row count), so the only
+exchanges are over already-collapsed keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom.cells import Grid
+from ..util import coalesce_small, grouped_aggregate
+from .joins import SpatialJoinAgg, _bundle_ref, _memo
+
+_ZONAL_SCHEMA = pa.schema(
+    [
+        ("poly_id", pa.int32()),
+        ("count", pa.int64()),
+        ("sum", pa.float64()),
+        ("min", pa.float64()),
+        ("max", pa.float64()),
+    ]
+)
+
+
+class SpatialZonalStats(SpatialJoinAgg):
+    """Per-batch partial zonal statistics: ``(poly_id, count, sum, min, max)``.
+
+    Reuses the parent's strategy-dispatched matcher (raster / index / hybrid);
+    the per-polygon reductions are one stable argsort + ``ufunc.reduceat``
+    over the matched pairs — no Python per-group work.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        if self.value_col is None:
+            raise ValueError("zonal stats require a value_col")
+        b = self.b
+        x = batch.column("x").to_numpy(zero_copy_only=False).astype(self.dtype, copy=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False).astype(self.dtype, copy=False)
+        v = batch.column(self.value_col).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        lin, valid = b.grid.locate_linear(x, y)
+        if not valid.all():
+            x, y, lin, v = x[valid], y[valid], lin[valid], v[valid]
+        pts, pl = self._match_pairs(x, y, lin)
+        if len(pl) == 0:
+            return _ZONAL_SCHEMA.empty_table()
+        vo = v[pts]
+        order = np.argsort(pl, kind="stable")
+        pls, vs = pl[order], vo[order]
+        uniq, starts = np.unique(pls, return_index=True)
+        counts = np.diff(np.append(starts, len(pls)))
+        return pa.table(
+            {
+                "poly_id": pa.array(uniq.astype(np.int32), type=pa.int32()),
+                "count": pa.array(counts.astype(np.int64)),
+                "sum": pa.array(np.add.reduceat(vs, starts)),
+                "min": pa.array(np.minimum.reduceat(vs, starts)),
+                "max": pa.array(np.maximum.reduceat(vs, starts)),
+            }
+        )
+
+
+def zonal_stats(
+    points_ds,
+    layer_or_bundle,
+    value_col: str,
+    how: str = "index",
+    accuracy_m: float = 100.0,
+    cell_size: float | None = None,
+    max_cover_cells: int = 32_000_000,
+    batch_size: int = 65536,
+    sort: bool = True,
+):
+    """Per-polygon ``count / sum / min / max`` of ``value_col``.
+
+    ``min``/``max`` are order-independent (bit-exact under any partitioning);
+    the float64 ``sum`` is exact for integer-valued columns below 2^53.
+    """
+    ref = _bundle_ref(layer_or_bundle, accuracy_m, cell_size, max_cover_cells)
+    import ray
+
+    key = (
+        "zonal", ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref), how, value_col,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        agg = _memo(key, lambda: SpatialZonalStats(ref, how=how, value_col=value_col))
+        return agg(batch)
+
+    partials = points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+    out = grouped_aggregate(
+        coalesce_small(partials, 0.25),
+        "poly_id",
+        {
+            "count": ("count", "sum"),
+            "sum": ("sum", "sum"),
+            "min": ("min", "min"),
+            "max": ("max", "max"),
+        },
+    )
+    return out.sort("poly_id") if sort else out
+
+
+def spatial_anti_join(
+    points_ds,
+    layer_or_bundle,
+    how: str = "index",
+    accuracy_m: float = 100.0,
+    cell_size: float | None = None,
+    max_cover_cells: int = 32_000_000,
+    batch_size: int = 65536,
+):
+    """Rows contained in NO polygon of the layer (GIS "erase" / coverage
+    complement).  Points outside the layer's canvas are uncovered by
+    definition.  Exact under ``how="index"``/``"hybrid"``; ``"raster"`` gives
+    the raster approximation of coverage.  Pure streaming filter — no shuffle,
+    the bundle ships once via the object store."""
+    ref = _bundle_ref(layer_or_bundle, accuracy_m, cell_size, max_cover_cells)
+    import ray
+
+    key = ("anti", ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref), how)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        agg = _memo(key, lambda: SpatialJoinAgg(ref, how=how))
+        b = agg.b
+        x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        lin, valid = b.grid.locate_linear(x, y)
+        vidx = np.flatnonzero(valid)
+        pts, _ = agg._match_pairs(x[vidx], y[vidx], lin[vidx])
+        covered = np.zeros(len(x), dtype=bool)
+        if len(pts):
+            covered[vidx[np.unique(pts)]] = True
+        return batch.filter(pa.array(~covered))
+
+    return points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def nearest_site_counts(points_ds, sites, batch_size: int = 65536, sort: bool = True):
+    """Nearest-facility assignment: each point to its nearest site.
+
+    ``sites`` is a small (k, 2) array broadcast in the task closure — no
+    shuffle of the points; each batch collapses to ≤ k partial rows.  Distance
+    is squared Euclidean ``(x-sx)² + (y-sy)²`` (deterministic float64 — two
+    products and one add, no accumulation), ties broken toward the lowest site
+    id (numpy ``argmin`` first-occurrence ≡ SQL ``ORDER BY d2, site_id``).
+    Returns ``(site_id, count, min_d2)`` for every site that won ≥1 point.
+    """
+    s = np.ascontiguousarray(np.asarray(sites, dtype=np.float64).reshape(-1, 2))
+    k = len(s)
+    empty = pa.schema([("site_id", pa.int32()), ("count", pa.int64()), ("min_d2", pa.float64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        if len(x) == 0:
+            return empty.empty_table()
+        dx = x[:, None] - s[None, :, 0]
+        dy = y[:, None] - s[None, :, 1]
+        d2 = dx * dx + dy * dy
+        a = np.argmin(d2, axis=1)
+        dmin = d2[np.arange(len(x)), a]
+        counts = np.bincount(a, minlength=k)
+        mins = np.full(k, np.inf)
+        np.minimum.at(mins, a, dmin)
+        touched = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "site_id": pa.array(touched.astype(np.int32), type=pa.int32()),
+                "count": pa.array(counts[touched].astype(np.int64)),
+                "min_d2": pa.array(mins[touched]),
+            }
+        )
+
+    partials = points_ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    out = grouped_aggregate(
+        coalesce_small(partials, 0.25),
+        "site_id",
+        {"count": ("count", "sum"), "min_d2": ("min_d2", "min")},
+    )
+    return out.sort("site_id") if sort else out
+
+
+def group_spatial_profile(points_ds, grid: Grid, group_col: str = "lang", sort: bool = True):
+    """Per-group spatial footprint: ``(group, n_points, n_cells, min_x, max_x,
+    min_y, max_y)`` where ``n_cells`` counts distinct occupied grid cells.
+
+    Stage 1 collapses each batch to per-(group, cell) partials; stage 2
+    reduces those to unique (group, cell) rows; stage 3 folds to one row per
+    group.  The raw points move zero times — only collapsed keys shuffle.
+    Points outside the grid are dropped (canvas clip, like the histogram)."""
+    import pandas as pd
+
+    empty = pa.schema(
+        [
+            (group_col, pa.string()),
+            ("cell_id", pa.int64()),
+            ("n", pa.int64()),
+            ("min_x", pa.float64()),
+            ("max_x", pa.float64()),
+            ("min_y", pa.float64()),
+            ("max_y", pa.float64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        lin, valid = grid.locate_linear(x, y)
+        g = batch.column(group_col).to_pandas()
+        df = pd.DataFrame({group_col: g, "cell_id": lin, "x": x, "y": y})
+        if not valid.all():
+            df = df[valid]
+        if len(df) == 0:
+            return empty.empty_table()
+        out = df.groupby([group_col, "cell_id"], as_index=False, sort=False).agg(
+            n=pd.NamedAgg("x", "size"),
+            min_x=pd.NamedAgg("x", "min"),
+            max_x=pd.NamedAgg("x", "max"),
+            min_y=pd.NamedAgg("y", "min"),
+            max_y=pd.NamedAgg("y", "max"),
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = points_ds.map_batches(partial, batch_format="pyarrow")
+    per_cell = grouped_aggregate(
+        coalesce_small(partials, 0.25),
+        [group_col, "cell_id"],
+        {
+            "n": ("n", "sum"),
+            "min_x": ("min_x", "min"),
+            "max_x": ("max_x", "max"),
+            "min_y": ("min_y", "min"),
+            "max_y": ("max_y", "max"),
+        },
+    )
+    out = grouped_aggregate(
+        per_cell,
+        group_col,
+        {
+            "n_points": ("n", "sum"),
+            "n_cells": ("cell_id", "count"),
+            "min_x": ("min_x", "min"),
+            "max_x": ("max_x", "max"),
+            "min_y": ("min_y", "min"),
+            "max_y": ("max_y", "max"),
+        },
+    )
+    return out.sort(group_col) if sort else out
+
+
+def pyramid_histogram(points_ds, grid: Grid, levels: int = 3, sort: bool = True):
+    """Multi-resolution count pyramid over a local canvas grid.
+
+    Level 0 is the grid itself; level ``l`` aggregates ``2^l × 2^l`` cell
+    blocks, linearized on the level's own ceil-divided width (``row >> l`` ×
+    ``ceil(nx / 2^l)`` + ``col >> l``) — the map-tile zoom stack a heatmap
+    server precomputes.  ONE scan of the points: every level is emitted from
+    the same per-batch partial (each already collapsed to unique cells), so a
+    single (level, cell) shuffle finalizes the whole stack."""
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    nx = grid.nx
+    widths = [max(1, -(-nx // (1 << lv))) for lv in range(levels)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        lin, valid = grid.locate_linear(x, y)
+        lin = lin[valid]
+        iy, ix = np.divmod(lin, np.int64(nx))
+        lv_out, cell_out, n_out = [], [], []
+        for lv in range(levels):
+            cl = (iy >> lv) * np.int64(widths[lv]) + (ix >> lv)
+            cells, counts = np.unique(cl, return_counts=True)
+            lv_out.append(np.full(len(cells), lv, dtype=np.int64))
+            cell_out.append(cells)
+            n_out.append(counts.astype(np.int64))
+        return pa.table(
+            {
+                "level": np.concatenate(lv_out) if lv_out else np.empty(0, np.int64),
+                "cell_id": np.concatenate(cell_out) if cell_out else np.empty(0, np.int64),
+                "n": np.concatenate(n_out) if n_out else np.empty(0, np.int64),
+            }
+        )
+
+    partials = points_ds.map_batches(partial, batch_format="pyarrow")
+    out = grouped_aggregate(
+        coalesce_small(partials, 0.25), ["level", "cell_id"], {"n": ("n", "sum")}
+    )
+    return out.sort(["level", "cell_id"]) if sort else out

@@ -1,0 +1,153 @@
+"""Zonal / coverage analytics (rasterflow.pipelines.zonal) vs brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rasterflow.geom.cells import Grid
+from rasterflow.geom.polyio import rect_layer
+from rasterflow.pipelines.zonal import (
+    group_spatial_profile,
+    nearest_site_counts,
+    pyramid_histogram,
+    spatial_anti_join,
+    zonal_stats,
+)
+
+RECTS = np.array(
+    [
+        (0.0, 0.0, 4.0, 4.0),
+        (2.0, 2.0, 8.0, 6.0),   # overlaps the first
+        (6.5, 7.0, 9.5, 9.5),
+    ]
+)
+
+
+def _points(n=4000, seed=7):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1.0, 11.0, n)
+    y = rng.uniform(-1.0, 11.0, n)
+    v = rng.integers(1, 500, n).astype(np.float64)
+    g = np.array(["ab"[i % 2] for i in range(n)])
+    return pd.DataFrame({"doc_id": np.arange(n), "x": x, "y": y, "v": v, "lang": g})
+
+
+def _member(df):
+    """(n, k) bool: half-open rect membership [xmin, xmax) x [ymin, ymax),
+    matching the engine's PIP edge rule for axis-aligned CCW rectangles."""
+    m = np.zeros((len(df), len(RECTS)), dtype=bool)
+    for j, (x0, y0, x1, y1) in enumerate(RECTS):
+        m[:, j] = (df.x.values >= x0) & (df.x.values < x1) & (df.y.values >= y0) & (df.y.values < y1)
+    return m
+
+
+@pytest.fixture(scope="module")
+def pts_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_pandas(_points()).repartition(7)
+
+
+def test_zonal_stats_brute(ray_session, pts_ds):
+    layer = rect_layer("z", RECTS)
+    got = zonal_stats(pts_ds, layer, value_col="v", how="index", cell_size=0.5).to_pandas()
+    df = _points()
+    m = _member(df)
+    exp = []
+    for j in range(len(RECTS)):
+        vv = df.v.values[m[:, j]]
+        if len(vv):
+            exp.append((j, len(vv), vv.sum(), vv.min(), vv.max()))
+    exp = pd.DataFrame(exp, columns=["poly_id", "count", "sum", "min", "max"])
+    assert got["poly_id"].tolist() == exp["poly_id"].tolist()
+    assert got["count"].tolist() == exp["count"].tolist()
+    np.testing.assert_array_equal(got["sum"].values, exp["sum"].values)
+    np.testing.assert_array_equal(got["min"].values, exp["min"].values)
+    np.testing.assert_array_equal(got["max"].values, exp["max"].values)
+
+
+def test_zonal_stats_hybrid_matches_index(ray_session, pts_ds):
+    layer = rect_layer("z", RECTS)
+    a = zonal_stats(pts_ds, layer, value_col="v", how="index", cell_size=0.5).to_pandas()
+    b = zonal_stats(pts_ds, layer, value_col="v", how="hybrid", cell_size=0.5).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_spatial_anti_join_brute(ray_session, pts_ds):
+    layer = rect_layer("z", RECTS)
+    got = spatial_anti_join(pts_ds, layer, how="index", cell_size=0.5).to_pandas()
+    df = _points()
+    exp_ids = df.doc_id.values[~_member(df).any(axis=1)]
+    assert sorted(got["doc_id"].tolist()) == sorted(exp_ids.tolist())
+    # covered + uncovered partitions the input
+    assert len(got) + int(_member(df).any(axis=1).sum()) == len(df)
+
+
+def test_nearest_site_counts_brute(ray_session, pts_ds):
+    sites = np.array([(1.0, 1.0), (5.0, 5.0), (9.0, 1.0), (5.0, 5.0)])  # dup site: tie -> lower id
+    got = nearest_site_counts(pts_ds, sites).to_pandas()
+    df = _points()
+    dx = df.x.values[:, None] - sites[None, :, 0]
+    dy = df.y.values[:, None] - sites[None, :, 1]
+    d2 = dx * dx + dy * dy
+    a = np.argmin(d2, axis=1)
+    assert 3 not in a  # exact-dup site never wins a tie
+    exp_counts = np.bincount(a, minlength=len(sites))
+    touched = np.flatnonzero(exp_counts)
+    assert got["site_id"].tolist() == touched.tolist()
+    assert got["count"].tolist() == exp_counts[touched].tolist()
+    dmin = d2[np.arange(len(df)), a]
+    for sid, mn in zip(got["site_id"], got["min_d2"]):
+        assert mn == dmin[a == sid].min()
+
+
+def test_group_spatial_profile_brute(ray_session, pts_ds):
+    grid = Grid.from_bounds(0.0, 0.0, 10.0, 10.0, 1.0)
+    got = group_spatial_profile(pts_ds, grid, "lang").to_pandas()
+    df = _points()
+    lin, valid = grid.locate_linear(df.x.values, df.y.values)
+    d = df[valid].assign(cell=lin[valid])
+    exp = (
+        d.groupby("lang")
+        .agg(
+            n_points=("x", "size"),
+            n_cells=("cell", "nunique"),
+            min_x=("x", "min"),
+            max_x=("x", "max"),
+            min_y=("y", "min"),
+            max_y=("y", "max"),
+        )
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_pyramid_histogram_levels(ray_session, pts_ds):
+    grid = Grid.from_bounds(0.0, 0.0, 10.0, 10.0, 1.0)  # 10x10, widths 10/5/3
+    got = pyramid_histogram(pts_ds, grid, levels=3).to_pandas()
+    df = _points()
+    lin, valid = grid.locate_linear(df.x.values, df.y.values)
+    lin = lin[valid]
+    iy, ix = np.divmod(lin, grid.nx)
+    n_in = len(lin)
+    for lv, w in [(0, 10), (1, 5), (2, 3)]:
+        sub = got[got["level"] == lv]
+        assert sub["n"].sum() == n_in
+        cl = (iy >> lv) * w + (ix >> lv)
+        cells, counts = np.unique(cl, return_counts=True)
+        assert sub["cell_id"].tolist() == cells.tolist()
+        assert sub["n"].tolist() == counts.tolist()
+
+
+def test_zonal_empty_blocks_schema(ray_session):
+    """Blocks with zero matched pairs must not poison the partial schema."""
+    import ray.data
+
+    df = pd.DataFrame({"x": [100.0, 1.0], "y": [100.0, 1.0], "v": [5.0, 7.0]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    layer = rect_layer("z", RECTS)
+    got = zonal_stats(ds, layer, value_col="v", how="index", cell_size=0.5).to_pandas()
+    assert got["poly_id"].tolist() == [0]
+    assert got["count"].tolist() == [1]
+    assert got["min"].tolist() == [7.0]
