@@ -29,6 +29,7 @@ from rasterflow.pipelines.points import (
     documents_points,
     oracle_poly_layer,
     oracle_rect_layer,
+    poly_edges_double_sql,
     poly_edges_values_sql,
     rects_values_sql,
     sites_values_sql,
@@ -159,6 +160,39 @@ def _q_cell_pyramid(sf_dir: str):
     from rasterflow.pipelines.zonal import pyramid_histogram
 
     return pyramid_histogram(documents_points(sf_dir), ORACLE_GRID, levels=3)
+
+
+def _q_nearest_boundary_docs(sf_dir: str):
+    """Distance-to-nearest-feature: the 20 UNCOVERED documents closest to any
+    polygon boundary (squared point-to-segment distance, clamped projection;
+    ties to the lowest doc_id).  Composition: streaming spatial anti-join →
+    broadcast edge-distance map → per-block partial top-k, no global sort."""
+    from rasterflow.pipelines.zonal import (
+        distance_to_boundary,
+        smallest_k,
+        spatial_anti_join,
+    )
+
+    anti = spatial_anti_join(
+        documents_points(sf_dir), oracle_poly_layer(), how="index", cell_size=0.05
+    )
+    d = distance_to_boundary(anti, oracle_poly_layer(), out_col="d2")
+    top = smallest_k(d.select_columns(["doc_id", "d2"]), "d2", "doc_id", 20)
+    return top.sort(["d2", "doc_id"])
+
+
+def _q_top_docs_per_poly(sf_dir: str):
+    """Per-zone curation: the top-5 documents by n_chars inside each polygon
+    (ties to the lowest doc_id) — spatial join rows composed with the
+    two-stage partial top-k-per-group."""
+    from rasterflow.pipelines.sampling import top_k_per_group
+
+    rows = spatial_join(
+        documents_points(sf_dir), oracle_poly_layer(), how="index",
+        id_col="doc_id", keep_cols=("n_chars",), cell_size=0.05,
+    )
+    out = top_k_per_group(rows, "poly_id", "n_chars", 5, id_col="doc_id")
+    return out.sort(["poly_id", "n_chars", "doc_id"])
 
 
 def _q_agg_poly_sharded(sf_dir: str):
@@ -2158,6 +2192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "nearest_boundary_docs": _q_nearest_boundary_docs,
+        "top_docs_per_poly": _q_top_docs_per_poly,
         "zonal_minmax": _q_zonal_minmax,
         "uncovered_by_lang": _q_uncovered_by_lang,
         "nearest_poly_centroid": _q_nearest_poly_centroid,
@@ -2996,6 +3032,41 @@ def oracle_sql() -> dict[str, str]:
     w1 = -(-nx // 2)
     w2 = -(-nx // 4)
     return {
+        "nearest_boundary_docs": f"""
+WITH {GEO_CTE.strip()},
+{poly_edges_values_sql()},
+hits AS ({PIP_JOIN_SQL.strip()}),
+unc AS (
+  SELECT g.doc_id, g.lon, g.lat FROM geo g
+  WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = g.doc_id)
+),
+{poly_edges_double_sql()},
+seg AS (
+  SELECT u.doc_id, u.lon AS px, u.lat AS py, e.ax, e.ay, e.dx, e.dy,
+         LEAST(GREATEST(((u.lon - e.ax) * e.dx + (u.lat - e.ay) * e.dy) / e.l2, 0e0), 1e0) AS t
+  FROM unc u CROSS JOIN edges_d e
+),
+d2s AS (
+  SELECT doc_id,
+         (px - (ax + t * dx)) * (px - (ax + t * dx))
+         + (py - (ay + t * dy)) * (py - (ay + t * dy)) AS d2
+  FROM seg
+),
+md AS (SELECT doc_id, min(d2) AS d2 FROM d2s GROUP BY doc_id)
+SELECT doc_id, d2 FROM md ORDER BY d2, doc_id LIMIT 20
+""",
+        "top_docs_per_poly": f"""
+WITH {GEO_CTE.strip()},
+{poly_edges_values_sql()},
+hits AS ({PIP_JOIN_SQL.strip()}),
+r AS (
+  SELECT doc_id, poly_id, n_chars,
+         row_number() OVER (PARTITION BY poly_id ORDER BY n_chars DESC, doc_id) AS rn
+  FROM hits
+)
+SELECT CAST(poly_id AS INTEGER) AS poly_id, doc_id, n_chars
+FROM r WHERE rn <= 5 ORDER BY poly_id, n_chars, doc_id
+""",
         "zonal_minmax": f"""
 WITH {GEO_CTE.strip()},
 {poly_edges_values_sql()},

@@ -219,6 +219,8 @@ def bench_queries() -> dict[str, float]:
         "nearest_poly_centroid",
         "lang_spatial_profile",
         "cell_pyramid",
+        "nearest_boundary_docs",
+        "top_docs_per_poly",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

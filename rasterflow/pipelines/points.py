@@ -82,6 +82,32 @@ def sites_values_sql() -> str:
     return f"sites(site_id, sx, sy) AS (VALUES\n    {rows}\n)"
 
 
+def poly_edges_double_sql() -> str:
+    """ORACLE_POLYS edges with derived (dx, dy, l2) for the point-to-segment
+    distance oracle.  "e0" literals force DOUBLE parse (see sites_values_sql)
+    so every derived quantity is the same float64 value the engine computes
+    from the layer's vertex array."""
+    rows = []
+    for ring in ORACLE_POLYS:
+        n = len(ring)
+        j = n - 1
+        for i in range(n):
+            vix, viy = ring[i]
+            vjx, vjy = ring[j]
+            rows.append(f"({vix!r}e0, {viy!r}e0, {vjx!r}e0, {vjy!r}e0)")
+            j = i
+    raw = "edges_raw(ax, ay, bx, by) AS (VALUES\n    " + ",\n    ".join(rows) + "\n)"
+    return (
+        raw
+        + """,
+edges_d AS (
+  SELECT ax, ay, (bx - ax) AS dx, (by - ay) AS dy,
+         (bx - ax) * (bx - ax) + (by - ay) * (by - ay) AS l2
+  FROM edges_raw
+)"""
+    )
+
+
 def oracle_rect_layer() -> PolygonLayer:
     return rect_layer("oracle_rects", np.asarray(ORACLE_RECTS, dtype=np.float64))
 

@@ -205,6 +205,75 @@ def nearest_site_counts(points_ds, sites, batch_size: int = 65536, sort: bool = 
     return out.sort("site_id") if sort else out
 
 
+def boundary_edges(layer) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All boundary segments of a polygon layer as flat float64 arrays
+    ``(ax, ay, bx, by)`` — edge i joins vertex i to its ring-predecessor,
+    the same pairing the PIP kernel iterates (geom/pip.py)."""
+    vs, ro, pro = layer.verts, layer.ring_offsets, layer.poly_ring_offsets
+    ax, ay, bx, by = [], [], [], []
+    for r in range(len(ro) - 1):
+        v = vs[ro[r] : ro[r + 1]]
+        prev = np.roll(v, 1, axis=0)
+        ax.append(v[:, 0])
+        ay.append(v[:, 1])
+        bx.append(prev[:, 0])
+        by.append(prev[:, 1])
+    cat = lambda a: np.concatenate(a) if a else np.empty(0, np.float64)  # noqa: E731
+    return cat(ax), cat(ay), cat(bx), cat(by)
+
+
+def distance_to_boundary(points_ds, layer, out_col: str = "d2_boundary", batch_size: int = 65536):
+    """Append the min SQUARED distance from each point to the layer's polygon
+    boundaries (point-to-segment with clamped projection) — the GIS
+    "distance to nearest feature" primitive.
+
+    The edge set is a broadcast closure constant (fine for dashboard-scale
+    layers; a 10^6-edge layer should go through the tile-sharded path
+    instead, pairing each point only with edges of nearby cells).  Every
+    float expression mirrors the SQL oracle shape exactly; the min over
+    edges is order-independent, so the result is bit-stable under any
+    partitioning."""
+    ax, ay, bx, by = boundary_edges(layer)
+    dx = bx - ax
+    dy = by - ay
+    l2 = dx * dx + dy * dy
+    # engine-only robustness: degenerate (zero-length) edges project to their
+    # own endpoint; the oracle layers contain none
+    l2 = np.where(l2 == 0.0, 1.0, l2)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        if len(x) == 0:
+            return batch.append_column(out_col, pa.array(np.empty(0, np.float64)))
+        px = x[:, None]
+        py = y[:, None]
+        t = ((px - ax) * dx + (py - ay) * dy) / l2
+        np.clip(t, 0.0, 1.0, out=t)
+        ddx = px - (ax + t * dx)
+        ddy = py - (ay + t * dy)
+        d2 = ddx * ddx + ddy * ddy
+        return batch.append_column(out_col, pa.array(d2.min(axis=1)))
+
+    return points_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def smallest_k(ds, score_col: str, id_col: str, k: int):
+    """Global deterministic top-k smallest by ``(score, id)`` without a full
+    sort shuffle: each block keeps its own k candidates (any global winner is
+    inside its block's top-k), the tiny partials merge in one task."""
+    from ..util import det_topk_indices
+
+    def block(t: pa.Table) -> pa.Table:
+        v = t.column(score_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.take(pa.array(det_topk_indices(v, ids, k)))
+
+    return ds.map_batches(block, batch_format="pyarrow").repartition(1).map_batches(
+        block, batch_format="pyarrow"
+    )
+
+
 def group_spatial_profile(points_ds, grid: Grid, group_col: str = "lang", sort: bool = True):
     """Per-group spatial footprint: ``(group, n_points, n_cells, min_x, max_x,
     min_y, max_y)`` where ``n_cells`` counts distinct occupied grid cells.

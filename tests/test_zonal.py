@@ -8,9 +8,11 @@ import pytest
 from rasterflow.geom.cells import Grid
 from rasterflow.geom.polyio import rect_layer
 from rasterflow.pipelines.zonal import (
+    distance_to_boundary,
     group_spatial_profile,
     nearest_site_counts,
     pyramid_histogram,
+    smallest_k,
     spatial_anti_join,
     zonal_stats,
 )
@@ -138,6 +140,45 @@ def test_pyramid_histogram_levels(ray_session, pts_ds):
         cells, counts = np.unique(cl, return_counts=True)
         assert sub["cell_id"].tolist() == cells.tolist()
         assert sub["n"].tolist() == counts.tolist()
+
+
+def _rect_boundary_d2(px, py, rect):
+    """Independent analytic distance² to an axis-aligned rectangle BOUNDARY
+    (outside: clamp to the box; inside: nearest side)."""
+    x0, y0, x1, y1 = rect
+    inside = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+    cx = np.clip(px, x0, x1)
+    cy = np.clip(py, y0, y1)
+    d_out = (px - cx) ** 2 + (py - cy) ** 2
+    d_in = np.minimum.reduce([px - x0, x1 - px, py - y0, y1 - py]) ** 2
+    return np.where(inside, d_in, d_out)
+
+
+def test_distance_to_boundary_analytic(ray_session, pts_ds):
+    layer = rect_layer("z", RECTS)
+    got = (
+        distance_to_boundary(pts_ds, layer, out_col="d2")
+        .select_columns(["doc_id", "d2"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    df = _points()
+    exp = np.minimum.reduce([_rect_boundary_d2(df.x.values, df.y.values, r) for r in RECTS])
+    np.testing.assert_allclose(got["d2"].values, exp, rtol=1e-12, atol=1e-18)
+
+
+def test_smallest_k_deterministic_ties(ray_session):
+    import ray.data
+
+    n = 1000
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"doc_id": rng.permutation(n), "s": np.repeat(np.arange(100.0), 10)})
+    exp = df.sort_values(["s", "doc_id"]).head(17)
+    for parts in (1, 3, 11):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = smallest_k(ds, "s", "doc_id", 17).to_pandas().sort_values(["s", "doc_id"])
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert got["s"].tolist() == exp["s"].tolist()
 
 
 def test_zonal_empty_blocks_schema(ray_session):
