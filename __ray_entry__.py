@@ -162,6 +162,31 @@ def _q_cell_pyramid(sf_dir: str):
     return pyramid_histogram(documents_points(sf_dir), ORACLE_GRID, levels=3)
 
 
+# training-mixture interleave weights (shared verbatim with the SQL oracle)
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _q_interleave_mix(sf_dir: str):
+    """Deterministic weighted source interleave (stride schedule): every
+    prefix of the output holds each source ∝ its weight — the epoch-ordering
+    step of training-data assembly.  Rank-per-source + row-local key +
+    partial top-k; no global sort of the schedule."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import interleave_mix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return interleave_mix(ds, "source", MIX_WEIGHTS, k=200)
+
+
+def _q_raster_gradient(sf_dir: str):
+    """Sobel gradient magnitude over the per-cell count raster (heatmap edge
+    detection / GIS slope): integer-stencil scatter, one exchange."""
+    from rasterflow.pipelines.cellagg import raster_gradient
+
+    return raster_gradient(documents_points(sf_dir), ORACLE_GRID)
+
+
 def _q_nearest_boundary_docs(sf_dir: str):
     """Distance-to-nearest-feature: the 20 UNCOVERED documents closest to any
     polygon boundary (squared point-to-segment distance, clamped projection;
@@ -2192,6 +2217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "interleave_mix": _q_interleave_mix,
+        "raster_gradient": _q_raster_gradient,
         "nearest_boundary_docs": _q_nearest_boundary_docs,
         "top_docs_per_poly": _q_top_docs_per_poly,
         "zonal_minmax": _q_zonal_minmax,
@@ -3031,7 +3058,50 @@ def oracle_sql() -> dict[str, str]:
     # pyramid level widths: ceil(nx / 2^l), matching pyramid_histogram
     w1 = -(-nx // 2)
     w2 = -(-nx // 4)
+    mix_case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {w!r}e0" for s, w in MIX_WEIGHTS.items()
+    ) + " END"
+    mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "interleave_mix": f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+  FROM documents WHERE source IN ({mix_in})
+),
+kq AS (
+  SELECT doc_id, source, rnk, rnk / ({mix_case}) AS order_key FROM r
+)
+SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk, order_key
+FROM kq ORDER BY order_key, doc_id LIMIT 200
+""",
+        "raster_gradient": f"""
+WITH {GEO_CTE.strip()},
+cells AS (
+  SELECT CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id,
+         count(*) AS n
+  FROM geo GROUP BY cell_id
+),
+xy AS (SELECT cell_id % {nx} AS cx, cell_id // {nx} AS cy, n FROM cells),
+st(dx, dy, wx, wy) AS (VALUES
+  (-1,-1,-1,-1),(0,-1,0,-2),(1,-1,1,-1),
+  (-1,0,-2,0),(0,0,0,0),(1,0,2,0),
+  (-1,1,-1,1),(0,1,0,2),(1,1,1,1)),
+nb AS (
+  SELECT (cy + dy) * {nx} + (cx + dx) AS cell_id, n * wx AS gx, n * wy AS gy,
+         CASE WHEN dx = 0 AND dy = 0 THEN n ELSE 0 END AS own
+  FROM xy, st
+  WHERE cx + dx BETWEEN 0 AND {nx - 1} AND cy + dy BETWEEN 0 AND {ny - 1}
+),
+s AS (
+  SELECT cell_id, CAST(sum(own) AS BIGINT) AS n,
+         CAST(sum(gx) AS BIGINT) AS gx, CAST(sum(gy) AS BIGINT) AS gy
+  FROM nb GROUP BY cell_id
+)
+SELECT cell_id, n, gx, gy, CAST(gx * gx + gy * gy AS BIGINT) AS mag2
+FROM s ORDER BY cell_id
+""",
         "nearest_boundary_docs": f"""
 WITH {GEO_CTE.strip()},
 {poly_edges_values_sql()},

@@ -221,6 +221,8 @@ def bench_queries() -> dict[str, float]:
         "cell_pyramid",
         "nearest_boundary_docs",
         "top_docs_per_poly",
+        "interleave_mix",
+        "raster_gradient",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -156,6 +156,59 @@ def focal_cell_smooth(points_ds, grid: Grid, kernel: str = "gauss3", num_partiti
     return out.sort("cell_id")
 
 
+def raster_gradient(points_ds, grid: Grid, num_partitions: int | None = None):
+    """Sobel gradient over the per-cell count raster — edge detection on the
+    heatmap (the GIS slope/aspect primitive, run on density instead of
+    elevation).  Same scatter plan as :func:`focal_cell_smooth`: the point
+    stream collapses to canvas-sized (cell, n) rows, each cell scatters
+    ``n·wx, n·wy`` to its ≤9 in-grid neighbors, ONE hash exchange sums per
+    target.  Integer stencil weights (wx = dx·(2-|dy|), wy = dy·(2-|dx|))
+    keep the result exactly SQL-replicable; ``mag2 = gx² + gy²`` stays in
+    int64.  Output per touched cell: ``(cell_id, n, gx, gy, mag2)``."""
+    from ..util import grouped_aggregate
+
+    nx, ny = np.int64(grid.nx), np.int64(grid.ny)
+    dxs = np.tile(np.array([-1, 0, 1], dtype=np.int64), 3)
+    dys = np.repeat(np.array([-1, 0, 1], dtype=np.int64), 3)
+    wxs = dxs * (2 - np.abs(dys))
+    wys = dys * (2 - np.abs(dxs))
+
+    hist = cell_histogram_grid(points_ds, grid, sort=False)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        c = t.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = c % nx, c // nx
+        tx = cx[:, None] + dxs[None, :]
+        ty = cy[:, None] + dys[None, :]
+        ok = (tx >= 0) & (tx < nx) & (ty >= 0) & (ty < ny)
+        own = np.where((dxs[None, :] == 0) & (dys[None, :] == 0), n[:, None], np.int64(0))
+        return pa.table(
+            {
+                "cell_id": pa.array((ty * nx + tx)[ok]),
+                "gx": pa.array((n[:, None] * wxs[None, :])[ok]),
+                "gy": pa.array((n[:, None] * wys[None, :])[ok]),
+                "own": pa.array(own[ok]),
+            }
+        )
+
+    scattered = hist.map_batches(scatter, batch_format="pyarrow")
+    red = grouped_aggregate(
+        scattered,
+        "cell_id",
+        {"n": ("own", "sum"), "gx": ("gx", "sum"), "gy": ("gy", "sum")},
+        num_partitions=num_partitions,
+        weight=0.25,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        gx = t.column("gx").to_numpy(zero_copy_only=False)
+        gy = t.column("gy").to_numpy(zero_copy_only=False)
+        return t.append_column("mag2", pa.array(gx * gx + gy * gy))
+
+    return red.map_batches(finalize, batch_format="pyarrow").sort("cell_id")
+
+
 def hotspot_regions(points_ds, grid: Grid, min_count: int = 5, num_partitions: int | None = None):
     """Raster→vector extraction: threshold the per-cell count raster at
     ``min_count`` and vectorize the surviving cells into 4-connected regions

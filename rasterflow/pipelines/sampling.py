@@ -931,6 +931,61 @@ def top_k_per_group(
     )
 
 
+def interleave_mix(
+    ds,
+    group_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    k: int = 200,
+    num_partitions: int | None = None,
+):
+    """Deterministic weighted interleave of sources — the epoch-ordering /
+    curriculum step of training-data assembly: emit documents so that every
+    prefix of the schedule holds each source in proportion to its weight.
+
+    Classic stride scheduling: rank documents within each source by id
+    (stable under any partitioning), give each the order key ``rank /
+    weight`` (a source with twice the weight appears twice as often in any
+    window), and take the first ``k`` of the global schedule by ``(key,
+    id)``.  Sources absent from ``weights`` are dropped (visible, not
+    renormalized — same contract as :func:`mixture_weights`).
+
+    Plan: one hash exchange to rank (per-partition vectorized sort +
+    cumcount, the :func:`rank_in_group` plan), a row-local key, then the
+    per-block partial top-k — the full schedule is never sorted globally.
+    ``rank / weight`` is a single float64 division of an integer, so the
+    SQL oracle hash-matches bit-exactly."""
+    from ..util import _hash_cols, shuffle_parts
+
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
+
+    def addpk(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column(group_col), value_set=pa.array(list(weights.keys())))
+        b = b.filter(m)
+        df = pd.DataFrame({group_col: b.column(group_col).to_numpy(zero_copy_only=False)})
+        pk = (_hash_cols(df, [group_col]) % np.uint64(num_partitions)).astype(np.int32)
+        return b.append_column("_pk", pa.array(pk))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable")
+        rnk = (g.groupby(group_col, sort=False).cumcount() + 1).astype(np.int64)
+        w = g[group_col].map(weights).astype(np.float64).to_numpy()
+        out = g[[id_col, group_col]].copy()
+        out["rnk"] = rnk
+        out["order_key"] = rnk.to_numpy().astype(np.float64) / w
+        return out
+
+    from ..pipelines.zonal import smallest_k
+
+    ranked = (
+        ds.map_batches(addpk, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+    return smallest_k(ranked, "order_key", id_col, k).sort(["order_key", id_col])
+
+
 def mixture_weights(ds, group_col: str, target: dict[str, float]):
     """Per-stratum resampling weights to hit a TARGET mixture — the
     domain-rebalance step between corpus stats and weighted_sample: a

@@ -181,6 +181,71 @@ def test_smallest_k_deterministic_ties(ray_session):
         assert got["s"].tolist() == exp["s"].tolist()
 
 
+def test_raster_gradient_brute(ray_session, pts_ds):
+    from rasterflow.pipelines.cellagg import raster_gradient
+
+    grid = Grid.from_bounds(0.0, 0.0, 10.0, 10.0, 1.0)
+    got = raster_gradient(pts_ds, grid).to_pandas()
+    # dense brute force: counts raster + explicit Sobel correlation
+    df = _points()
+    lin, valid = grid.locate_linear(df.x.values, df.y.values)
+    dense = np.bincount(lin[valid], minlength=grid.ncells).reshape(grid.ny, grid.nx)
+    gx = np.zeros_like(dense)
+    gy = np.zeros_like(dense)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            # scatter formulation: target (y+dy, x+dx) += n[y, x] * w
+            src = dense
+            wx, wy = dx * (2 - abs(dy)), dy * (2 - abs(dx))
+            ys = slice(max(0, dy), grid.ny + min(0, dy))
+            xs = slice(max(0, dx), grid.nx + min(0, dx))
+            ys_s = slice(max(0, -dy), grid.ny + min(0, -dy))
+            xs_s = slice(max(0, -dx), grid.nx + min(0, -dx))
+            gx[ys, xs] += src[ys_s, xs_s] * wx
+            gy[ys, xs] += src[ys_s, xs_s] * wy
+    by_cell = {int(c): (int(n), int(a), int(b)) for c, n, a, b in zip(got.cell_id, got.n, got.gx, got.gy)}
+    for cy in range(grid.ny):
+        for cx in range(grid.nx):
+            cell = cy * grid.nx + cx
+            n, a, b = by_cell.get(cell, (0, 0, 0))
+            assert n == dense[cy, cx]
+            assert a == gx[cy, cx]
+            assert b == gy[cy, cx]
+    assert (got.mag2 == got.gx**2 + got.gy**2).all()
+
+
+def test_interleave_mix_properties(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import interleave_mix
+
+    n = 900
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(10_000)[:n],
+            "source": np.array(["a", "b", "c", "drop_me"])[rng.integers(0, 4, n)],
+        }
+    )
+    w = {"a": 0.5, "b": 0.3, "c": 0.2}
+    # pandas reference: stride schedule
+    ref = df[df.source.isin(w)].sort_values("doc_id").copy()
+    ref["rnk"] = ref.groupby("source").cumcount() + 1
+    ref["order_key"] = ref.rnk.values.astype(np.float64) / ref.source.map(w).values
+    ref = ref.sort_values(["order_key", "doc_id"]).head(100)
+    for parts in (1, 5):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = interleave_mix(ds, "source", w, k=100).to_pandas()
+        assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+        assert got["order_key"].tolist() == ref["order_key"].tolist()
+    # mixture property: any prefix is ~proportional to the weights
+    head = got.head(50)
+    share = head.source.value_counts(normalize=True)
+    for s, ws in w.items():
+        assert abs(share.get(s, 0.0) - ws) < 0.08
+    assert "drop_me" not in set(got.source)
+
+
 def test_zonal_empty_blocks_schema(ray_session):
     """Blocks with zero matched pairs must not poison the partial schema."""
     import ray.data
