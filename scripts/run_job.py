@@ -31,7 +31,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--pipeline",
-        choices=["raster", "index", "hybrid", "bounds", "ingest", "stream-ingest", "rows", "dedup", "export", "bm25-build", "dsir", "lm-filter", "semdedup"],
+        choices=["raster", "index", "hybrid", "bounds", "zonal", "ingest", "stream-ingest", "rows", "dedup", "export", "bm25-build", "dsir", "lm-filter", "semdedup"],
         default="hybrid",
     )
     ap.add_argument("--input", required=True, help="pages parquet file/dir (or glob)")
@@ -244,6 +244,17 @@ def main() -> int:
         pts = _points_ds(files, args, extract_text, PreparePoints)
         if args.pipeline == "bounds":
             return aggregate_with_bounds(pts, layer, accuracy_m=args.accuracy_m, concurrency=(2, ncpu))
+        if args.pipeline == "zonal":
+            # partitions keep (count, sum, min, max) partials — all four are
+            # mergeable, so the final combine is a tiny groupby
+            from rasterflow.pipelines.zonal import zonal_stats
+
+            if not args.value_col:
+                raise SystemExit("--pipeline zonal requires --value-col")
+            return zonal_stats(
+                pts, layer, value_col=args.value_col, how="index",
+                accuracy_m=args.accuracy_m, sort=False,
+            )
         # partitions keep raw (count, sum) partials; avg is computed in the
         # final combine so partition outputs stay mergeable
         return aggregate_by_polygon(
@@ -269,6 +280,8 @@ def main() -> int:
     allp = pd.concat(frames, ignore_index=True)
     if args.pipeline == "bounds":
         agg_cols = {c: "sum" for c in allp.columns if c != "poly_id"}
+    elif args.pipeline == "zonal":
+        agg_cols = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
     else:
         agg_cols = {"count": "sum"}
         if "sum" in allp.columns:
@@ -300,8 +313,25 @@ def _points_ds(files, args, extract_text, PreparePoints):
     # prune at the read: only the columns the extract+geocode path consumes
     ds = ray.data.read_parquet(files, columns=["url", "warc_ts", "html", "lang"])
     ds = ds.map_batches(extract_text, batch_format="pyarrow")
+    keep = ("lang",)
+    vc = getattr(args, "value_col", None)
+    if vc:
+        keep = ("lang", vc)
+        if vc == "n_chars":
+            # pages carry no value columns: n_chars is derived from the
+            # extracted text (the documents-table convention)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            def add_n_chars(b: "pa.Table") -> "pa.Table":
+                return b.append_column(
+                    "n_chars", pc.cast(pc.utf8_length(b.column("text2")), pa.int64())
+                )
+
+            ds = ds.map_batches(add_n_chars, batch_format="pyarrow")
     return ds.map_batches(
-        PreparePoints(geocoder=args.geocoder, text_col="text2"), batch_format="pyarrow"
+        PreparePoints(geocoder=args.geocoder, text_col="text2", keep_cols=keep),
+        batch_format="pyarrow",
     )
 
 

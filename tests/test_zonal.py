@@ -246,6 +246,50 @@ def test_interleave_mix_properties(ray_session):
     assert "drop_me" not in set(got.source)
 
 
+def test_run_job_zonal_partitioned(ray_session, tmp_path, monkeypatch):
+    """run_job --pipeline zonal: resumable partition outputs must merge to the
+    single-shot zonal_stats result (count/sum mergeable by sum, min/max by
+    min/max)."""
+    import sys
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    import scripts.run_job as RJ
+    from rasterflow.sources.fixtures import neigh_like_layer, pages_batch
+    from rasterflow.stages.extract import extract_text
+    from rasterflow.stages.geocode import PreparePoints
+
+    ind = tmp_path / "pages"
+    ind.mkdir()
+    pq.write_table(pages_batch(np.arange(0, 1500)), ind / "a.parquet")
+    pq.write_table(pages_batch(np.arange(1500, 3000)), ind / "b.parquet")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_job.py", "--pipeline", "zonal", "--input", str(ind), "--out",
+         str(tmp_path / "o"), "--value-col", "n_chars", "--partition-size", "1"],
+    )
+    assert RJ.main() == 0
+    got = pd.read_parquet(tmp_path / "o" / "final.parquet")
+
+    def add_n_chars(b):
+        return b.append_column("n_chars", pc.cast(pc.utf8_length(b.column("text2")), pa.int64()))
+
+    pts = (
+        ray.data.read_parquet([str(ind / "a.parquet"), str(ind / "b.parquet")],
+                              columns=["url", "warc_ts", "html", "lang"])
+        .map_batches(extract_text, batch_format="pyarrow")
+        .map_batches(add_n_chars, batch_format="pyarrow")
+        .map_batches(PreparePoints(text_col="text2", keep_cols=("lang", "n_chars")),
+                     batch_format="pyarrow")
+    )
+    ref = zonal_stats(pts, neigh_like_layer(260, seed=42), value_col="n_chars", how="index").to_pandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), ref.reset_index(drop=True), check_dtype=False
+    )
+
+
 def test_zonal_empty_blocks_schema(ray_session):
     """Blocks with zero matched pairs must not poison the partial schema."""
     import ray.data
