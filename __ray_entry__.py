@@ -162,6 +162,18 @@ def _q_cell_pyramid(sf_dir: str):
     return pyramid_histogram(documents_points(sf_dir), ORACLE_GRID, levels=3)
 
 
+def _q_pagerank_dups(sf_dir: str):
+    """Fixed-point PageRank over the exact ngram-Jaccard duplicate graph —
+    dup-cluster centrality for canonical-representative selection.  Integer
+    arithmetic end to end: bit-exact under any partitioning AND hash-exact
+    against the unrolled SQL iteration (float PageRank would be neither)."""
+    from rasterflow.pipelines.dedup import ngram_jaccard_pairs
+    from rasterflow.pipelines.graph import pagerank_fixed
+
+    pairs = ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5, concurrency=2)
+    return pagerank_fixed(pairs, iters=5)
+
+
 # training-mixture interleave weights (shared verbatim with the SQL oracle)
 MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
@@ -2217,6 +2229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "pagerank_dups": _q_pagerank_dups,
         "interleave_mix": _q_interleave_mix,
         "raster_gradient": _q_raster_gradient,
         "nearest_boundary_docs": _q_nearest_boundary_docs,
@@ -2383,6 +2396,41 @@ npairs AS (
   JOIN sizes sb ON sb.doc_id = id_b
   WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
 )"""
+
+
+def _pagerank_sql(iters: int = 5, scale: int = 10**9, num: int = 85, den: int = 100) -> str:
+    """Unrolled fixed-point PageRank over the ngram-Jaccard dup graph.
+
+    Pure int64 arithmetic (init/base/shares/sums are all integer divisions)
+    replicates pipelines/graph.pagerank_fixed bit-exactly; the iteration is
+    unrolled as chained CTEs because SQL forbids aggregates in a recursive
+    term.  sum() is CAST back to BIGINT (DuckDB widens to HUGEINT) — values
+    are bounded by `scale`, far below 2^63."""
+    head = f"""WITH {_NGRAM_PAIR_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM npairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM npairs
+),
+deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+nodes AS (SELECT DISTINCT u FROM edges),
+consts AS (
+  SELECT {scale} // count(*) AS init,
+         (({den - num}) * ({scale} // count(*))) // {den} AS base
+  FROM nodes
+),
+pr0 AS (SELECT u, (SELECT init FROM consts) AS pr FROM nodes)"""
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+pr{i} AS (
+  SELECT e.v AS u,
+         (SELECT base FROM consts)
+         + ({num} * CAST(sum(p.pr // d.d) AS BIGINT)) // {den} AS pr
+  FROM pr{i - 1} p JOIN deg d ON d.u = p.u JOIN edges e ON e.u = p.u
+  GROUP BY e.v
+)"""
+    return head + body + f"\nSELECT u AS doc_id, pr FROM pr{iters} ORDER BY doc_id"
 
 
 def _split_assign_sql(test_pct: int = 10, val_pct: int = 10) -> str:
@@ -3063,6 +3111,7 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "pagerank_dups": _pagerank_sql(),
         "interleave_mix": f"""
 WITH r AS (
   SELECT doc_id, source,
