@@ -174,6 +174,54 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_url_dedup(sf_dir: str):
+    """URL-level exact dedup: synthesize the 4-variant URL fixture (case
+    noise / www / tracking params / trailing slash), canonicalize with Arrow
+    RE2 kernels, keep-first per canonical URL.  Only (canon, id) pairs
+    shuffle; the SQL oracle re-canonicalizes the same variants with DuckDB's
+    regex functions, so the whole normalize→dedup chain is hash-checked."""
+    import ray.data
+
+    from rasterflow.pipelines.web import url_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return url_dedup(ds)
+
+
+def _q_domain_gate(sf_dir: str):
+    """Per-domain quality gate (Gopher/RefinedWeb "drop bad domains
+    wholesale"): per-domain (n_docs, avg n_chars) partials → driver
+    threshold over the tiny domain table → broadcast-set streaming filter.
+    The avg is one float64 division of exact ints, so the keep decision
+    hash-matches the SQL NOT-IN replica."""
+    import ray.data
+
+    from rasterflow.pipelines.web import domain_quality_gate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return domain_quality_gate(ds, min_docs=5, min_avg_chars=300.0)
+
+
+def _q_cell_trend(sf_dir: str):
+    """Per-cell temporal activity trend (raster change detection): integer
+    least-squares slope numerator of per-time-window counts over the crawl
+    span — integer end to end, so hash-exact under any partitioning."""
+    from rasterflow.pipelines.zonal import cell_trend
+
+    return cell_trend(documents_points(sf_dir), ORACLE_GRID, min_points=10)
+
+
+def _q_cell_top_terms(sf_dir: str):
+    """Per-cell top-3 vocabulary terms (geo×text trending-words surface):
+    per-batch (cell, token) collapse → one collapsed-key exchange →
+    two-stage top-k-per-group with (n desc, token asc) tie determinism."""
+    from rasterflow.pipelines.zonal import cell_top_terms
+
+    return cell_top_terms(
+        documents_points(sf_dir, columns=("doc_id", "text")), ORACLE_GRID, k=3
+    )
+
+
 # training-mixture interleave weights (shared verbatim with the SQL oracle)
 MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
@@ -2229,6 +2277,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "url_dedup": _q_url_dedup,
+        "domain_gate": _q_domain_gate,
+        "cell_trend": _q_cell_trend,
+        "cell_top_terms": _q_cell_top_terms,
         "pagerank_dups": _q_pagerank_dups,
         "interleave_mix": _q_interleave_mix,
         "raster_gradient": _q_raster_gradient,
@@ -2431,6 +2483,38 @@ pr{i} AS (
   GROUP BY e.v
 )"""
     return head + body + f"\nSELECT u AS doc_id, pr FROM pr{iters} ORDER BY doc_id"
+
+
+_URL_CANON_CTES = r"""ub AS (
+  SELECT doc_id, n_chars,
+         CAST((doc_id // 4) % 50 AS VARCHAR) AS d,
+         lpad(CAST(doc_id // 4 AS VARCHAR), 7, '0') AS pq
+  FROM documents
+),
+urls AS (
+  SELECT doc_id, n_chars,
+    CASE doc_id % 4
+      WHEN 0 THEN 'https://site' || d || '.example/p' || pq
+      WHEN 1 THEN 'HTTPS://SITE' || d || '.EXAMPLE/p' || pq
+      WHEN 2 THEN 'https://www.site' || d || '.example/p' || pq || '/'
+      ELSE 'https://site' || d || '.example/p' || pq || '?utm_source=feed#frag'
+    END AS url
+  FROM ub
+),
+uparts AS (
+  SELECT doc_id, n_chars,
+         lower(regexp_extract(u1, '^([^:/?#]+)://', 1)) AS scheme,
+         regexp_replace(lower(regexp_extract(u1, '^[^:/?#]+://([^/?#]*)', 1)),
+                        '^www\.', '') AS host,
+         regexp_extract(u1, '^[^:/?#]+://[^/?#]*(/[^?#]*)', 1) AS path0
+  FROM (SELECT doc_id, n_chars, regexp_replace(url, '[?#].*$', '') AS u1 FROM urls)
+),
+ucanon AS (
+  SELECT doc_id, n_chars, host,
+         scheme || '://' || host ||
+         CASE WHEN rtrim(path0, '/') = '' THEN '/' ELSE rtrim(path0, '/') END AS canon
+  FROM uparts
+)"""
 
 
 def _split_assign_sql(test_pct: int = 10, val_pct: int = 10) -> str:
@@ -3111,6 +3195,60 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "url_dedup": f"""
+WITH {_URL_CANON_CTES}
+SELECT canon, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM ucanon GROUP BY canon ORDER BY canon
+""",
+        "domain_gate": f"""
+WITH {_URL_CANON_CTES},
+dd AS (
+  SELECT doc_id,
+         regexp_replace(host, '^.*?([^.]+\\.[^.]+)$', '\\1') AS domain,
+         n_chars
+  FROM ucanon
+),
+stats AS (
+  SELECT domain, count(*) AS n_docs, sum(n_chars) AS sum_v FROM dd GROUP BY domain
+),
+keep AS (
+  SELECT domain FROM stats WHERE n_docs >= 5 AND sum_v / n_docs >= 300.0e0
+)
+SELECT doc_id, domain FROM dd
+WHERE domain IN (SELECT domain FROM keep) ORDER BY doc_id
+""",
+        "cell_trend": f"""
+WITH {GEO_CTE.strip()},
+tp AS (
+  SELECT CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id,
+         ((doc_id * 137) % 126144000) // 15768000 AS b
+  FROM geo
+),
+ta AS (SELECT cell_id, count(*) AS n, sum(b) AS sb FROM tp GROUP BY cell_id)
+SELECT cell_id, CAST(n AS BIGINT) AS n, CAST(8 * sb - 28 * n AS BIGINT) AS trend_num
+FROM ta WHERE n >= 10 ORDER BY cell_id
+""",
+        "cell_top_terms": f"""
+WITH {GEO_CTE.strip()},
+tt AS (
+  SELECT CAST(FLOOR((g.lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((g.lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id,
+         unnest(list_filter(string_split_regex(d.text, '\\s+'), t -> t <> '')) AS token
+  FROM geo g JOIN documents d USING (doc_id)
+),
+tc AS (
+  SELECT cell_id, token, count(*) AS n FROM tt
+  WHERE regexp_full_match(token, '[a-z]+') GROUP BY cell_id, token
+),
+tr AS (
+  SELECT cell_id, token, n,
+         row_number() OVER (PARTITION BY cell_id ORDER BY n DESC, token) AS rn
+  FROM tc
+)
+SELECT cell_id, token, CAST(n AS BIGINT) AS n
+FROM tr WHERE rn <= 3 ORDER BY cell_id, token
+""",
         "pagerank_dups": _pagerank_sql(),
         "interleave_mix": f"""
 WITH r AS (

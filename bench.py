@@ -223,6 +223,11 @@ def bench_queries() -> dict[str, float]:
         "top_docs_per_poly",
         "interleave_mix",
         "raster_gradient",
+        "pagerank_dups",
+        "url_dedup",
+        "domain_gate",
+        "cell_trend",
+        "cell_top_terms",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

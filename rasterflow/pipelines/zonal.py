@@ -342,6 +342,119 @@ def group_spatial_profile(points_ds, grid: Grid, group_col: str = "lang", sort: 
     return out.sort(group_col) if sort else out
 
 
+def cell_trend(
+    points_ds,
+    grid: Grid,
+    id_col: str = "doc_id",
+    buckets: int = 8,
+    min_points: int = 10,
+    sort: bool = True,
+):
+    """Per-cell temporal activity trend — raster change detection over time.
+
+    Each point's crawl timestamp offset is the pages-fixture plane
+    ``(doc_id * 137) % TS_SPAN`` (``sources/fixtures.py``; pure integer, so
+    the SQL oracle reproduces it bit-exactly); the span divides into
+    ``buckets`` equal windows and each cell gets the least-squares slope of
+    its per-window counts.  With fixed x = 0..B-1 the slope is
+    ``(B·Σxy − Σx·Σy) / (B·Σx² − (Σx)²)``: the denominator is a positive
+    per-query constant, so the emitted ``trend_num = B·Σxy − Σx·N`` is an
+    *integer* whose sign/magnitude ranks cells by activity growth — integer
+    end to end, hash-exact under any partitioning.  Σxy needs no dense
+    bucket vector: it is just the sum of bucket indices over the cell's rows,
+    so each batch collapses to per-cell ``(n, Σbucket)`` partials and ONE
+    collapsed-key exchange finalizes.  Returns ``(cell_id, n, trend_num)``
+    for cells with ``n >= min_points``.
+    """
+    from ..sources.fixtures import TS_SPAN
+
+    if TS_SPAN % buckets:
+        raise ValueError("buckets must divide TS_SPAN for exact integer windows")
+    w = TS_SPAN // buckets
+    sx = buckets * (buckets - 1) // 2  # Σx over 0..B-1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        lin, valid = grid.locate_linear(x, y)
+        lin, ids = lin[valid], ids[valid]
+        bk = ((ids * 137) % TS_SPAN) // w
+        order = np.argsort(lin, kind="stable")
+        lins, bks = lin[order], bk[order]
+        uniq, starts = np.unique(lins, return_index=True)
+        counts = np.diff(np.append(starts, len(lins)))
+        return pa.table(
+            {
+                "cell_id": pa.array(uniq),
+                "n": pa.array(counts.astype(np.int64)),
+                "sb": pa.array(np.add.reduceat(bks, starts) if len(bks) else np.empty(0, np.int64)),
+            }
+        )
+
+    partials = coalesce_small(points_ds.map_batches(partial, batch_format="pyarrow"), 0.25)
+    agg = grouped_aggregate(partials, "cell_id", {"n": ("n", "sum"), "sb": ("sb", "sum")})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        sb = t.column("sb").to_numpy(zero_copy_only=False)
+        keep = n >= min_points
+        return pa.table(
+            {
+                "cell_id": t.column("cell_id").filter(pa.array(keep)),
+                "n": pa.array(n[keep]),
+                "trend_num": pa.array(buckets * sb[keep] - sx * n[keep]),
+            }
+        )
+
+    out = agg.map_batches(finalize, batch_format="pyarrow")
+    return out.sort("cell_id") if sort else out
+
+
+def cell_top_terms(
+    points_ds, grid: Grid, k: int = 3, text_col: str = "text", sort: bool = True
+):
+    """Per-cell top-``k`` vocabulary terms — "what words trend where", the
+    geo×text crossover a crawl heatmap serves next to the count raster.
+
+    Tokenization is the repo's whitespace plane (≡ ``string_split_regex(text,
+    '\\s+')`` non-empty, cf. token_stats) restricted to purely-alphabetic
+    lowercase tokens — doc ids and coordinate literals in the fixture text
+    carry no signal and would explode the key space with count-1 strings.
+    Plan: each batch explodes to tokens and immediately collapses to
+    ``(cell_id, token, n)`` partials (bounded by touched cells × vocabulary,
+    not row count), one collapsed-key exchange sums them, and the existing
+    two-stage :func:`~rasterflow.pipelines.sampling.top_k_per_group` picks
+    each cell's winners with (n desc, token asc) tie determinism — the raw
+    text never shuffles.  Returns ``(cell_id, token, n)``.
+    """
+    import pandas as pd
+
+    from ..pipelines.sampling import top_k_per_group
+
+    empty = pa.schema([("cell_id", pa.int64()), ("token", pa.string()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        lin, valid = grid.locate_linear(x, y)
+        texts = batch.column(text_col).to_pandas().reset_index(drop=True)[valid]
+        if len(texts) == 0:
+            return empty.empty_table()
+        s = pd.DataFrame({"cell_id": lin[valid], "token": texts.str.split()})
+        s = s.explode("token", ignore_index=True)
+        s = s[s["token"].str.fullmatch(r"[a-z]+", na=False)]
+        if len(s) == 0:
+            return empty.empty_table()
+        out = s.groupby(["cell_id", "token"], as_index=False, sort=False).size()
+        out = out.rename(columns={"size": "n"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = coalesce_small(points_ds.map_batches(partial, batch_format="pyarrow"), 0.25)
+    agg = grouped_aggregate(partials, ["cell_id", "token"], {"n": ("n", "sum")})
+    return top_k_per_group(agg, "cell_id", "n", k, id_col="token")
+
+
 def pyramid_histogram(points_ds, grid: Grid, levels: int = 3, sort: bool = True):
     """Multi-resolution count pyramid over a local canvas grid.
 
