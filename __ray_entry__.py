@@ -31,6 +31,7 @@ from rasterflow.pipelines.points import (
     oracle_rect_layer,
     poly_edges_double_sql,
     poly_edges_values_sql,
+    rect_edges_values_sql,
     rects_values_sql,
     sites_values_sql,
 )
@@ -40,6 +41,9 @@ SF0001 = "/root/testdata/sf0.001"
 
 # 0.5-degree oracle cell grid over the US bbox (lat/lon plane)
 ORACLE_GRID = Grid.from_bounds(MIN_LON, MIN_LAT, MAX_LON, MAX_LAT, 0.5)
+
+# finer canvas for the layer×layer raster overlay (the canvas IS the dataset)
+OVERLAY_GRID = Grid.from_bounds(MIN_LON, MIN_LAT, MAX_LON, MAX_LAT, 0.1)
 
 
 def entry() -> Any:
@@ -172,6 +176,20 @@ def _q_pagerank_dups(sf_dir: str):
 
     pairs = ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5, concurrency=2)
     return pagerank_fixed(pairs, iters=5)
+
+
+def _q_overlay_area(sf_dir: str):
+    """Raster overlay (layer × layer intersection-area estimate): the GIS
+    operation one step beyond the reference's point×polygon raster join —
+    sample the plane at cell centers (the canvas itself is a streamed
+    ray.data.range dataset), classify each center against BOTH layers with
+    the exact index matcher, count shared cells per (poly_a, poly_b).
+    sf-independent by construction (pure layer geometry)."""
+    from rasterflow.pipelines.overlay import raster_overlay
+
+    return raster_overlay(
+        oracle_poly_layer(), oracle_rect_layer(), OVERLAY_GRID, how="index", cell_size=0.05
+    )
 
 
 def _q_url_dedup(sf_dir: str):
@@ -2277,6 +2295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "overlay_area": _q_overlay_area,
         "url_dedup": _q_url_dedup,
         "domain_gate": _q_domain_gate,
         "cell_trend": _q_cell_trend,
@@ -3195,6 +3214,40 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "overlay_area": f"""
+WITH ovc AS (
+  SELECT CAST(i AS BIGINT) AS cell,
+         {MIN_LON!r} + ((i % {OVERLAY_GRID.nx}) + 0.5) * {OVERLAY_GRID.cell!r} AS lon,
+         {MIN_LAT!r} + ((i // {OVERLAY_GRID.nx}) + 0.5) * {OVERLAY_GRID.cell!r} AS lat
+  FROM generate_series(0, {OVERLAY_GRID.ncells - 1}) AS t(i)
+),
+{poly_edges_values_sql()},
+{rect_edges_values_sql("redges")},
+ovha AS (
+  SELECT c.cell, e.poly_id
+  FROM ovc c JOIN edges e
+    ON ((e.viy > c.lat) <> (e.vjy > c.lat))
+   AND (c.lon < (e.vjx - e.vix) / (e.vjy - e.viy) * (c.lat - e.viy) + e.vix)
+  GROUP BY c.cell, e.poly_id
+  HAVING (count(*) % 2) = 1
+),
+ovhb AS (
+  SELECT c.cell, e.poly_id
+  FROM ovc c JOIN redges e
+    ON ((e.viy > c.lat) <> (e.vjy > c.lat))
+   AND (c.lon < (e.vjx - e.vix) / (e.vjy - e.viy) * (c.lat - e.viy) + e.vix)
+  GROUP BY c.cell, e.poly_id
+  HAVING (count(*) % 2) = 1
+),
+ovp AS (
+  SELECT a.poly_id AS poly_a, b.poly_id AS poly_b, count(*) AS n
+  FROM ovha a JOIN ovhb b USING (cell) GROUP BY poly_a, poly_b
+)
+SELECT CAST(poly_a AS INTEGER) AS poly_a, CAST(poly_b AS INTEGER) AS poly_b,
+       CAST(n AS BIGINT) AS n_cells,
+       CAST(n AS BIGINT) * {OVERLAY_GRID.cell * OVERLAY_GRID.cell!r}e0 AS area
+FROM ovp ORDER BY poly_a, poly_b
+""",
         "url_dedup": f"""
 WITH {_URL_CANON_CTES}
 SELECT canon, min(doc_id) AS keep_id, count(*) AS n_dups

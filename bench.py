@@ -228,6 +228,7 @@ def bench_queries() -> dict[str, float]:
         "domain_gate",
         "cell_trend",
         "cell_top_terms",
+        "overlay_area",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

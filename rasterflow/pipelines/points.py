@@ -108,6 +108,23 @@ edges_d AS (
     )
 
 
+def rect_edges_values_sql(name: str = "redges") -> str:
+    """ORACLE_RECTS as PIP edge rows in the engine's ring construction
+    (CCW from the lower-left corner, edge i joins vertex i to its
+    predecessor — :func:`rasterflow.geom.polyio.rect_layer`), same shape as
+    :func:`poly_edges_values_sql` so the crossing float expressions match."""
+    rows = []
+    for pid, (xmin, ymin, xmax, ymax) in enumerate(ORACLE_RECTS):
+        ring = [(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)]
+        j = 3
+        for i in range(4):
+            vix, viy = ring[i]
+            vjx, vjy = ring[j]
+            rows.append(f"({pid}, {vix!r}, {viy!r}, {vjx!r}, {vjy!r})")
+            j = i
+    return f"{name}(poly_id, vix, viy, vjx, vjy) AS (VALUES\n    " + ",\n    ".join(rows) + "\n)"
+
+
 def oracle_rect_layer() -> PolygonLayer:
     return rect_layer("oracle_rects", np.asarray(ORACLE_RECTS, dtype=np.float64))
 

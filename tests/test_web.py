@@ -145,3 +145,65 @@ def test_cell_top_terms_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def _pip_ref(px, py, ring):
+    """Crossing-number PIP, same half-open rule as the engine kernel."""
+    inside = False
+    j = len(ring) - 1
+    for i in range(len(ring)):
+        (vix, viy), (vjx, vjy) = ring[i], ring[j]
+        if (viy > py) != (vjy > py) and px < (vjx - vix) / (vjy - viy) * (py - viy) + vix:
+            inside = not inside
+        j = i
+    return inside
+
+
+def test_cross_pairs_exhaustive():
+    from rasterflow.pipelines.overlay import _cross_pairs
+
+    pts_a = np.array([0, 0, 2, 3])
+    ids_a = np.array([10, 11, 12, 13])
+    pts_b = np.array([0, 2, 2, 5])
+    ids_b = np.array([20, 21, 22, 23])
+    oa, ob = _cross_pairs(6, pts_a, ids_a, pts_b, ids_b)
+    got = sorted(zip(oa.tolist(), ob.tolist()))
+    # point 0: {10,11}x{20}; point 2: {12}x{21,22}; points 3/5 unmatched
+    assert got == [(10, 20), (11, 20), (12, 21), (12, 22)]
+
+
+def test_raster_overlay_matches_brute(ray_session):
+    from rasterflow.geom.polyio import PolygonLayer, rect_layer
+    from rasterflow.pipelines.overlay import raster_overlay
+
+    ring_a0 = [(1.0, 1.0), (6.0, 1.5), (5.5, 6.0), (1.5, 5.0)]
+    ring_a1 = [(4.0, 4.0), (9.0, 4.5), (8.0, 9.0)]
+    layer_a = PolygonLayer.from_rings(
+        "A", [[np.asarray(ring_a0)], [np.asarray(ring_a1)]]
+    )
+    rects_b = np.array([(0.5, 0.5, 5.0, 5.0), (3.0, 3.0, 9.5, 9.5)])
+    layer_b = rect_layer("B", rects_b)
+    grid = Grid.from_bounds(0.0, 0.0, 10.0, 10.0, 0.5)
+
+    got = raster_overlay(layer_a, layer_b, grid, how="index", cell_size=0.25).to_pandas()
+
+    rings_b = [
+        [(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)]
+        for xmin, ymin, xmax, ymax in rects_b
+    ]
+    from collections import Counter
+
+    cnt = Counter()
+    for lin in range(grid.ncells):
+        iy, ix = divmod(lin, grid.nx)
+        cx, cy = grid.x0 + (ix + 0.5) * grid.cell, grid.y0 + (iy + 0.5) * grid.cell
+        ina = [i for i, r in enumerate([ring_a0, ring_a1]) if _pip_ref(cx, cy, r)]
+        inb = [j for j, r in enumerate(rings_b) if _pip_ref(cx, cy, r)]
+        for i in ina:
+            for j in inb:
+                cnt[(i, j)] += 1
+    exp = pd.DataFrame(
+        [(a, b, n, n * grid.cell * grid.cell) for (a, b), n in sorted(cnt.items())],
+        columns=["poly_a", "poly_b", "n_cells", "area"],
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
