@@ -109,17 +109,26 @@ def add_urls_and_canon(ds, id_col: str = "doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def url_dedup(ds, id_col: str = "doc_id", sort: bool = True):
+def url_dedup(ds, id_col: str = "doc_id", url_col: str | None = None, sort: bool = True):
     """Exact dedup on the canonical URL: ``(canon, keep_id, n_dups)``.
 
-    Two-stage: each batch collapses to its own per-canon ``(min id, count)``
-    partial (duplicates are adjacent in id order but may land in any block —
-    min/count are both mergeable), then one hash exchange over the collapsed
-    keys.  Only ``(canon, id)`` pairs ever move; the text never shuffles.
+    With ``url_col`` the existing URL column is canonicalized (the
+    production path — e.g. the pages table's real ``url``); without it the
+    deterministic fixture URLs are synthesized from ``id_col`` (the oracle
+    path).  Two-stage: each batch collapses to its own per-canon ``(min id,
+    count)`` partial (duplicates are adjacent in id order but may land in
+    any block — min/count are both mergeable), then one hash exchange over
+    the collapsed keys.  Only ``(canon, id)`` pairs ever move; the text
+    never shuffles.
     """
     import pandas as pd
 
-    withc = add_urls_and_canon(ds, id_col)
+    if url_col is not None:
+        withc = ds.map_batches(
+            lambda b: canonicalize_urls(b, url_col), batch_format="pyarrow"
+        )
+    else:
+        withc = add_urls_and_canon(ds, id_col)
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.select(["canon", id_col]).to_pandas()

@@ -31,7 +31,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--pipeline",
-        choices=["raster", "index", "hybrid", "bounds", "zonal", "ingest", "stream-ingest", "rows", "dedup", "export", "bm25-build", "dsir", "lm-filter", "semdedup"],
+        choices=["raster", "index", "hybrid", "bounds", "zonal", "ingest", "stream-ingest", "rows", "dedup", "url-dedup", "export", "bm25-build", "dsir", "lm-filter", "semdedup"],
         default="hybrid",
     )
     ap.add_argument("--input", required=True, help="pages parquet file/dir (or glob)")
@@ -159,6 +159,59 @@ def main() -> int:
         kept = semdedup(ds, k_clusters=args.clusters, threshold=args.threshold)
         kept.write_parquet(args.out)
         print(json.dumps({"out": args.out, "clusters": args.clusters, "threshold": args.threshold}))
+        if owns_ray:
+            ray.shutdown()
+        return 0
+
+    if args.pipeline == "url-dedup":
+        # resumable URL-level dedup over the pages table's REAL url column:
+        # each partition canonicalizes its urls (Arrow RE2, row-local) and
+        # writes (canon -> min url, n) partials; the final combine reduces
+        # to the global canonical keep-list.  Same resume/merge contract as
+        # the content-hash dedup below.
+        import pyarrow as pa
+
+        from rasterflow.pipelines.web import canonicalize_urls
+
+        def build_urldedup(files):
+            import pandas as pd
+
+            ds = ray.data.read_parquet(files, columns=["url"])
+
+            def partial(b: pa.Table) -> pa.Table:
+                b = canonicalize_urls(b, "url")
+                df = b.select(["canon", "url"]).to_pandas()
+                g = (
+                    df.groupby("canon", sort=False)
+                    .agg(keep_url=("url", "min"), n=("url", "size"))
+                    .reset_index()
+                )
+                return pa.Table.from_pandas(g, preserve_index=False)
+
+            return ds.map_batches(partial, batch_format="pyarrow")
+
+        parts = partition_files(paths, args.partition_size)
+        res = run_resumable(parts, build_urldedup, args.out)
+        from rasterflow.util import coalesce_small, grouped_aggregate
+
+        part_files = []
+        for pid, _ in parts:
+            part_files.extend(
+                sorted(glob.glob(os.path.join(args.out, f"part-{pid}", "*.parquet")))
+            )
+        partials = ray.data.read_parquet(part_files)
+        keep_ds = grouped_aggregate(
+            coalesce_small(partials),
+            "canon",
+            {"keep_url": ("keep_url", "min"), "n": ("n", "sum")},
+        )
+        final_path = os.path.join(args.out, "final")
+        if os.path.isdir(final_path):
+            shutil.rmtree(final_path)  # combine is re-runnable; never append
+        keep_ds.sort("canon").write_parquet(final_path)
+        rows_out = ray.data.read_parquet(final_path).count()  # metadata-only
+        print(json.dumps(res | {"rows_out": rows_out, "final": final_path,
+                                "manifest_entries": len(read_manifest(args.out))}))
         if owns_ray:
             ray.shutdown()
         return 0

@@ -207,3 +207,30 @@ def test_raster_overlay_matches_brute(ray_session):
         columns=["poly_a", "poly_b", "n_cells", "area"],
     )
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_run_job_url_dedup_partitioned(ray_session, tmp_path, monkeypatch):
+    """Resumable url-dedup CLI: per-partition canon partials + global combine
+    equal a single-shot groupby; cross-partition repeats merge (n sums)."""
+    import sys
+
+    import pyarrow.parquet as pq
+
+    import scripts.run_job as RJ
+    from rasterflow.sources.fixtures import pages_batch
+
+    ind = tmp_path / "pages"
+    ind.mkdir()
+    pq.write_table(pages_batch(np.arange(0, 1500)), ind / "a.parquet")
+    pq.write_table(pages_batch(np.arange(1000, 2500)), ind / "b.parquet")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_job.py", "--pipeline", "url-dedup", "--input", str(ind), "--out",
+         str(tmp_path / "o"), "--partition-size", "1"],
+    )
+    assert RJ.main() == 0
+    got = pd.read_parquet(tmp_path / "o" / "final")  # write_parquet dir
+    assert len(got) == 2500  # distinct canonical urls
+    assert (got["n"] == 1).sum() == 2000 and (got["n"] == 2).sum() == 500
+    # canonicalization is identity on the already-canonical fixture urls
+    assert (got["canon"] == got["keep_url"]).all()
