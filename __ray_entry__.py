@@ -192,6 +192,17 @@ def _q_overlay_area(sf_dir: str):
     )
 
 
+def _q_near_pairs(sf_dir: str):
+    """Distance self-join (proximity pairs): every pair of documents within
+    0.01° of each other — co-location analysis.  Grid-bucketed at cell = r
+    with forward-ghost replication: ONE shuffle, pair work is local
+    density², never corpus²; the d² float expression matches the SQL
+    all-pairs oracle bit-exactly."""
+    from rasterflow.pipelines.proximity import distance_join_pairs
+
+    return distance_join_pairs(documents_points(sf_dir), radius=0.01)
+
+
 def _q_url_dedup(sf_dir: str):
     """URL-level exact dedup: synthesize the 4-variant URL fixture (case
     noise / www / tracking params / trailing slash), canonicalize with Arrow
@@ -2295,6 +2306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "near_pairs": _q_near_pairs,
         "overlay_area": _q_overlay_area,
         "url_dedup": _q_url_dedup,
         "domain_gate": _q_domain_gate,
@@ -3214,6 +3226,15 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "near_pairs": f"""
+WITH {GEO_CTE.strip()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+FROM geo a JOIN geo b ON a.doc_id < b.doc_id
+WHERE (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)
+      <= {0.01 * 0.01!r}e0
+ORDER BY id_a, id_b
+""",
         "overlay_area": f"""
 WITH ovc AS (
   SELECT CAST(i AS BIGINT) AS cell,

@@ -229,6 +229,7 @@ def bench_queries() -> dict[str, float]:
         "cell_trend",
         "cell_top_terms",
         "overlay_area",
+        "near_pairs",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -234,3 +234,41 @@ def test_run_job_url_dedup_partitioned(ray_session, tmp_path, monkeypatch):
     assert (got["n"] == 1).sum() == 2000 and (got["n"] == 2).sum() == 500
     # canonicalization is identity on the already-canonical fixture urls
     assert (got["canon"] == got["keep_url"]).all()
+
+
+def test_distance_join_pairs_matches_brute(ray_session):
+    from rasterflow.pipelines.proximity import distance_join_pairs
+
+    rng = np.random.default_rng(21)
+    n = 1200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "x": rng.uniform(0.0, 3.0, n),
+            "y": rng.uniform(0.0, 3.0, n),
+        }
+    )
+    # planted edge cases: exact duplicate coords, and a pair exactly r apart
+    df.loc[1, ["x", "y"]] = df.loc[0, ["x", "y"]].to_numpy()
+    df.loc[3, "x"] = df.loc[2, "x"] + 0.05
+    df.loc[3, "y"] = df.loc[2, "y"]
+    import ray.data
+
+    r = 0.05
+    got = distance_join_pairs(
+        ray.data.from_pandas(df).repartition(6), radius=r
+    ).to_pandas()
+    got8 = distance_join_pairs(
+        ray.data.from_pandas(df).repartition(1), radius=r, num_partitions=3
+    ).to_pandas()
+    pd.testing.assert_frame_equal(got, got8)  # partition invariance
+
+    x, y = df["x"].to_numpy(), df["y"].to_numpy()
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    d2 = dx * dx + dy * dy
+    ia, ib = np.nonzero((d2 <= r * r) & (np.arange(n)[:, None] < np.arange(n)[None, :]))
+    exp = pd.DataFrame({"id_a": ia.astype(np.int64), "id_b": ib.astype(np.int64),
+                        "d2": d2[ia, ib]}).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert (got["id_a"] == 0).sum() >= 1 and ((got["id_a"] == 2) & (got["id_b"] == 3)).any()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
