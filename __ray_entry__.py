@@ -31,6 +31,7 @@ from rasterflow.pipelines.points import (
     oracle_rect_layer,
     poly_edges_double_sql,
     poly_edges_values_sql,
+    poly_edges_dist_sql,
     rect_edges_values_sql,
     rects_values_sql,
     sites_values_sql,
@@ -190,6 +191,28 @@ def _q_overlay_area(sf_dir: str):
     return raster_overlay(
         oracle_poly_layer(), oracle_rect_layer(), OVERLAY_GRID, how="index", cell_size=0.05
     )
+
+
+def _q_buffer_poly_counts(sf_dir: str):
+    """GIS buffer analysis: per polygon, documents inside OR within 0.02° of
+    its boundary (exact matcher + per-polygon clamped point-to-segment min
+    distance, reduceat over the polygon's contiguous edge block; ≤ npolys
+    partial rows per batch)."""
+    from rasterflow.pipelines.zonal import buffered_polygon_counts
+
+    layer = oracle_poly_layer()
+    return buffered_polygon_counts(
+        documents_points(sf_dir), layer, layer, buffer_dist=0.02, how="index", cell_size=0.05
+    )
+
+
+def _q_hotspot_evolution(sf_dir: str):
+    """Emerging-hotspot classification: early/late half counts per cell +
+    emerging/declining/persistent label — integer counts and a CASE string,
+    hash-exact."""
+    from rasterflow.pipelines.zonal import hotspot_evolution
+
+    return hotspot_evolution(documents_points(sf_dir), ORACLE_GRID, min_count=10)
 
 
 def _q_near_pairs(sf_dir: str):
@@ -2306,6 +2329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "buffer_poly_counts": _q_buffer_poly_counts,
+        "hotspot_evolution": _q_hotspot_evolution,
         "near_pairs": _q_near_pairs,
         "overlay_area": _q_overlay_area,
         "url_dedup": _q_url_dedup,
@@ -3226,6 +3251,42 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "buffer_poly_counts": f"""
+WITH {GEO_CTE.strip()},
+{poly_edges_values_sql()},
+{poly_edges_dist_sql("pedges")},
+bhits AS ({PIP_JOIN_SQL.strip()}),
+bufd AS (
+  SELECT doc_id, poly_id, min(ddx * ddx + ddy * ddy) AS mind2
+  FROM (
+    SELECT g.doc_id, e.poly_id,
+           g.lon - (e.ax + LEAST(GREATEST(((g.lon - e.ax) * e.dx + (g.lat - e.ay) * e.dy) / e.l2, 0.0e0), 1.0e0) * e.dx) AS ddx,
+           g.lat - (e.ay + LEAST(GREATEST(((g.lon - e.ax) * e.dx + (g.lat - e.ay) * e.dy) / e.l2, 0.0e0), 1.0e0) * e.dy) AS ddy
+    FROM geo g CROSS JOIN pedges e
+  ) GROUP BY doc_id, poly_id
+),
+bu AS (
+  SELECT doc_id, poly_id FROM bufd WHERE mind2 <= {0.02 * 0.02!r}e0
+  UNION
+  SELECT doc_id, poly_id FROM bhits
+)
+SELECT CAST(poly_id AS INTEGER) AS poly_id, count(*) AS n_buffer
+FROM bu GROUP BY poly_id ORDER BY poly_id
+""",
+        "hotspot_evolution": f"""
+WITH {GEO_CTE.strip()},
+hev AS (
+  SELECT CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id,
+         count(*) FILTER (((doc_id * 137) % 126144000) // 15768000 < 4) AS n_early,
+         count(*) FILTER (((doc_id * 137) % 126144000) // 15768000 >= 4) AS n_late
+  FROM geo GROUP BY cell_id
+)
+SELECT cell_id, CAST(n_early AS BIGINT) AS n_early, CAST(n_late AS BIGINT) AS n_late,
+       CASE WHEN n_early >= 10 AND n_late >= 10 THEN 'persistent'
+            WHEN n_late >= 10 THEN 'emerging' ELSE 'declining' END AS status
+FROM hev WHERE n_early >= 10 OR n_late >= 10 ORDER BY cell_id
+""",
         "near_pairs": f"""
 WITH {GEO_CTE.strip()}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -230,6 +230,8 @@ def bench_queries() -> dict[str, float]:
         "cell_top_terms",
         "overlay_area",
         "near_pairs",
+        "buffer_poly_counts",
+        "hotspot_evolution",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -108,6 +108,27 @@ edges_d AS (
     )
 
 
+def poly_edges_dist_sql(name: str = "pedges") -> str:
+    """ORACLE_POLYS edges WITH poly ids and Python-precomputed (dx, dy, l2)
+    as e0-DOUBLE literals — the per-polygon distance oracle plane.  Embedding
+    the derived float64 values directly (instead of deriving them in SQL)
+    guarantees bit-identity with the engine's ``zonal.poly_edges`` arrays."""
+    rows = []
+    for pid, ring in enumerate(ORACLE_POLYS):
+        n = len(ring)
+        j = n - 1
+        for i in range(n):
+            ax, ay = float(ring[i][0]), float(ring[i][1])
+            bx, by = float(ring[j][0]), float(ring[j][1])
+            dx, dy = bx - ax, by - ay
+            l2 = dx * dx + dy * dy
+            rows.append(f"({pid}, {ax!r}e0, {ay!r}e0, {dx!r}e0, {dy!r}e0, {l2!r}e0)")
+            j = i
+    return (
+        f"{name}(poly_id, ax, ay, dx, dy, l2) AS (VALUES\n    " + ",\n    ".join(rows) + "\n)"
+    )
+
+
 def rect_edges_values_sql(name: str = "redges") -> str:
     """ORACLE_RECTS as PIP edge rows in the engine's ring construction
     (CCW from the lower-left corner, edge i joins vertex i to its

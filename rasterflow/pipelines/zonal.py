@@ -342,6 +342,161 @@ def group_spatial_profile(points_ds, grid: Grid, group_col: str = "lang", sort: 
     return out.sort(group_col) if sort else out
 
 
+def poly_edges(layer) -> tuple[np.ndarray, ...]:
+    """Boundary segments with their owning polygon: ``(poly_of_edge_start,
+    ax, ay, bx, by)`` where ``poly_of_edge_start[p]`` is the first edge index
+    of polygon ``p`` (edges are stored ring-major, rings poly-major, so each
+    polygon's edges are contiguous)."""
+    ax, ay, bx, by = boundary_edges(layer)
+    ro, pro = layer.ring_offsets, layer.poly_ring_offsets
+    # first edge of poly p = vertex offset of its first ring (1 edge/vertex)
+    starts = np.asarray([ro[pro[p]] for p in range(len(pro) - 1)], dtype=np.int64)
+    return starts, ax, ay, bx, by
+
+
+def buffered_polygon_counts(
+    points_ds,
+    layer_or_bundle,
+    layer,
+    buffer_dist: float,
+    how: str = "index",
+    accuracy_m: float = 100.0,
+    cell_size: float | None = None,
+    batch_size: int = 65536,
+    sort: bool = True,
+):
+    """GIS buffer analysis: per polygon, count points inside it OR within
+    ``buffer_dist`` of its boundary — "population within 500 m of each park".
+
+    Membership is the exact matcher (bundle broadcast once); the per-polygon
+    boundary distance is the clamped point-to-segment projection over the
+    polygon's OWN contiguous edge block (``np.minimum.reduceat`` across the
+    edge axis — min is order-independent, so hash-exact).  Each batch
+    collapses to ≤ npolys count partials; one collapsed-key exchange.  The
+    edge table broadcasts in the task closure — dashboard-scale layers; a
+    10^6-edge layer goes through the tile-sharded path (pair points only
+    with nearby cells' edges), the same escape hatch as
+    :func:`distance_to_boundary`.
+    """
+    ref = _bundle_ref(layer_or_bundle, accuracy_m, cell_size, 32_000_000)
+    import ray
+
+    estarts, ax, ay, bx, by = poly_edges(layer)
+    dx = bx - ax
+    dy = by - ay
+    l2 = dx * dx + dy * dy
+    l2 = np.where(l2 == 0.0, 1.0, l2)  # engine-only degenerate-edge guard
+    npolys = len(estarts)
+    thr = float(buffer_dist) * float(buffer_dist)
+    key = ("buffer", ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref), how, thr)
+    empty = pa.schema([("poly_id", pa.int32()), ("n_buffer", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        if len(x) == 0:
+            return empty.empty_table()
+        agg = _memo(key, lambda: SpatialJoinAgg(ref, how=how))
+        lin, valid = agg.b.grid.locate_linear(x, y)
+        vidx = np.flatnonzero(valid)
+        ok = np.zeros((len(x), npolys), dtype=bool)
+        if len(vidx):
+            pts, pl = agg._match_pairs(x[vidx], y[vidx], lin[vidx])
+            ok[vidx[pts], pl] = True
+        px = x[:, None]
+        py = y[:, None]
+        t = ((px - ax) * dx + (py - ay) * dy) / l2
+        np.clip(t, 0.0, 1.0, out=t)
+        ddx = px - (ax + t * dx)
+        ddy = py - (ay + t * dy)
+        d2 = ddx * ddx + ddy * ddy
+        mind2 = np.minimum.reduceat(d2, estarts, axis=1)
+        ok |= mind2 <= thr
+        counts = ok.sum(axis=0).astype(np.int64)
+        touched = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "poly_id": pa.array(touched.astype(np.int32), type=pa.int32()),
+                "n_buffer": pa.array(counts[touched]),
+            }
+        )
+
+    partials = points_ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    out = grouped_aggregate(
+        coalesce_small(partials, 0.25), "poly_id", {"n_buffer": ("n_buffer", "sum")}
+    )
+    return out.sort("poly_id") if sort else out
+
+
+def hotspot_evolution(
+    points_ds,
+    grid: Grid,
+    id_col: str = "doc_id",
+    buckets: int = 8,
+    min_count: int = 10,
+    sort: bool = True,
+):
+    """Emerging-hotspot classification (the space-time follow-up to
+    :func:`cell_trend`): split the crawl span into early/late halves and
+    label each cell ``emerging`` (hot only late), ``declining`` (hot only
+    early) or ``persistent`` (hot in both), where hot means ≥ ``min_count``
+    points in that half.  Integer counts + a CASE label — hash-exact.  Same
+    single-scan collapsed-partial plan as :func:`cell_trend`.
+    """
+    from ..sources.fixtures import TS_SPAN
+
+    if TS_SPAN % buckets:
+        raise ValueError("buckets must divide TS_SPAN")
+    w = TS_SPAN // buckets
+    half = buckets // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        lin, valid = grid.locate_linear(x, y)
+        lin, ids = lin[valid], ids[valid]
+        late = (((ids * 137) % TS_SPAN) // w) >= half
+        order = np.argsort(lin, kind="stable")
+        lins, lates = lin[order], late[order]
+        uniq, starts = np.unique(lins, return_index=True)
+        counts = np.diff(np.append(starts, len(lins)))
+        n_late = np.add.reduceat(lates.astype(np.int64), starts) if len(lates) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "cell_id": pa.array(uniq),
+                "n_early": pa.array(counts.astype(np.int64) - n_late),
+                "n_late": pa.array(n_late),
+            }
+        )
+
+    partials = coalesce_small(points_ds.map_batches(partial, batch_format="pyarrow"), 0.25)
+    agg = grouped_aggregate(
+        partials, "cell_id", {"n_early": ("n_early", "sum"), "n_late": ("n_late", "sum")}
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        ne = t.column("n_early").to_numpy(zero_copy_only=False)
+        nl = t.column("n_late").to_numpy(zero_copy_only=False)
+        hot_e = ne >= min_count
+        hot_l = nl >= min_count
+        keep = hot_e | hot_l
+        status = np.where(
+            hot_e & hot_l, "persistent", np.where(hot_l, "emerging", "declining")
+        )
+        return pa.table(
+            {
+                "cell_id": t.column("cell_id").filter(pa.array(keep)),
+                "n_early": pa.array(ne[keep]),
+                "n_late": pa.array(nl[keep]),
+                "status": pa.array(status[keep].tolist(), type=pa.string()),
+            }
+        )
+
+    out = agg.map_batches(classify, batch_format="pyarrow")
+    return out.sort("cell_id") if sort else out
+
+
 def cell_trend(
     points_ds,
     grid: Grid,

@@ -272,3 +272,81 @@ def test_distance_join_pairs_matches_brute(ray_session):
                         "d2": d2[ia, ib]}).sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert (got["id_a"] == 0).sum() >= 1 and ((got["id_a"] == 2) & (got["id_b"] == 3)).any()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def _seg_d2(px, py, ring):
+    best = np.inf
+    j = len(ring) - 1
+    for i in range(len(ring)):
+        (ax, ay), (bx, by) = ring[i], ring[j]
+        dx, dy = bx - ax, by - ay
+        l2 = dx * dx + dy * dy or 1.0
+        t = min(max(((px - ax) * dx + (py - ay) * dy) / l2, 0.0), 1.0)
+        ddx, ddy = px - (ax + t * dx), py - (ay + t * dy)
+        best = min(best, ddx * ddx + ddy * ddy)
+        j = i
+    return best
+
+
+def test_buffered_polygon_counts_matches_brute(ray_session):
+    from rasterflow.geom.polyio import PolygonLayer
+    from rasterflow.pipelines.zonal import buffered_polygon_counts
+
+    rings = [
+        [(1.0, 1.0), (5.0, 1.2), (4.5, 5.0), (1.2, 4.0)],
+        [(6.0, 6.0), (9.0, 6.5), (8.5, 9.5)],
+    ]
+    layer = PolygonLayer.from_rings("bp", [[np.asarray(r)] for r in rings])
+    df = _geo_pts(2500, seed=9)
+    import ray.data
+
+    d = 0.4
+    got = buffered_polygon_counts(
+        ray.data.from_pandas(df).repartition(5), layer, layer, buffer_dist=d,
+        how="index", cell_size=0.25,
+    ).to_pandas()
+
+    exp = []
+    for pid, ring in enumerate(rings):
+        n = sum(
+            1
+            for px, py in zip(df["x"], df["y"])
+            if _pip_ref(px, py, ring) or _seg_d2(px, py, ring) <= d * d
+        )
+        if n:
+            exp.append((pid, n))
+    exp = pd.DataFrame(exp, columns=["poly_id", "n_buffer"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_hotspot_evolution_matches_brute(ray_session):
+    from rasterflow.pipelines.zonal import hotspot_evolution
+
+    df = _geo_pts(4000, seed=13)
+    import ray.data
+
+    got = hotspot_evolution(
+        ray.data.from_pandas(df).repartition(7), GRID, min_count=8
+    ).to_pandas()
+
+    w = TS_SPAN // 8
+    b = ((df["doc_id"] * 137) % TS_SPAN) // w
+    lin = (df["y"] // 1.0).astype(np.int64) * GRID.nx + (df["x"] // 1.0).astype(np.int64)
+    ref = pd.DataFrame({"cell_id": lin, "late": (b >= 4).astype(int)})
+    agg = ref.groupby("cell_id").agg(n=("late", "size"), n_late=("late", "sum"))
+    agg["n_early"] = agg["n"] - agg["n_late"]
+    agg = agg[(agg["n_early"] >= 8) | (agg["n_late"] >= 8)]
+    status = np.where(
+        (agg["n_early"] >= 8) & (agg["n_late"] >= 8),
+        "persistent",
+        np.where(agg["n_late"] >= 8, "emerging", "declining"),
+    )
+    exp = pd.DataFrame(
+        {
+            "cell_id": agg.index.to_numpy(),
+            "n_early": agg["n_early"].to_numpy(),
+            "n_late": agg["n_late"].to_numpy(),
+            "status": status,
+        }
+    ).sort_values("cell_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
