@@ -24,6 +24,7 @@ from rasterflow.geom.projection import MAX_LAT, MAX_LON, MIN_LAT, MIN_LON
 from rasterflow.pipelines.cellagg import cell_histogram_grid
 from rasterflow.pipelines.joins import aggregate_by_polygon, spatial_join
 from rasterflow.pipelines.points import (
+    EVENTS_GEO_CTE,
     GEO_CTE,
     PIP_JOIN_SQL,
     documents_points,
@@ -191,6 +192,26 @@ def _q_overlay_area(sf_dir: str):
     return raster_overlay(
         oracle_poly_layer(), oracle_rect_layer(), OVERLAY_GRID, how="index", cell_size=0.05
     )
+
+
+def _q_user_steps(sf_dir: str):
+    """Trajectory steps: per-user consecutive squared displacement over the
+    geocoded event stream (LAG-window plan: hash-partition by user, one
+    vectorized sort + masked diff per partition)."""
+    from rasterflow.pipelines.points import events_points
+    from rasterflow.pipelines.trajectory import user_steps
+
+    return user_steps(events_points(sf_dir))
+
+
+def _q_od_matrix(sf_dir: str):
+    """Origin-destination cell flow matrix over user trajectories: the
+    per-partition step pass collapses straight to unique (from, to) cell
+    pairs — raw steps never shuffle twice.  Pure integers, hash-exact."""
+    from rasterflow.pipelines.points import events_points
+    from rasterflow.pipelines.trajectory import od_matrix
+
+    return od_matrix(events_points(sf_dir), ORACLE_GRID)
 
 
 def _q_buffer_poly_counts(sf_dir: str):
@@ -2329,6 +2350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "user_steps": _q_user_steps,
+        "od_matrix": _q_od_matrix,
         "buffer_poly_counts": _q_buffer_poly_counts,
         "hotspot_evolution": _q_hotspot_evolution,
         "near_pairs": _q_near_pairs,
@@ -3251,6 +3274,34 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "user_steps": f"""
+WITH {EVENTS_GEO_CTE.strip()},
+ul AS (
+  SELECT event_id, user_id, lon, lat,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+  FROM egeo WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       (lon - plon) * (lon - plon) + (lat - plat) * (lat - plat) AS d2_step
+FROM ul ORDER BY event_id
+""",
+        "od_matrix": f"""
+WITH {EVENTS_GEO_CTE.strip()},
+ol AS (
+  SELECT lon, lat,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+  FROM egeo WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+os AS (
+  SELECT CAST(FLOOR((plat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((plon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_from,
+         CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_to
+  FROM ol WHERE plon IS NOT NULL
+)
+SELECT cell_from, cell_to, count(*) AS n
+FROM os GROUP BY cell_from, cell_to ORDER BY cell_from, cell_to
+""",
         "buffer_poly_counts": f"""
 WITH {GEO_CTE.strip()},
 {poly_edges_values_sql()},

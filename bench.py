@@ -232,6 +232,8 @@ def bench_queries() -> dict[str, float]:
         "near_pairs",
         "buffer_poly_counts",
         "hotspot_evolution",
+        "user_steps",
+        "od_matrix",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -37,6 +37,21 @@ def documents_points(sf_dir: str, columns: tuple[str, ...] = ("doc_id", "n_chars
     return ds.map_batches(add_geo, batch_format="pyarrow")
 
 
+def events_points(sf_dir: str, columns: tuple[str, ...] = ("event_id", "user_id", "ts")):
+    """Oracle-plane points for the EVENTS table — event locations geocoded
+    from ``event_id`` with the same integer-hash plane as the documents
+    (``EVENTS_GEO_CTE`` is the SQL twin)."""
+    import ray.data
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lat, lon = geo_from_id(ids)
+        return batch.append_column("x", pa.array(lon)).append_column("y", pa.array(lat))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Oracle polygon layers (lat/lon plane, hard-coded floats so the same literals
 # appear in the generated SQL)
@@ -178,6 +193,27 @@ geo AS (
            (doc_id * 2654435761) % 4294967296 AS h1,
            (doc_id * 2246822519 + 3266489917) % 4294967296 AS h2
     FROM documents
+  )
+)
+"""
+
+
+EVENTS_GEO_CTE = """
+egeo AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN h1 % 100 < 80 THEN
+      (CASE h2 % 3 WHEN 0 THEN 40.7 WHEN 1 THEN 34.05 ELSE 41.88 END)
+        + ((((h1 // 256) % 1048576) / 1048576.0) - 0.5) * 0.7
+    ELSE 24.4 + 24.9 * (((h1 // 256) % 1048576) / 1048576.0) END AS lat,
+    CASE WHEN h1 % 100 < 80 THEN
+      (CASE h2 % 3 WHEN 0 THEN -74.0 WHEN 1 THEN -118.25 ELSE -87.63 END)
+        + ((((h2 // 256) % 1048576) / 1048576.0) - 0.5) * 0.7
+    ELSE -124.8 + 57.9 * (((h2 // 256) % 1048576) / 1048576.0) END AS lon
+  FROM (
+    SELECT event_id, user_id, ts,
+           (event_id * 2654435761) % 4294967296 AS h1,
+           (event_id * 2246822519 + 3266489917) % 4294967296 AS h2
+    FROM events
   )
 )
 """

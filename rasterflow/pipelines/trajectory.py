@@ -1,0 +1,134 @@
+"""Trajectory / mobility analytics over geocoded event streams.
+
+The reference aggregates points statically; the event log (`events` table:
+``event_id, ts, user_id``) adds the ORDERED dimension — who moved where.
+Two mobility primitives every geospatial event pipeline ships:
+
+* :func:`user_steps` — per-user consecutive displacement: for every event,
+  the squared distance from the same user's PREVIOUS event (NaN for the
+  user's first).  The LAG-window plan of ``windows.lag_deltas`` applied to
+  the geo plane: hash-partition by user, ONE vectorized sort + masked diff
+  per partition, no per-key dispatch.
+* :func:`od_matrix` — the origin-destination flow matrix: transitions
+  between grid cells, ``(cell_from, cell_to, n)``.  The per-partition step
+  pass collapses straight to unique cell pairs, so the second (tiny)
+  exchange carries collapsed flow keys, never raw steps.
+
+Partitioning assumption (shared with the window family): one user's events
+fit in one partition task — a 10^9-event user is the sessionize-style
+two-level split escape hatch.  Both outputs are hash-exact: d² is one float
+expression mirrored by the SQL LAG oracle; the OD matrix is pure integers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..geom.cells import Grid
+from ..util import coalesce_small, grouped_aggregate, shuffle_parts
+
+
+def _with_pk(ds, key: str, cols: list[str], num_partitions: int):
+    from .dedup import _FNV
+
+    def addpk(b: pa.Table) -> pa.Table:
+        kcol = b.column(key).to_numpy(zero_copy_only=False)
+        hk = pd.util.hash_array(kcol, hash_key="0123456789123456").astype(np.uint64)
+        pk = ((hk * _FNV) % np.uint64(num_partitions)).astype(np.int32)
+        return b.select(cols).append_column("_pk", pa.array(pk))
+
+    return ds.map_batches(addpk, batch_format="pyarrow")
+
+
+def _sorted_steps(g: pd.DataFrame, key: str, ts_col: str, id_col: str):
+    """Partition-local (sorted frame, same-user-as-previous mask)."""
+    g = g.sort_values([key, ts_col, id_col], kind="stable")
+    k = g[key].to_numpy()
+    same = np.zeros(len(g), dtype=bool)
+    if len(g) > 1:
+        same[1:] = k[1:] == k[:-1]
+    return g, same
+
+
+def user_steps(
+    events_ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+    out_col: str = "d2_step",
+):
+    """Per-user consecutive squared displacement ``(event_id, user_id, d2)``.
+
+    NaN for each user's first event — the float64/NaN representation every
+    nullable query emits (the event_lag lesson, r4)."""
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g, same = _sorted_steps(g, key, ts_col, id_col)
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        d2 = np.full(len(g), np.nan)
+        if len(g) > 1:
+            dx = x[1:] - x[:-1]
+            dy = y[1:] - y[:-1]
+            d2[1:] = np.where(same[1:], dx * dx + dy * dy, np.nan)
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(), key: g[key].to_numpy(), out_col: d2}
+        )
+
+    withpk = _with_pk(events_ds, key, [id_col, key, ts_col, "x", "y"], num_partitions)
+    return withpk.groupby("_pk").map_groups(per_partition, batch_format="pandas").sort(id_col)
+
+
+def od_matrix(
+    events_ds,
+    grid: Grid,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+    sort: bool = True,
+):
+    """Origin-destination cell flow matrix ``(cell_from, cell_to, n)``.
+
+    Steps whose either endpoint falls outside the grid are dropped (canvas
+    clip, same rule as the histogram family)."""
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
+    empty = pd.DataFrame(
+        {
+            "cell_from": np.empty(0, np.int64),
+            "cell_to": np.empty(0, np.int64),
+            "n": np.empty(0, np.int64),
+        }
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g, same = _sorted_steps(g, key, ts_col, id_col)
+        if len(g) < 2:
+            return empty
+        lin, valid = grid.locate_linear(g["x"].to_numpy(), g["y"].to_numpy())
+        ok = same[1:] & valid[1:] & valid[:-1]
+        cf, ct = lin[:-1][ok], lin[1:][ok]
+        if len(cf) == 0:
+            return empty
+        pair = cf * np.int64(grid.ncells) + ct
+        uniq, counts = np.unique(pair, return_counts=True)
+        return pd.DataFrame(
+            {
+                "cell_from": uniq // grid.ncells,
+                "cell_to": uniq % grid.ncells,
+                "n": counts.astype(np.int64),
+            }
+        )
+
+    withpk = _with_pk(events_ds, key, [id_col, key, ts_col, "x", "y"], num_partitions)
+    partials = withpk.groupby("_pk").map_groups(per_partition, batch_format="pandas")
+    out = grouped_aggregate(
+        coalesce_small(partials, 0.25), ["cell_from", "cell_to"], {"n": ("n", "sum")}
+    )
+    return out.sort(["cell_from", "cell_to"]) if sort else out

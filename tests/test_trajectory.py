@@ -1,0 +1,72 @@
+"""Trajectory analytics (rasterflow.pipelines.trajectory) vs pandas brute."""
+
+import numpy as np
+import pandas as pd
+
+from rasterflow.geom.cells import Grid
+from rasterflow.pipelines.trajectory import od_matrix, user_steps
+
+GRID = Grid.from_bounds(0.0, 0.0, 10.0, 10.0, 2.0)
+
+
+def _events(n=2000, users=37, seed=17):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, users, n).astype(np.int64),
+            # integer ts with planted ties (id breaks them deterministically)
+            "ts": rng.integers(0, 500, n).astype(np.int64),
+            "x": rng.uniform(-1.0, 11.0, n),  # some points off-canvas
+            "y": rng.uniform(-1.0, 11.0, n),
+        }
+    )
+
+
+def _ref_sorted(df):
+    return df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+
+
+def test_user_steps_matches_pandas(ray_session):
+    import ray.data
+
+    df = _events()
+    got = user_steps(ray.data.from_pandas(df).repartition(6)).to_pandas()
+    got3 = user_steps(
+        ray.data.from_pandas(df).repartition(1), num_partitions=3
+    ).to_pandas()
+    pd.testing.assert_frame_equal(got, got3)  # partition invariance
+
+    s = _ref_sorted(df)
+    px = s.groupby("user_id")["x"].shift()
+    py = s.groupby("user_id")["y"].shift()
+    d2 = (s["x"] - px) ** 2 + (s["y"] - py) ** 2
+    exp = pd.DataFrame(
+        {"event_id": s["event_id"], "user_id": s["user_id"], "d2_step": d2}
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_od_matrix_matches_pandas(ray_session):
+    import ray.data
+
+    df = _events(seed=23)
+    got = od_matrix(ray.data.from_pandas(df).repartition(5), GRID).to_pandas()
+
+    s = _ref_sorted(df)
+    lin, valid = GRID.locate_linear(s["x"].to_numpy(), s["y"].to_numpy())
+    same = np.zeros(len(s), dtype=bool)
+    u = s["user_id"].to_numpy()
+    same[1:] = u[1:] == u[:-1]
+    ok = same[1:] & valid[1:] & valid[:-1]
+    flows = pd.DataFrame({"cell_from": lin[:-1][ok], "cell_to": lin[1:][ok]})
+    exp = (
+        flows.groupby(["cell_from", "cell_to"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["cell_from", "cell_to"])
+        .reset_index(drop=True)
+    )
+    # mass conservation: every valid consecutive same-user step counted once
+    assert got["n"].sum() == ok.sum()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
