@@ -194,6 +194,28 @@ def _q_overlay_area(sf_dir: str):
     )
 
 
+def _q_home_cells(sf_dir: str):
+    """Modal ("home") cell per user — anchor-location mobility primitive:
+    per-batch (user, cell) collapse → collapsed-key exchange → two-stage
+    top-1-per-group with (n desc, cell asc) tie determinism."""
+    from rasterflow.pipelines.points import events_points
+    from rasterflow.pipelines.trajectory import home_cells
+
+    return home_cells(events_points(sf_dir, columns=("event_id", "user_id")), ORACLE_GRID)
+
+
+def _q_user_profile(sf_dir: str):
+    """Per-user spatial footprint (n_points, distinct cells, bbox) — the
+    generic group_spatial_profile keyed by user instead of lang; raw events
+    never shuffle, only per-(user, cell) partials do."""
+    from rasterflow.pipelines.points import events_points
+    from rasterflow.pipelines.zonal import group_spatial_profile
+
+    return group_spatial_profile(
+        events_points(sf_dir, columns=("event_id", "user_id")), ORACLE_GRID, "user_id"
+    )
+
+
 def _q_user_steps(sf_dir: str):
     """Trajectory steps: per-user consecutive squared displacement over the
     geocoded event stream (LAG-window plan: hash-partition by user, one
@@ -2350,6 +2372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "home_cells": _q_home_cells,
+        "user_profile": _q_user_profile,
         "user_steps": _q_user_steps,
         "od_matrix": _q_od_matrix,
         "buffer_poly_counts": _q_buffer_poly_counts,
@@ -3274,6 +3298,35 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "home_cells": f"""
+WITH {EVENTS_GEO_CTE.strip()},
+hcnt AS (
+  SELECT user_id,
+         CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id,
+         count(*) AS n
+  FROM egeo GROUP BY user_id, cell_id
+),
+hr AS (
+  SELECT user_id, cell_id, n,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, cell_id) AS rn
+  FROM hcnt
+)
+SELECT user_id, cell_id, CAST(n AS BIGINT) AS n
+FROM hr WHERE rn = 1 ORDER BY user_id, cell_id
+""",
+        "user_profile": f"""
+WITH {EVENTS_GEO_CTE.strip()},
+upc AS (
+  SELECT user_id, lon, lat,
+         CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id
+  FROM egeo
+)
+SELECT user_id, count(*) AS n_points, count(DISTINCT cell_id) AS n_cells,
+       min(lon) AS min_x, max(lon) AS max_x, min(lat) AS min_y, max(lat) AS max_y
+FROM upc GROUP BY user_id ORDER BY user_id
+""",
         "user_steps": f"""
 WITH {EVENTS_GEO_CTE.strip()},
 ul AS (

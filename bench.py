@@ -234,6 +234,8 @@ def bench_queries() -> dict[str, float]:
         "hotspot_evolution",
         "user_steps",
         "od_matrix",
+        "home_cells",
+        "user_profile",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -84,6 +84,42 @@ def user_steps(
     return withpk.groupby("_pk").map_groups(per_partition, batch_format="pandas").sort(id_col)
 
 
+def home_cells(
+    points_ds,
+    grid: Grid,
+    key: str = "user_id",
+    sort: bool = True,
+):
+    """Modal ("home") grid cell per user — the anchor-location primitive of
+    mobility analysis: the cell where each user generated the most events,
+    ties to the lowest cell id.  Per-batch (user, cell) count collapse, one
+    collapsed-key exchange, then the existing two-stage top-k-per-group with
+    k=1 — raw events shuffle zero times.  Returns ``(user_id, cell_id, n)``.
+    """
+    import pandas as pd
+
+    from .sampling import top_k_per_group
+
+    empty = pa.schema([(key, pa.int64()), ("cell_id", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lin, valid = grid.locate_linear(
+            batch.column("x").to_numpy(zero_copy_only=False),
+            batch.column("y").to_numpy(zero_copy_only=False),
+        )
+        u = batch.column(key).to_numpy(zero_copy_only=False)[valid]
+        if len(u) == 0:
+            return empty.empty_table()
+        df = pd.DataFrame({key: u, "cell_id": lin[valid]})
+        out = df.groupby([key, "cell_id"], as_index=False, sort=False).size()
+        return pa.Table.from_pandas(out.rename(columns={"size": "n"}), preserve_index=False)
+
+    partials = coalesce_small(points_ds.map_batches(partial, batch_format="pyarrow"), 0.25)
+    agg = grouped_aggregate(partials, [key, "cell_id"], {"n": ("n", "sum")})
+    # top-1 by (n desc, cell_id asc): argmax with deterministic tie
+    return top_k_per_group(agg, key, "n", 1, id_col="cell_id")
+
+
 def od_matrix(
     events_ds,
     grid: Grid,

@@ -70,3 +70,24 @@ def test_od_matrix_matches_pandas(ray_session):
     # mass conservation: every valid consecutive same-user step counted once
     assert got["n"].sum() == ok.sum()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_home_cells_matches_pandas(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.trajectory import home_cells
+
+    df = _events(seed=29)
+    got = home_cells(ray.data.from_pandas(df).repartition(6), GRID).to_pandas()
+
+    lin, valid = GRID.locate_linear(df["x"].to_numpy(), df["y"].to_numpy())
+    ref = pd.DataFrame({"user_id": df["user_id"], "cell_id": lin})[valid]
+    cnt = ref.groupby(["user_id", "cell_id"], as_index=False).size().rename(columns={"size": "n"})
+    cnt = cnt.sort_values(["n", "cell_id"], ascending=[False, True], kind="stable")
+    exp = (
+        cnt.groupby("user_id", sort=False)
+        .head(1)[["user_id", "cell_id", "n"]]
+        .sort_values(["user_id", "cell_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
