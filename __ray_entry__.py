@@ -194,6 +194,26 @@ def _q_overlay_area(sf_dir: str):
     )
 
 
+def _q_knn_self(sf_dir: str):
+    """kNN SELF-join: every document's 5 nearest OTHER documents — the
+    nearest-neighbor-graph construction step of spatial clustering.  All
+    docs route through the persistent sharded cell-ring index as one bulk
+    cohort batch (k+1 then drop self; ties (dist, id) both sides)."""
+    import pyarrow.parquet as pqt
+
+    from rasterflow.sources.fixtures import geo_from_id
+
+    t = pqt.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).sort_by("doc_id")
+    ids = t.column("doc_id").to_numpy()
+    lat, lon = geo_from_id(ids)
+    res = _knn_index(sf_dir).query(np.column_stack([lon, lat]), KNN_K + 1).to_pandas()
+    res["src_id"] = ids[res["query_id"].to_numpy()]
+    res = res[res["doc_id"] != res["src_id"]]
+    res = res.sort_values(["src_id", "dist", "doc_id"], kind="stable")
+    res = res.groupby("src_id", sort=False).head(KNN_K)
+    return res[["src_id", "doc_id", "dist"]].reset_index(drop=True)
+
+
 def _q_home_cells(sf_dir: str):
     """Modal ("home") cell per user — anchor-location mobility primitive:
     per-batch (user, cell) collapse → collapsed-key exchange → two-stage
@@ -2372,6 +2392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "knn_self": _q_knn_self,
         "home_cells": _q_home_cells,
         "user_profile": _q_user_profile,
         "user_steps": _q_user_steps,
@@ -3298,6 +3319,19 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "knn_self": f"""
+WITH {GEO_CTE.strip()},
+kd AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS doc_id,
+         sqrt((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)) AS dist
+  FROM geo a JOIN geo b ON a.doc_id <> b.doc_id
+),
+kr AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY dist, doc_id) AS rn FROM kd
+)
+SELECT src_id, doc_id, dist FROM kr WHERE rn <= {KNN_K}
+ORDER BY src_id, dist, doc_id
+""",
         "home_cells": f"""
 WITH {EVENTS_GEO_CTE.strip()},
 hcnt AS (

@@ -236,6 +236,7 @@ def bench_queries() -> dict[str, float]:
         "od_matrix",
         "home_cells",
         "user_profile",
+        "knn_self",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -91,3 +91,40 @@ def test_home_cells_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_knn_self_join_matches_brute(ray_session):
+    """k+1-then-drop-self through the sharded index ≡ brute self-kNN,
+    including duplicate-coordinate ties."""
+    from rasterflow.pipelines.knn import KnnCellRingIndex
+    import ray.data
+
+    rng = np.random.default_rng(31)
+    n, k = 400, 3
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "x": rng.uniform(0.0, 4.0, n),
+            "y": rng.uniform(0.0, 4.0, n),
+        }
+    )
+    df.loc[1, ["x", "y"]] = df.loc[0, ["x", "y"]].to_numpy()  # exact dup coords
+    idx = KnnCellRingIndex(
+        ray.data.from_pandas(df).repartition(3), cell=0.5, id_col="doc_id", num_shards=2
+    )
+    res = idx.query(df[["x", "y"]].to_numpy(), k + 1).to_pandas()
+    res["src_id"] = df["doc_id"].to_numpy()[res["query_id"].to_numpy()]
+    res = res[res["doc_id"] != res["src_id"]]
+    res = res.sort_values(["src_id", "dist", "doc_id"], kind="stable")
+    got = res.groupby("src_id", sort=False).head(k)[["src_id", "doc_id", "dist"]].reset_index(drop=True)
+
+    x, y = df["x"].to_numpy(), df["y"].to_numpy()
+    d = np.sqrt((x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2)
+    rows = []
+    for i in range(n):
+        order = np.lexsort((np.arange(n), d[i]))
+        order = order[order != i][:k]
+        rows += [(i, int(j), d[i, j]) for j in order]
+    exp = pd.DataFrame(rows, columns=["src_id", "doc_id", "dist"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    idx.shutdown() if hasattr(idx, "shutdown") else None
