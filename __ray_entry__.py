@@ -194,6 +194,16 @@ def _q_overlay_area(sf_dir: str):
     )
 
 
+def _q_dbscan(sf_dir: str):
+    """DBSCAN density clustering over document locations: the ε-pair graph
+    (grid-bucketed distance self-join, distributed) + core/border labeling
+    with min-core-id cluster labels — deterministic, so the recursive-CTE
+    min-label closure is a true oracle."""
+    from rasterflow.pipelines.proximity import dbscan
+
+    return dbscan(documents_points(sf_dir), eps=0.05, min_pts=4)
+
+
 def _q_knn_self(sf_dir: str):
     """kNN SELF-join: every document's 5 nearest OTHER documents — the
     nearest-neighbor-graph construction step of spatial clustering.  All
@@ -2392,6 +2402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "dbscan_docs": _q_dbscan,
         "knn_self": _q_knn_self,
         "home_cells": _q_home_cells,
         "user_profile": _q_user_profile,
@@ -3319,6 +3330,38 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "dbscan_docs": f"""
+WITH RECURSIVE {GEO_CTE.strip()},
+dep AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM geo a JOIN geo b
+    ON a.doc_id <> b.doc_id
+   AND (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)
+       <= {0.05 * 0.05!r}e0
+),
+ddeg AS (SELECT u, count(*) AS c FROM dep GROUP BY u),
+dcore AS (SELECT u FROM ddeg WHERE c + 1 >= 4),
+dce AS (
+  SELECT e.u, e.v FROM dep e
+  JOIN dcore ca ON ca.u = e.u JOIN dcore cb ON cb.u = e.v
+),
+dreach(u, r) AS (
+  SELECT u, u FROM dcore
+  UNION
+  SELECT dce.u, dreach.r FROM dce JOIN dreach ON dreach.u = dce.v
+),
+dlab AS (SELECT u, min(r) AS cluster FROM dreach GROUP BY u),
+dborder AS (
+  SELECT e.u AS u, min(l.cluster) AS cluster
+  FROM dep e JOIN dlab l ON l.u = e.v
+  WHERE e.u NOT IN (SELECT u FROM dcore)
+  GROUP BY e.u
+)
+SELECT u AS doc_id, cluster, TRUE AS is_core FROM dlab
+UNION ALL
+SELECT u AS doc_id, cluster, FALSE AS is_core FROM dborder
+ORDER BY doc_id
+""",
         "knn_self": f"""
 WITH {GEO_CTE.strip()},
 kd AS (

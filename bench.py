@@ -237,6 +237,7 @@ def bench_queries() -> dict[str, float]:
         "home_cells",
         "user_profile",
         "knn_self",
+        "dbscan_docs",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -110,3 +110,93 @@ def distance_join_pairs(
     scattered = points_ds.map_batches(scatter, batch_format="pyarrow")
     out = scattered.groupby("_pk").map_groups(pairs, batch_format="pandas")
     return out.sort(["id_a", "id_b"]) if sort else out
+
+
+def dbscan(
+    points_ds,
+    eps: float,
+    min_pts: int = 4,
+    id_col: str = "doc_id",
+    sort: bool = True,
+):
+    """DBSCAN density clustering (Ester et al., KDD'96) over the ε-pair graph.
+
+    Composition: :func:`distance_join_pairs` builds the ε-neighborhood graph
+    distributed (the only heavy step — grid-bucketed, one shuffle); core
+    points have ≥ ``min_pts`` points in their closed neighborhood (self
+    included); clusters are connected components of the core-core subgraph
+    labeled by their minimum core id (deterministic ≡ the SQL min-label
+    closure); border points attach to the smallest-labeled core neighbor;
+    noise is omitted.  Returns ``(doc_id, cluster, is_core)`` sorted by id.
+
+    The graph-reduction tail mirrors :func:`dedup.neardup_clusters`' default
+    posture: the pair stream folds into a driver union-find whose memory is
+    O(ε-graph nodes) — the dup-graph scale class, NOT the corpus; for
+    corpora where even that exceeds the driver, swap the CC fold for
+    ``dedup._cc_large_small_star`` over the core-core pair Dataset (same
+    two-column contract)."""
+    import ray.data
+
+    pairs = distance_join_pairs(points_ds, eps, id_col=id_col, sort=False).materialize()
+
+    # pass 1: degrees (both endpoints, one vectorized unique) -> core set
+    edges_a: list[np.ndarray] = []
+    edges_b: list[np.ndarray] = []
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
+        edges_a.append(b.column("id_a").to_numpy(zero_copy_only=False))
+        edges_b.append(b.column("id_b").to_numpy(zero_copy_only=False))
+    ua = np.concatenate(edges_a) if edges_a else np.empty(0, np.int64)
+    ub = np.concatenate(edges_b) if edges_b else np.empty(0, np.int64)
+    ids, cnt = np.unique(np.concatenate([ua, ub]), return_counts=True)
+    core = set(ids[cnt + 1 >= min_pts].tolist())
+
+    # pass 2: union-find over core-core edges (min-id roots)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a_, b_ in zip(ua.tolist(), ub.tolist()):
+        if a_ in core and b_ in core:
+            ra, rb = find(a_), find(b_)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+
+    rows_id: list[int] = []
+    rows_cl: list[int] = []
+    rows_core: list[bool] = []
+    for c in sorted(core):
+        rows_id.append(c)
+        rows_cl.append(find(c))
+        rows_core.append(True)
+
+    # border: non-core endpoint of an edge to a core point -> min core label
+    border: dict[int, int] = {}
+    for a_, b_ in zip(ua.tolist(), ub.tolist()):
+        for p, q in ((a_, b_), (b_, a_)):
+            if p not in core and q in core:
+                lbl = find(q)
+                if p not in border or lbl < border[p]:
+                    border[p] = lbl
+    for p in sorted(border):
+        rows_id.append(p)
+        rows_cl.append(border[p])
+        rows_core.append(False)
+
+    out = ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array(rows_id, type=pa.int64()),
+                "cluster": pa.array(rows_cl, type=pa.int64()),
+                "is_core": pa.array(rows_core, type=pa.bool_()),
+            }
+        )
+    )
+    return out.sort(id_col) if sort else out

@@ -350,3 +350,51 @@ def test_hotspot_evolution_matches_brute(ray_session):
         }
     ).sort_values("cell_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_dbscan_matches_reference(ray_session):
+    from rasterflow.pipelines.proximity import dbscan
+    import ray.data
+
+    rng = np.random.default_rng(41)
+    # two dense blobs + sparse noise
+    blob1 = rng.normal((2.0, 2.0), 0.05, (60, 2))
+    blob2 = rng.normal((7.0, 7.0), 0.05, (50, 2))
+    noise = rng.uniform(0.0, 10.0, (80, 2))
+    pts = np.vstack([blob1, blob2, noise])
+    df = pd.DataFrame({"doc_id": np.arange(len(pts), dtype=np.int64),
+                       "x": pts[:, 0], "y": pts[:, 1]})
+    eps, mp = 0.15, 4
+    got = dbscan(ray.data.from_pandas(df).repartition(5), eps=eps, min_pts=mp).to_pandas()
+
+    # reference: all-pairs + BFS over core-core with min-id labels
+    n = len(pts)
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    adj = (d2 <= eps * eps) & ~np.eye(n, dtype=bool)
+    core = adj.sum(1) + 1 >= mp
+    label = {}
+    for seed in np.flatnonzero(core):
+        if seed in label:
+            continue
+        comp, stack = {int(seed)}, [int(seed)]
+        while stack:
+            u = stack.pop()
+            for v in np.flatnonzero(adj[u] & core):
+                if int(v) not in comp:
+                    comp.add(int(v))
+                    stack.append(int(v))
+        m = min(comp)
+        for u in comp:
+            label[u] = m
+    rows = [(u, label[u], True) for u in sorted(label)]
+    for u in range(n):
+        if core[u]:
+            continue
+        nbr = [label[int(v)] for v in np.flatnonzero(adj[u]) if core[v]]
+        if nbr:
+            rows.append((u, min(nbr), False))
+    exp = pd.DataFrame(rows, columns=["doc_id", "cluster", "is_core"]).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    assert exp["cluster"].nunique() >= 2  # both blobs found
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
