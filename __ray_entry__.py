@@ -194,6 +194,21 @@ def _q_overlay_area(sf_dir: str):
     )
 
 
+def _q_events_near_docs(sf_dir: str):
+    """Bipartite distance join: every (event, document) pair within 0.005° —
+    attach nearby POIs to events.  Left side scatters home-only, right side
+    replicates 9×; one tagged-union cell exchange; d² matches the SQL
+    cross-filter oracle bit-exactly."""
+    from rasterflow.pipelines.points import events_points
+    from rasterflow.pipelines.proximity import distance_join_bipartite
+
+    return distance_join_bipartite(
+        events_points(sf_dir, columns=("event_id",)),
+        documents_points(sf_dir, columns=("doc_id",)),
+        radius=0.005,
+    )
+
+
 def _q_dbscan(sf_dir: str):
     """DBSCAN density clustering over document locations: the ε-pair graph
     (grid-bucketed distance self-join, distributed) + core/border labeling
@@ -2402,6 +2417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "events_near_docs": _q_events_near_docs,
         "dbscan_docs": _q_dbscan,
         "knn_self": _q_knn_self,
         "home_cells": _q_home_cells,
@@ -3330,6 +3346,16 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "events_near_docs": f"""
+WITH {GEO_CTE.strip()},
+{EVENTS_GEO_CTE.strip()}
+SELECT e.event_id, g.doc_id,
+       (e.lon - g.lon) * (e.lon - g.lon) + (e.lat - g.lat) * (e.lat - g.lat) AS d2
+FROM egeo e JOIN geo g
+  ON (e.lon - g.lon) * (e.lon - g.lon) + (e.lat - g.lat) * (e.lat - g.lat)
+     <= {0.005 * 0.005!r}
+ORDER BY event_id, doc_id
+""",
         "dbscan_docs": f"""
 WITH RECURSIVE {GEO_CTE.strip()},
 dep AS (

@@ -238,6 +238,7 @@ def bench_queries() -> dict[str, float]:
         "user_profile",
         "knn_self",
         "dbscan_docs",
+        "events_near_docs",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

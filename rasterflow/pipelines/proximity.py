@@ -112,6 +112,94 @@ def distance_join_pairs(
     return out.sort(["id_a", "id_b"]) if sort else out
 
 
+def distance_join_bipartite(
+    a_ds,
+    b_ds,
+    radius: float,
+    a_id: str = "event_id",
+    b_id: str = "doc_id",
+    num_partitions: int | None = None,
+    sort: bool = True,
+):
+    """Bipartite distance join: all (a, b) pairs with ``d² ≤ r²`` across two
+    point sets — "attach every nearby POI to every event".
+
+    Left rows scatter to their home cell only; right rows replicate to home
+    + all 8 neighbor cells (9×, no dedup needed since sides are disjoint):
+    any pair within r has the b-copy in a's home cell.  Both sides ride ONE
+    tagged-union hash exchange on the cell key; per-partition expansion is
+    the same vectorized segment plan as the self-join.  Output
+    ``(a_id, b_id, d2)`` sorted.
+    """
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
+    r = float(radius)
+    r2 = r * r
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    def scatter_side(side: int, id_col: str):
+        reps = 1 if side == 0 else len(offs)
+
+        def fn(b: pa.Table) -> pa.Table:
+            x = b.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            y = b.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            cx = np.floor(x / r).astype(np.int64)
+            cy = np.floor(y / r).astype(np.int64)
+            if side == 0:
+                ox, oy = cx, cy
+            else:
+                ox = np.concatenate([cx + dx for dx, _ in offs])
+                oy = np.concatenate([cy + dy for _, dy in offs])
+            df = pd.DataFrame({"cx": ox, "cy": oy})
+            pk = (_hash_cols(df, ["cx", "cy"]) % np.uint64(num_partitions)).astype(np.int32)
+            t = np.tile
+            return pa.table(
+                {
+                    "cx": ox,
+                    "cy": oy,
+                    "side": np.full(len(ox), side, dtype=np.int8),
+                    "id": t(ids, reps),
+                    "x": t(x, reps),
+                    "y": t(y, reps),
+                    "_pk": pk,
+                }
+            )
+
+        return fn
+
+    sa = a_ds.map_batches(scatter_side(0, a_id), batch_format="pyarrow")
+    sb = b_ds.map_batches(scatter_side(1, b_id), batch_format="pyarrow")
+    both = sa.union(sb)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cell = g["cx"].to_numpy() * np.int64(1 << 32) + (
+            g["cy"].to_numpy() & np.int64(0xFFFFFFFF)
+        )
+        codes, _ = pd.factorize(cell, sort=False)
+        idx = np.arange(len(g), dtype=np.int64)
+        is_a = g["side"].to_numpy() == 0
+        ia, ib = _cross_pairs(
+            int(codes.max()) + 1 if len(codes) else 0,
+            codes[is_a], idx[is_a], codes[~is_a], idx[~is_a],
+        )
+        if len(ia) == 0:
+            return pd.DataFrame(
+                {a_id: np.empty(0, np.int64), b_id: np.empty(0, np.int64), "d2": np.empty(0, np.float64)}
+            )
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        ids = g["id"].to_numpy()
+        dx = x[ia] - x[ib]
+        dy = y[ia] - y[ib]
+        d2 = dx * dx + dy * dy
+        keep = d2 <= r2
+        return pd.DataFrame({a_id: ids[ia[keep]], b_id: ids[ib[keep]], "d2": d2[keep]})
+
+    out = both.groupby("_pk").map_groups(pairs, batch_format="pandas")
+    return out.sort([a_id, b_id]) if sort else out
+
+
 def dbscan(
     points_ds,
     eps: float,

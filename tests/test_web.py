@@ -398,3 +398,31 @@ def test_dbscan_matches_reference(ray_session):
     ).reset_index(drop=True)
     assert exp["cluster"].nunique() >= 2  # both blobs found
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_distance_join_bipartite_matches_brute(ray_session):
+    from rasterflow.pipelines.proximity import distance_join_bipartite
+    import ray.data
+
+    rng = np.random.default_rng(47)
+    na, nb = 700, 300
+    a = pd.DataFrame({"event_id": np.arange(na, dtype=np.int64),
+                      "x": rng.uniform(0.0, 3.0, na), "y": rng.uniform(0.0, 3.0, na)})
+    b = pd.DataFrame({"doc_id": np.arange(nb, dtype=np.int64),
+                      "x": rng.uniform(0.0, 3.0, nb), "y": rng.uniform(0.0, 3.0, nb)})
+    b.loc[0, ["x", "y"]] = a.loc[0, ["x", "y"]].to_numpy()  # exact-coincidence pair
+    r = 0.07
+    got = distance_join_bipartite(
+        ray.data.from_pandas(a).repartition(4),
+        ray.data.from_pandas(b).repartition(3),
+        radius=r,
+    ).to_pandas()
+
+    dx = a["x"].to_numpy()[:, None] - b["x"].to_numpy()[None, :]
+    dy = a["y"].to_numpy()[:, None] - b["y"].to_numpy()[None, :]
+    d2 = dx * dx + dy * dy
+    ia, ib = np.nonzero(d2 <= r * r)
+    exp = pd.DataFrame({"event_id": ia.astype(np.int64), "doc_id": ib.astype(np.int64),
+                        "d2": d2[ia, ib]}).sort_values(["event_id", "doc_id"]).reset_index(drop=True)
+    assert ((got["event_id"] == 0) & (got["doc_id"] == 0) & (got["d2"] == 0.0)).any()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
