@@ -194,6 +194,16 @@ def _q_overlay_area(sf_dir: str):
     )
 
 
+def _q_user_trips(sf_dir: str):
+    """Trip segmentation: sessionize each user's event stream at 12 h gaps
+    and summarize every trip with start/end cells — one vectorized pass per
+    partition (sort + masked diff + cumsum + groupby)."""
+    from rasterflow.pipelines.points import events_points
+    from rasterflow.pipelines.trajectory import user_trips
+
+    return user_trips(events_points(sf_dir), ORACLE_GRID, gap_us=43_200 * 10**6)
+
+
 def _q_events_near_docs(sf_dir: str):
     """Bipartite distance join: every (event, document) pair within 0.005° —
     attach nearby POIs to events.  Left side scatters home-only, right side
@@ -2417,6 +2427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "user_trips": _q_user_trips,
         "events_near_docs": _q_events_near_docs,
         "dbscan_docs": _q_dbscan,
         "knn_self": _q_knn_self,
@@ -3346,6 +3357,31 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "user_trips": f"""
+WITH {EVENTS_GEO_CTE.strip()},
+tl AS (
+  SELECT event_id, user_id, ts, lon, lat,
+         LAG(ts) OVER w AS pts
+  FROM egeo WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tf AS (
+  SELECT *, CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 43200000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM tl
+),
+tt AS (
+  SELECT user_id, event_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS trip_id,
+         CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell
+  FROM tf
+)
+SELECT user_id, CAST(trip_id AS BIGINT) AS trip_id, count(*) AS n_events,
+       first(cell ORDER BY ts, event_id) AS cell_start,
+       last(cell ORDER BY ts, event_id) AS cell_end
+FROM tt GROUP BY user_id, trip_id ORDER BY user_id, trip_id
+""",
         "events_near_docs": f"""
 WITH {GEO_CTE.strip()},
 {EVENTS_GEO_CTE.strip()}

@@ -239,6 +239,7 @@ def bench_queries() -> dict[str, float]:
         "knn_self",
         "dbscan_docs",
         "events_near_docs",
+        "user_trips",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

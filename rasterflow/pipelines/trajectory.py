@@ -84,6 +84,74 @@ def user_steps(
     return withpk.groupby("_pk").map_groups(per_partition, batch_format="pandas").sort(id_col)
 
 
+def user_trips(
+    events_ds,
+    grid: Grid,
+    gap_us: int,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+    sort: bool = True,
+):
+    """Trip segmentation: split each user's event stream at time gaps >
+    ``gap_us`` (the sessionize rule on the geo plane) and summarize each trip
+    as ``(user_id, trip_id, n_events, cell_start, cell_end)``.
+
+    Per-partition: one sort, one masked gap diff, one cumsum for trip
+    ordinals, one groupby for the trip summaries — all trips of all the
+    partition's users in one vectorized pass.  Start/end cells are the
+    first/last event in (ts, id) order (deterministic ties).  Events
+    outside the grid clip to its edge cells (``locate`` clamps), so trips
+    never fragment on canvas bounds."""
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
+    empty = pd.DataFrame(
+        {
+            key: np.empty(0, np.int64),
+            "trip_id": np.empty(0, np.int64),
+            "n_events": np.empty(0, np.int64),
+            "cell_start": np.empty(0, np.int64),
+            "cell_end": np.empty(0, np.int64),
+        }
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g, same = _sorted_steps(g, key, ts_col, id_col)
+        if len(g) == 0:
+            return empty
+        t = g[ts_col].to_numpy()
+        us = t.astype("datetime64[us]").astype("int64") if np.issubdtype(
+            t.dtype, np.datetime64
+        ) else t.astype("int64")
+        brk = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            brk[1:] = np.where(same[1:] & (us[1:] - us[:-1] <= gap_us), 0, 1)
+        # trip ordinal: cumulative breaks, re-based per user (first event of a
+        # user always has brk=1, so within-user ordinals start at 1)
+        cum = np.cumsum(brk)
+        u = g[key].to_numpy()
+        first_of_user = np.ones(len(g), dtype=bool)
+        first_of_user[1:] = u[1:] != u[:-1]
+        base = np.maximum.accumulate(np.where(first_of_user, cum - 1, 0))
+        trip = cum - base
+        ix, iy, _ = grid.locate(g["x"].to_numpy(), g["y"].to_numpy())
+        cell = iy * np.int64(grid.nx) + ix
+        df = pd.DataFrame(
+            {key: u, "trip_id": trip, "cell": cell}
+        )
+        out = df.groupby([key, "trip_id"], as_index=False, sort=False).agg(
+            n_events=pd.NamedAgg("cell", "size"),
+            cell_start=pd.NamedAgg("cell", "first"),
+            cell_end=pd.NamedAgg("cell", "last"),
+        )
+        return out
+
+    withpk = _with_pk(events_ds, key, [id_col, key, ts_col, "x", "y"], num_partitions)
+    out = withpk.groupby("_pk").map_groups(per_partition, batch_format="pandas")
+    return out.sort([key, "trip_id"]) if sort else out
+
+
 def home_cells(
     points_ds,
     grid: Grid,

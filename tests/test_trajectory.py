@@ -128,3 +128,35 @@ def test_knn_self_join_matches_brute(ray_session):
     exp = pd.DataFrame(rows, columns=["src_id", "doc_id", "dist"])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     idx.shutdown() if hasattr(idx, "shutdown") else None
+
+
+def test_user_trips_matches_pandas(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.trajectory import user_trips
+
+    df = _events(n=1500, users=20, seed=37)
+    gap = 40  # ts units; planted ties still split deterministically by id
+    got = user_trips(
+        ray.data.from_pandas(df).repartition(6), GRID, gap_us=gap
+    ).to_pandas()
+
+    s = _ref_sorted(df).reset_index(drop=True)
+    u = s["user_id"].to_numpy()
+    ts = s["ts"].to_numpy()
+    brk = np.ones(len(s), dtype=np.int64)
+    brk[1:] = np.where((u[1:] == u[:-1]) & (ts[1:] - ts[:-1] <= gap), 0, 1)
+    trip = pd.Series(brk).groupby(u).cumsum().to_numpy()
+    ix, iy, _ = GRID.locate(s["x"].to_numpy(), s["y"].to_numpy())
+    cell = iy * np.int64(GRID.nx) + ix
+    ref = pd.DataFrame({"user_id": u, "trip_id": trip, "cell": cell})
+    exp = ref.groupby(["user_id", "trip_id"], as_index=False).agg(
+        n_events=("cell", "size"), cell_start=("cell", "first"), cell_end=("cell", "last")
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        exp.sort_values(["user_id", "trip_id"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # every user's trips are 1..K contiguous
+    assert (got.groupby("user_id")["trip_id"].min() == 1).all()
