@@ -180,6 +180,15 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_poly_raster_area(sf_dir: str):
+    """Per-polygon raster area + dissolved layer union area (poly_id = -1
+    row): streamed-canvas center sampling, counted once per covered cell
+    regardless of polygon overlap.  sf-independent (pure layer geometry)."""
+    from rasterflow.pipelines.overlay import raster_area
+
+    return raster_area(oracle_poly_layer(), OVERLAY_GRID, how="index", cell_size=0.05)
+
+
 def _q_overlay_area(sf_dir: str):
     """Raster overlay (layer × layer intersection-area estimate): the GIS
     operation one step beyond the reference's point×polygon raster join —
@@ -2427,6 +2436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "poly_raster_area": _q_poly_raster_area,
         "user_trips": _q_user_trips,
         "events_near_docs": _q_events_near_docs,
         "dbscan_docs": _q_dbscan,
@@ -3357,6 +3367,31 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "poly_raster_area": f"""
+WITH ovc AS (
+  SELECT CAST(i AS BIGINT) AS cell,
+         {MIN_LON!r} + ((i % {OVERLAY_GRID.nx}) + 0.5) * {OVERLAY_GRID.cell!r} AS lon,
+         {MIN_LAT!r} + ((i // {OVERLAY_GRID.nx}) + 0.5) * {OVERLAY_GRID.cell!r} AS lat
+  FROM generate_series(0, {OVERLAY_GRID.ncells - 1}) AS t(i)
+),
+{poly_edges_values_sql()},
+ovha AS (
+  SELECT c.cell, e.poly_id
+  FROM ovc c JOIN edges e
+    ON ((e.viy > c.lat) <> (e.vjy > c.lat))
+   AND (c.lon < (e.vjx - e.vix) / (e.vjy - e.viy) * (c.lat - e.viy) + e.vix)
+  GROUP BY c.cell, e.poly_id
+  HAVING (count(*) % 2) = 1
+),
+pr AS (
+  SELECT poly_id, count(*) AS n FROM ovha GROUP BY poly_id
+  UNION ALL
+  SELECT -1, count(DISTINCT cell) FROM ovha
+)
+SELECT CAST(poly_id AS INTEGER) AS poly_id, CAST(n AS BIGINT) AS n_cells,
+       CAST(n AS BIGINT) * {OVERLAY_GRID.cell * OVERLAY_GRID.cell!r}e0 AS area
+FROM pr ORDER BY poly_id
+""",
         "user_trips": f"""
 WITH {EVENTS_GEO_CTE.strip()},
 tl AS (

@@ -240,6 +240,7 @@ def bench_queries() -> dict[str, float]:
         "dbscan_docs",
         "events_near_docs",
         "user_trips",
+        "poly_raster_area",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

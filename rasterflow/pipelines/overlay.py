@@ -89,6 +89,67 @@ def _cross_pairs(
     return out_a, out_b
 
 
+def raster_area(
+    layer,
+    grid: Grid,
+    how: str = "index",
+    accuracy_m: float = 100.0,
+    cell_size: float | None = None,
+    batch_size: int = 65536,
+    sort: bool = True,
+):
+    """Per-polygon raster area (cell-center sampling) plus the layer's
+    DISSOLVED union area — "how much ground does each zone / the whole layer
+    cover".  Same streamed-canvas plan as :func:`raster_overlay` with one
+    layer: each block counts per-polygon center hits AND distinct covered
+    centers (union = cells inside ≥1 polygon, counted once regardless of
+    overlap).  Output rows: one per polygon + a ``poly_id = -1`` union row;
+    ``area = n_cells × grid.cell²``.
+    """
+    import ray
+    import ray.data
+
+    ref = _bundle_ref(layer, accuracy_m, cell_size, 32_000_000)
+    key = ("area", ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref), how)
+    empty = pa.schema([("poly_id", pa.int32()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        cx, cy = grid.centers(ids)
+        agg = _memo(key, lambda: SpatialJoinAgg(ref, how=how))
+        pts, pl = _hits(agg, cx, cy)
+        if len(pts) == 0:
+            return empty.empty_table()
+        uniq, counts = np.unique(pl, return_counts=True)
+        n_union = len(np.unique(pts))
+        return pa.table(
+            {
+                "poly_id": pa.array(
+                    np.concatenate([uniq, [-1]]).astype(np.int32), type=pa.int32()
+                ),
+                "n": pa.array(np.concatenate([counts, [n_union]]).astype(np.int64)),
+            }
+        )
+
+    canvas = ray.data.range(grid.ncells, override_num_blocks=max(1, grid.ncells // batch_size))
+    partials = canvas.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    agg = grouped_aggregate(coalesce_small(partials, 0.25), "poly_id", {"n": ("n", "sum")})
+    cell_area = grid.cell * grid.cell
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "poly_id": t.column("poly_id"),
+                "n_cells": t.column("n"),
+                "area": pa.array(n.astype(np.float64) * cell_area),
+            }
+        )
+
+    out = agg.map_batches(finalize, batch_format="pyarrow")
+    return out.sort("poly_id") if sort else out
+
+
 def raster_overlay(
     layer_a,
     layer_b,

@@ -426,3 +426,35 @@ def test_distance_join_bipartite_matches_brute(ray_session):
                         "d2": d2[ia, ib]}).sort_values(["event_id", "doc_id"]).reset_index(drop=True)
     assert ((got["event_id"] == 0) & (got["doc_id"] == 0) & (got["d2"] == 0.0)).any()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_raster_area_union_row(ray_session):
+    from rasterflow.geom.polyio import PolygonLayer
+    from rasterflow.pipelines.overlay import raster_area
+
+    # two overlapping quads: union < sum of parts
+    rings = [
+        [(1.0, 1.0), (5.0, 1.0), (5.0, 5.0), (1.0, 5.0)],
+        [(3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0)],
+    ]
+    layer = PolygonLayer.from_rings("ra", [[np.asarray(r)] for r in rings])
+    grid = Grid.from_bounds(0.0, 0.0, 10.0, 10.0, 0.5)
+    got = raster_area(layer, grid, how="index", cell_size=0.25).to_pandas()
+
+    from collections import Counter
+
+    per, union = Counter(), 0
+    for lin in range(grid.ncells):
+        iy, ix = divmod(lin, grid.nx)
+        cx, cy = grid.x0 + (ix + 0.5) * grid.cell, grid.y0 + (iy + 0.5) * grid.cell
+        ina = [i for i, r in enumerate(rings) if _pip_ref(cx, cy, r)]
+        for i in ina:
+            per[i] += 1
+        union += bool(ina)
+    exp = pd.DataFrame(
+        [(-1, union, union * 0.25)] + [(i, n, n * 0.25) for i, n in sorted(per.items())],
+        columns=["poly_id", "n_cells", "area"],
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+    tot = got[got["poly_id"] >= 0]["n_cells"].sum()
+    assert got[got["poly_id"] == -1]["n_cells"].iloc[0] < tot  # overlap dissolved
