@@ -180,6 +180,15 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_adaptive_cells(sf_dir: str):
+    """Adaptive quadtree tiling: each populated region at the coarsest level
+    that needs no further split (count-threshold drill-down) — one point
+    scan + one pyramid self-join on the parent key, row-local leaf filter."""
+    from rasterflow.pipelines.zonal import adaptive_cells
+
+    return adaptive_cells(documents_points(sf_dir), ORACLE_GRID, levels=3, threshold=50)
+
+
 def _q_poly_raster_area(sf_dir: str):
     """Per-polygon raster area + dissolved layer union area (poly_id = -1
     row): streamed-canvas center sampling, counted once per covered cell
@@ -2436,6 +2445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "adaptive_cells": _q_adaptive_cells,
         "poly_raster_area": _q_poly_raster_area,
         "user_trips": _q_user_trips,
         "events_near_docs": _q_events_near_docs,
@@ -3367,6 +3377,31 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "adaptive_cells": f"""
+WITH {GEO_CTE.strip()},
+rc AS (
+  SELECT CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) AS r,
+         CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS c
+  FROM geo
+),
+alv AS (
+  SELECT CAST(0 AS BIGINT) AS "level", r * {nx} + c AS cell_id FROM rc
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), (r // 2) * {w1} + (c // 2) FROM rc
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), (r // 4) * {w2} + (c // 4) FROM rc
+),
+apc AS (SELECT "level", cell_id, count(*) AS n FROM alv GROUP BY "level", cell_id)
+SELECT p."level", p.cell_id, p.n
+FROM apc p LEFT JOIN apc q
+  ON q."level" = p."level" + 1
+ AND q.cell_id = CASE p."level"
+     WHEN 0 THEN ((p.cell_id // {nx}) // 2) * {w1} + ((p.cell_id % {nx}) // 2)
+     ELSE ((p.cell_id // {w1}) // 2) * {w2} + ((p.cell_id % {w1}) // 2)
+   END
+WHERE (p."level" = 2 OR q.n > 50) AND (p.n <= 50 OR p."level" = 0)
+ORDER BY p."level", p.cell_id
+""",
         "poly_raster_area": f"""
 WITH ovc AS (
   SELECT CAST(i AS BIGINT) AS cell,

@@ -241,6 +241,7 @@ def bench_queries() -> dict[str, float]:
         "events_near_docs",
         "user_trips",
         "poly_raster_area",
+        "adaptive_cells",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -610,6 +610,70 @@ def cell_top_terms(
     return top_k_per_group(agg, "cell_id", "n", k, id_col="token")
 
 
+def adaptive_cells(
+    points_ds, grid: Grid, levels: int = 3, threshold: int = 100, sort: bool = True
+):
+    """Adaptive quadtree tiling (LOD drill-down): emit each populated region
+    at the COARSEST resolution that needs no further split — what a map
+    server renders when a tile splits only where it is dense.
+
+    A cell at level ``l`` is a leaf iff its parent split (parent count >
+    ``threshold``; the coarsest level always splits from the root) and it
+    either fits the threshold itself or is already the finest level.
+    Counts are monotone up the pyramid, so the whole ancestor chain's
+    split-ness is implied by the immediate parent's — no recursion needed.
+
+    Plan: ONE point scan (the pyramid partials), then a single
+    tagged-union hash join of the pyramid against itself on the parent key
+    (``relational.hash_join`` — no driver materialization), then a
+    row-local filter.  Output ``(level, cell_id, n)``.
+    """
+    from .relational import hash_join
+
+    pyr = pyramid_histogram(points_ds, grid, levels, sort=False)
+    nx = grid.nx
+    widths = [max(1, -(-nx // (1 << lv))) for lv in range(levels)]
+    warr = np.asarray(widths + [1], dtype=np.int64)  # dummy tail for lv+1 gather
+    K = np.int64(grid.ncells + 1)
+
+    def addkeys(t: pa.Table) -> pa.Table:
+        lv = t.column("level").to_numpy(zero_copy_only=False)
+        c = t.column("cell_id").to_numpy(zero_copy_only=False)
+        w = warr[lv]
+        wp = warr[lv + 1]
+        parent = ((c // w) >> 1) * wp + ((c % w) >> 1)
+        jk = np.where(lv < levels - 1, (lv + 1) * K + parent, np.int64(-1))
+        sk = lv * K + c
+        return t.append_column("jk", pa.array(jk)).append_column("sk", pa.array(sk))
+
+    keyed = pyr.map_batches(addkeys, batch_format="pyarrow")
+    right = keyed.map_batches(
+        lambda t: pa.table({"jk": t.column("sk"), "n_parent": t.column("n")}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        keyed, right, on="jk",
+        left_cols=["level", "cell_id", "n"], right_cols=["n_parent"], how="left",
+    )
+
+    def leaf(t: pa.Table) -> pa.Table:
+        lv = t.column("level").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        npar = t.column("n_parent").to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ((lv == levels - 1) | (npar > threshold)) & ((n <= threshold) | (lv == 0))
+        m = pa.array(keep)
+        return pa.table(
+            {
+                "level": t.column("level").filter(m),
+                "cell_id": t.column("cell_id").filter(m),
+                "n": t.column("n").filter(m),
+            }
+        )
+
+    out = joined.map_batches(leaf, batch_format="pyarrow")
+    return out.sort(["level", "cell_id"]) if sort else out
+
+
 def pyramid_histogram(points_ds, grid: Grid, levels: int = 3, sort: bool = True):
     """Multi-resolution count pyramid over a local canvas grid.
 

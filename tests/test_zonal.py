@@ -301,3 +301,49 @@ def test_zonal_empty_blocks_schema(ray_session):
     assert got["poly_id"].tolist() == [0]
     assert got["count"].tolist() == [1]
     assert got["min"].tolist() == [7.0]
+
+
+def test_adaptive_cells_partition_of_mass(ray_session):
+    """Leaf tiles form a PARTITION of the populated space: every point is
+    counted in exactly one emitted tile (mass conservation), dense regions
+    split to finer levels, sparse regions stay coarse."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rasterflow.geom.cells import Grid
+    from rasterflow.pipelines.zonal import adaptive_cells, pyramid_histogram
+
+    rng = np.random.default_rng(53)
+    # dense blob in one corner + sparse everywhere
+    dense = rng.uniform(0.0, 1.0, (3000, 2))
+    sparse = rng.uniform(0.0, 8.0, (300, 2))
+    pts = np.vstack([dense, sparse])
+    df = pd.DataFrame({"doc_id": np.arange(len(pts)), "x": pts[:, 0], "y": pts[:, 1]})
+    grid = Grid.from_bounds(0.0, 0.0, 8.0, 8.0, 0.5)
+    T = 40
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = adaptive_cells(ds, grid, levels=3, threshold=T).to_pandas()
+    assert got["n"].sum() == len(pts)  # partition of mass
+    assert (got["level"] == 0).any() and (got["level"] == 2).any()
+    # any emitted non-finest cell fits the threshold
+    assert (got[got["level"] > 0]["n"] <= T).all()
+
+    # reference: from the dense pyramid, leaf rule per row
+    pyr = pyramid_histogram(ds, grid, levels=3).to_pandas()
+    widths = [grid.nx, -(-grid.nx // 2), -(-grid.nx // 4), 1]
+    byl = {l: dict(zip(g["cell_id"], g["n"])) for l, g in pyr.groupby("level")}
+    rows = []
+    for _, row in pyr.iterrows():
+        l, c, n = int(row["level"]), int(row["cell_id"]), int(row["n"])
+        if l < 2:
+            par = ((c // widths[l]) >> 1) * widths[l + 1] + ((c % widths[l]) >> 1)
+            split = byl[l + 1][par] > T
+        else:
+            split = True
+        if split and (n <= T or l == 0):
+            rows.append((l, c, n))
+    exp = pd.DataFrame(rows, columns=["level", "cell_id", "n"]).sort_values(
+        ["level", "cell_id"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
