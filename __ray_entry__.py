@@ -180,6 +180,17 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_triangle_docs(sf_dir: str):
+    """Per-node triangle counts over the ε-proximity graph (co-location
+    cliques): wedge hash-join on the shared middle + Bloom-semi closing-edge
+    verify — composed entirely from the repo's relational operators."""
+    from rasterflow.pipelines.graph import triangle_counts
+    from rasterflow.pipelines.proximity import distance_join_pairs
+
+    pairs = distance_join_pairs(documents_points(sf_dir), radius=0.05, sort=False)
+    return triangle_counts(pairs)
+
+
 def _q_adaptive_cells(sf_dir: str):
     """Adaptive quadtree tiling: each populated region at the coarsest level
     that needs no further split (count-threshold drill-down) — one point
@@ -2445,6 +2456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "triangle_docs": _q_triangle_docs,
         "adaptive_cells": _q_adaptive_cells,
         "poly_raster_area": _q_poly_raster_area,
         "user_trips": _q_user_trips,
@@ -3377,6 +3389,27 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "triangle_docs": f"""
+WITH {GEO_CTE.strip()},
+te AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM geo a JOIN geo b
+    ON a.doc_id < b.doc_id
+   AND (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)
+       <= {0.05 * 0.05!r}e0
+),
+tw AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM te e1 JOIN te e2 ON e2.u = e1.v
+),
+tt AS (
+  SELECT tw.a, tw.b, tw.c FROM tw JOIN te e3 ON e3.u = tw.a AND e3.v = tw.c
+),
+tn AS (
+  SELECT a AS id FROM tt UNION ALL SELECT b FROM tt UNION ALL SELECT c FROM tt
+)
+SELECT id AS doc_id, count(*) AS n_tri FROM tn GROUP BY id ORDER BY doc_id
+""",
         "adaptive_cells": f"""
 WITH {GEO_CTE.strip()},
 rc AS (

@@ -242,6 +242,7 @@ def bench_queries() -> dict[str, float]:
         "user_trips",
         "poly_raster_area",
         "adaptive_cells",
+        "triangle_docs",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -99,7 +99,12 @@ def _tagged_key_partition(
     allcols = list(dict.fromkeys(lcols + rcols))
     coltype: dict = {}
     if set(lcols) != set(rcols):
-        ls, rs = left_ds.schema(), right_ds.schema()
+        # chained-join inputs (e.g. a join fed by another join's map_groups
+        # output) have no statically-known schema; fetch executes one block
+        ls, rs = (
+            left_ds.schema(fetch_if_missing=True),
+            right_ds.schema(fetch_if_missing=True),
+        )
 
         def _pa_type(t):
             if isinstance(t, pa.DataType):
@@ -109,9 +114,19 @@ def _tagged_key_partition(
             except (pa.ArrowNotImplementedError, TypeError):
                 return pa.string()
 
+        # a side can still be schema-less after the fetch (zero-row input,
+        # e.g. a Bloom probe with no survivors) — type its columns from the
+        # other side where possible; the residue only pads all-null columns
+        # of an empty result, so the string fallback is inert
+        lnames = list(ls.names) if ls is not None else []
+        rnames = list(rs.names) if rs is not None else []
         for c in allcols:
-            src = ls if c in ls.names else rs
-            coltype[c] = _pa_type(src.types[src.names.index(c)])
+            if c in lnames:
+                coltype[c] = _pa_type(ls.types[lnames.index(c)])
+            elif c in rnames:
+                coltype[c] = _pa_type(rs.types[rnames.index(c)])
+            else:
+                coltype[c] = pa.string()
 
     hot_sorted = None
     if hot_df is not None and len(hot_df):

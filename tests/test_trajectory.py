@@ -160,3 +160,28 @@ def test_user_trips_matches_pandas(ray_session):
     )
     # every user's trips are 1..K contiguous
     assert (got.groupby("user_id")["trip_id"].min() == 1).all()
+
+
+def test_triangle_counts_matches_brute(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.graph import triangle_counts
+
+    rng = np.random.default_rng(59)
+    n = 60
+    # random graph dense enough for triangles
+    a, b = np.triu_indices(n, k=1)
+    keep = rng.random(len(a)) < 0.12
+    pairs = pd.DataFrame({"id_a": a[keep].astype(np.int64), "id_b": b[keep].astype(np.int64)})
+    got = triangle_counts(ray.data.from_pandas(pairs).repartition(4)).to_pandas()
+
+    adj = np.zeros((n, n), dtype=bool)
+    adj[pairs["id_a"], pairs["id_b"]] = True
+    adj |= adj.T
+    tri_per_node = ((adj.astype(np.int64) @ adj.astype(np.int64)) * adj).sum(1) // 2
+    exp = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64), "n_tri": tri_per_node}
+    )
+    exp = exp[exp["n_tri"] > 0].reset_index(drop=True)
+    assert len(exp) > 5
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
