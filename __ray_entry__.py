@@ -180,6 +180,15 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_choropleth(sf_dir: str):
+    """Quantile-break choropleth classes over the cell count raster: exact
+    distributed pivot quantiles on the collapsed (cell, n) table, broadcast
+    thresholds, row-local classify."""
+    from rasterflow.pipelines.zonal import choropleth_classes
+
+    return choropleth_classes(documents_points(sf_dir), ORACLE_GRID)
+
+
 def _q_triangle_docs(sf_dir: str):
     """Per-node triangle counts over the ε-proximity graph (co-location
     cliques): wedge hash-join on the shared middle + Bloom-semi closing-edge
@@ -2456,6 +2465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "choropleth": _q_choropleth,
         "triangle_docs": _q_triangle_docs,
         "adaptive_cells": _q_adaptive_cells,
         "poly_raster_area": _q_poly_raster_area,
@@ -3389,6 +3399,25 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "choropleth": f"""
+WITH {GEO_CTE.strip()},
+ch AS (
+  SELECT CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id,
+         count(*) AS n
+  FROM geo GROUP BY cell_id
+),
+cr AS (SELECT n, row_number() OVER (ORDER BY n) AS rn FROM ch),
+ct AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM ch),
+q1 AS (SELECT n FROM cr CROSS JOIN ct WHERE rn = GREATEST(1, CAST(CEIL(0.25 * t) AS BIGINT))),
+q2 AS (SELECT n FROM cr CROSS JOIN ct WHERE rn = GREATEST(1, CAST(CEIL(0.5 * t) AS BIGINT))),
+q3 AS (SELECT n FROM cr CROSS JOIN ct WHERE rn = GREATEST(1, CAST(CEIL(0.75 * t) AS BIGINT)))
+SELECT cell_id, CAST(n AS BIGINT) AS n,
+       CAST(n > (SELECT n FROM q1) AS BIGINT)
+       + CAST(n > (SELECT n FROM q2) AS BIGINT)
+       + CAST(n > (SELECT n FROM q3) AS BIGINT) AS cls
+FROM ch ORDER BY cell_id
+""",
         "triangle_docs": f"""
 WITH {GEO_CTE.strip()},
 te AS (

@@ -243,6 +243,7 @@ def bench_queries() -> dict[str, float]:
         "poly_raster_area",
         "adaptive_cells",
         "triangle_docs",
+        "choropleth",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

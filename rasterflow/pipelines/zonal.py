@@ -610,6 +610,41 @@ def cell_top_terms(
     return top_k_per_group(agg, "cell_id", "n", k, id_col="token")
 
 
+def choropleth_classes(
+    points_ds, grid: Grid, qs: tuple[float, ...] = (0.25, 0.5, 0.75), sort: bool = True
+):
+    """Quantile-break choropleth classification of the count raster — the
+    map-styling step after a heatmap: bucket every populated cell into
+    ``len(qs)+1`` classes by EXACT count quantiles (the repo's rank rule:
+    the ceil(q·n)-th smallest, ≡ the ``col_quantiles_cont`` oracle).
+
+    Plan: one point scan collapses to the (cell, n) raster; the exact
+    distributed pivot selection finds the break values over that collapsed
+    table (O(log) passes, no sort); the tiny threshold vector broadcasts
+    into a row-local classify.  Returns ``(cell_id, n, cls)``.
+    """
+    from .cellagg import cell_histogram_grid
+    from .sampling import column_quantiles_select
+
+    hist = cell_histogram_grid(points_ds, grid, sort=False).materialize()
+    th = (
+        column_quantiles_select(hist, "n", qs=qs)
+        .to_pandas()["value"]
+        .to_numpy()
+        .astype(np.float64)
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        cls = np.zeros(len(n), dtype=np.int64)
+        for tv in th:
+            cls += n > tv
+        return pa.table({"cell_id": t.column("cell_id"), "n": t.column("n"), "cls": pa.array(cls)})
+
+    out = hist.map_batches(classify, batch_format="pyarrow")
+    return out.sort("cell_id") if sort else out
+
+
 def adaptive_cells(
     points_ds, grid: Grid, levels: int = 3, threshold: int = 100, sort: bool = True
 ):

@@ -347,3 +347,35 @@ def test_adaptive_cells_partition_of_mass(ray_session):
         ["level", "cell_id"]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_choropleth_classes_matches_rank_rule(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rasterflow.geom.cells import Grid
+    from rasterflow.pipelines.zonal import choropleth_classes
+
+    rng = np.random.default_rng(61)
+    grid = Grid.from_bounds(0.0, 0.0, 8.0, 8.0, 1.0)
+    # zipf-ish cell occupancy for distinct class sizes
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(5000),
+            "x": (rng.zipf(1.5, 5000) % 8) + rng.uniform(0, 1, 5000) * 0.99,
+            "y": rng.uniform(0.0, 8.0, 5000),
+        }
+    )
+    df = df[df["x"] < 8.0]
+    got = choropleth_classes(ray.data.from_pandas(df).repartition(4), grid).to_pandas()
+
+    lin = (df["y"] // 1.0).astype(np.int64) * grid.nx + (df["x"] // 1.0).astype(np.int64)
+    cnt = pd.Series(lin).value_counts().sort_index()
+    n = cnt.to_numpy()
+    sv = np.sort(n)
+    th = [sv[max(1, int(np.ceil(q * len(sv)))) - 1] for q in (0.25, 0.5, 0.75)]
+    cls = sum((n > t).astype(np.int64) for t in th)
+    exp = pd.DataFrame({"cell_id": cnt.index.to_numpy(), "n": n, "cls": cls})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False)
+    assert got["cls"].nunique() >= 3
