@@ -180,6 +180,27 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_doc_skyline(sf_dir: str):
+    """Skyline (Pareto front) of documents over (length, lexical richness):
+    rows not dominated in (n_chars max, distinct-token count max).  Local
+    fronts merge (skyline(A∪B) = skyline(skyline A ∪ skyline B)) — no
+    global sort."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import skyline
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"])
+
+    def add_utok(b: pa.Table) -> pa.Table:
+        toks = b.column("text").to_pandas().str.split().explode()
+        n_utok = (
+            toks.groupby(level=0).nunique().reindex(range(len(b)), fill_value=0)
+        ).to_numpy().astype(np.int64)
+        return b.select(["doc_id", "n_chars"]).append_column("n_utok", pa.array(n_utok))
+
+    return skyline(ds.map_batches(add_utok, batch_format="pyarrow"), "n_chars", "n_utok")
+
+
 def _q_choropleth(sf_dir: str):
     """Quantile-break choropleth classes over the cell count raster: exact
     distributed pivot quantiles on the collapsed (cell, n) table, broadcast
@@ -2465,6 +2486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "doc_skyline": _q_doc_skyline,
         "choropleth": _q_choropleth,
         "triangle_docs": _q_triangle_docs,
         "adaptive_cells": _q_adaptive_cells,
@@ -3399,6 +3421,21 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "doc_skyline": r"""
+WITH dsk AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'),
+              t -> t <> ''))) AS BIGINT) AS n_utok
+  FROM documents
+)
+SELECT doc_id, n_chars, n_utok FROM dsk a
+WHERE NOT EXISTS (
+  SELECT 1 FROM dsk b
+  WHERE b.n_chars >= a.n_chars AND b.n_utok >= a.n_utok
+    AND (b.n_chars > a.n_chars OR b.n_utok > a.n_utok)
+)
+ORDER BY doc_id
+""",
         "choropleth": f"""
 WITH {GEO_CTE.strip()},
 ch AS (

@@ -244,6 +244,7 @@ def bench_queries() -> dict[str, float]:
         "adaptive_cells",
         "triangle_docs",
         "choropleth",
+        "doc_skyline",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -1097,3 +1097,57 @@ def token_budget_sample(
 
     slim = ds.map_batches(counts, batch_format="pyarrow")
     return slim.groupby(group_col).map_groups(take_budget, batch_format="pandas").sort(id_col)
+
+
+def _skyline_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean mask of the maxima (Pareto front, maximize both): a row is
+    dominated iff some row has x' > x with y' >= y, or x' == x with y' > y
+    (exact duplicates dominate nothing and survive together).  One sort +
+    suffix-max, fully vectorized."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-y, -x))  # x desc, y desc
+    xs, ys = x[order], y[order]
+    # suffix handling in x-descending order: max y over STRICTLY greater x
+    new_x = np.ones(n, dtype=bool)
+    new_x[1:] = xs[1:] != xs[:-1]
+    grp = np.cumsum(new_x) - 1  # group ordinal per distinct x (desc)
+    gmax = np.maximum.reduceat(ys, np.flatnonzero(new_x))  # per-group max y
+    prev_best = np.full(len(gmax), -np.inf)
+    if len(gmax) > 1:
+        prev_best[1:] = np.maximum.accumulate(gmax[:-1])  # max y of greater x
+    dominated = (prev_best[grp] >= ys) | (gmax[grp] > ys)
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = ~dominated
+    return mask
+
+
+def skyline(ds, x_col: str, y_col: str, id_col: str = "doc_id", sort: bool = True):
+    """Distributed skyline (Pareto-front) query: rows not dominated in the
+    (maximize ``x_col``, maximize ``y_col``) order — multi-criteria "best"
+    selection (longest AND lexically-richest documents, cheapest AND
+    fastest suppliers, ...).
+
+    Skylines compose: ``skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B))``,
+    so each block keeps only its local front (one vectorized sort +
+    suffix-max, typically a tiny fraction of the block) and a single merge
+    task re-runs the same kernel over the concatenated partials — the
+    ``smallest_k`` plan shape, no global sort.  Exact duplicates of a front
+    point all survive (they dominate nothing), matching the SQL NOT-EXISTS
+    oracle's semantics.
+    """
+    import pyarrow as pa
+
+    cols = [id_col, x_col, y_col]
+
+    def front(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        return t.filter(pa.array(_skyline_mask(x, y)))
+
+    out = ds.map_batches(front, batch_format="pyarrow").repartition(1).map_batches(
+        front, batch_format="pyarrow"
+    )
+    return out.sort(id_col) if sort else out

@@ -458,3 +458,28 @@ def test_raster_area_union_row(ray_session):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
     tot = got[got["poly_id"] >= 0]["n_cells"].sum()
     assert got[got["poly_id"] == -1]["n_cells"].iloc[0] < tot  # overlap dissolved
+
+
+def test_skyline_matches_brute(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import skyline
+
+    rng = np.random.default_rng(67)
+    n = 3000
+    x = rng.integers(0, 200, n).astype(np.int64)
+    y = (200 - x + rng.integers(-30, 30, n)).astype(np.int64)  # anti-correlated
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "a": x, "b": y})
+    # planted: duplicate front point must BOTH survive
+    df.loc[1, ["a", "b"]] = df.loc[0, ["a", "b"]] = (500, 500)
+    got = skyline(ray.data.from_pandas(df).repartition(6), "a", "b").to_pandas()
+
+    A, B = df["a"].to_numpy(), df["b"].to_numpy()
+    dom = np.zeros(n, dtype=bool)
+    for i in range(n):
+        dom[i] = np.any(
+            (A >= A[i]) & (B >= B[i]) & ((A > A[i]) | (B > B[i]))
+        )
+    exp = df[~dom].rename(columns={"a": "a", "b": "b"}).sort_values("doc_id").reset_index(drop=True)
+    assert {0, 1}.issubset(set(got["doc_id"]))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
