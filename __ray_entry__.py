@@ -180,6 +180,21 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_fuzzy_domains(sf_dir: str):
+    """Fuzzy self-join: distinct domains within Levenshtein distance 1
+    (typo-squat / near-identical host detection).  SymSpell
+    deletion-neighborhood blocking — lossless for d ≤ 1 — then an exact
+    vectorized verify; the corpus collapses to distinct strings first."""
+    import ray.data
+
+    from rasterflow.pipelines.dedup import edit1_pairs
+    from rasterflow.pipelines.web import add_urls_and_canon, domain_of
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    doms = add_urls_and_canon(ds).map_batches(domain_of, batch_format="pyarrow")
+    return edit1_pairs(doms, "domain")
+
+
 def _q_doc_skyline(sf_dir: str):
     """Skyline (Pareto front) of documents over (length, lexical richness):
     rows not dominated in (n_chars max, distinct-token count max).  Local
@@ -2486,6 +2501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "fuzzy_domains": _q_fuzzy_domains,
         "doc_skyline": _q_doc_skyline,
         "choropleth": _q_choropleth,
         "triangle_docs": _q_triangle_docs,
@@ -3421,6 +3437,16 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "fuzzy_domains": f"""
+WITH {_URL_CANON_CTES},
+fdm AS (
+  SELECT DISTINCT regexp_replace(host, '^.*?([^.]+\\.[^.]+)$', '\\1') AS d
+  FROM ucanon
+)
+SELECT a.d AS s_a, b.d AS s_b
+FROM fdm a JOIN fdm b ON a.d < b.d AND levenshtein(a.d, b.d) <= 1
+ORDER BY s_a, s_b
+""",
         "doc_skyline": r"""
 WITH dsk AS (
   SELECT doc_id, n_chars,

@@ -245,6 +245,7 @@ def bench_queries() -> dict[str, float]:
         "triangle_docs",
         "choropleth",
         "doc_skyline",
+        "fuzzy_domains",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -1837,3 +1837,123 @@ def source_segment_overlap(
         parts, ["src_a", "src_b"], {"n_shared": ("n", "sum")}, weight=0.1
     )
     return out.sort(["src_a", "src_b"])
+
+
+def edit1_pairs(ds, col: str, num_partitions: int | None = None, sort: bool = True):
+    """Fuzzy self-join: all DISTINCT string pairs within Levenshtein
+    distance 1 (typo-dedup of domains, titles, entity names).
+
+    SymSpell deletion-neighborhood blocking (Garbe's public algorithm):
+    if d(a, b) ≤ 1 then ``{a} ∪ del1(a)`` and ``{b} ∪ del1(b)`` intersect
+    — a substitution shares the deletion at the edited position, an
+    insertion/deletion shares the shorter string itself — so emitting
+    len+1 variant keys per distinct string and grouping on the variant is
+    a LOSSLESS candidate generator for d ≤ 1.  One hash exchange on the
+    variant key; per-partition candidate pairs come from one vectorized
+    self-merge; duplicates (the same pair via several shared variants)
+    collapse on the pair key; the final d ≤ 1 verify is exact and
+    vectorized (equal length ⇒ ≤1 mismatching byte; length±1 ⇒ common
+    prefix + common suffix covers the shorter).
+
+    The input collapses to its distinct strings first (in-batch unique +
+    one grouped exchange), so variant volume is distinct-strings × (len+1),
+    independent of corpus row count.  Returns ``(s_a, s_b)``, ``s_a < s_b``.
+    """
+    import pandas as pd
+
+    from ..util import _hash_cols, coalesce_small, grouped_aggregate, shuffle_parts
+
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
+
+    def batch_distinct(b: pa.Table) -> pa.Table:
+        k = b.column(col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return pa.table({col: k.unique()})
+
+    distinct = grouped_aggregate(
+        coalesce_small(ds.map_batches(batch_distinct, batch_format="pyarrow"), 0.25),
+        col,
+        {"_one": (col, "first")},
+    )
+
+    def variants(b: pa.Table) -> pa.Table:
+        s = b.column(col).to_pylist()
+        out_s: list[str] = []
+        out_v: list[str] = []
+        # loop over DELETION POSITIONS of the (collapsed) distinct strings —
+        # bounded by max string length, not corpus rows
+        maxlen = max((len(x) for x in s), default=0)
+        for x in s:
+            out_s.append(x)
+            out_v.append(x)
+        for d in range(maxlen):
+            for x in s:
+                if d < len(x):
+                    out_s.append(x)
+                    out_v.append(x[:d] + x[d + 1 :])
+        t = pa.table({"s": pa.array(out_s, type=pa.string()), "v": pa.array(out_v, type=pa.string())})
+        df = pd.DataFrame({"v": out_v})
+        pk = (_hash_cols(df, ["v"]) % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_pk", pa.array(pk))
+
+    keyed = distinct.map_batches(variants, batch_format="pyarrow")
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="v")
+        m = m[m["s_x"] < m["s_y"]][["s_x", "s_y"]].drop_duplicates()
+        return m.rename(columns={"s_x": "s_a", "s_y": "s_b"})
+
+    cand = keyed.groupby("_pk").map_groups(candidates, batch_format="pandas")
+    pairs = grouped_aggregate(
+        coalesce_small(cand, 0.25), ["s_a", "s_b"], {"_n": ("s_a", "count")}
+    )
+
+    def _bytes_mat(strs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        ln = np.array([len(x) for x in strs], dtype=np.int64)
+        width = int(ln.max()) if len(ln) else 0
+        mat = np.zeros((len(strs), width), dtype=np.uint8)
+        for i, x in enumerate(strs):  # bounded by candidate-pair count
+            bx = x.encode("utf-8", "surrogatepass")[:width]
+            mat[i, : len(bx)] = np.frombuffer(bx, dtype=np.uint8)
+        return mat, ln
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema([("s_a", pa.string()), ("s_b", pa.string())]).empty_table()
+        sa = t.column("s_a").to_pylist()
+        sb = t.column("s_b").to_pylist()
+        ma, la = _bytes_mat(sa)
+        mb, lb = _bytes_mat(sb)
+        w = max(ma.shape[1], mb.shape[1])
+        ma = np.pad(ma, ((0, 0), (0, w - ma.shape[1])))
+        mb = np.pad(mb, ((0, 0), (0, w - mb.shape[1])))
+        eq = ma == mb
+        same_len = la == lb
+        sub_ok = same_len & ((~eq).sum(axis=1) <= 1)
+        # length-difference-1: d==1 iff common prefix + common suffix >= shorter
+        pos = np.arange(w)
+        pref = np.where(eq, 0, 1)
+        first_diff = np.argmax(pref, axis=1)
+        first_diff = np.where(pref.any(axis=1), first_diff, w)
+        # suffix: align ends by shifting the shorter — compare reversed
+        rev_a = ma[:, ::-1]
+        rev_b = mb[:, ::-1]
+        # reversed arrays are end-aligned only when we re-shift by padding;
+        # rebuild end-aligned matrices instead
+        ea = np.zeros_like(ma)
+        eb = np.zeros_like(mb)
+        for i in range(len(sa)):  # candidate-pair bounded
+            ea[i, w - la[i] :] = ma[i, : la[i]]
+            eb[i, w - lb[i] :] = mb[i, : lb[i]]
+        eqe = (ea == eb)[:, ::-1]
+        sufd = np.where(np.where(eqe, 0, 1).any(axis=1), np.argmax(np.where(eqe, 0, 1), axis=1), w)
+        shorter = np.minimum(la, lb)
+        ind_ok = (np.abs(la - lb) == 1) & (first_diff + sufd >= shorter)
+        keep = sub_ok | ind_ok
+        m = pa.array(keep)
+        return pa.table({"s_a": t.column("s_a").filter(m), "s_b": t.column("s_b").filter(m)})
+
+    out = pairs.map_batches(verify, batch_format="pyarrow")
+    return out.sort(["s_a", "s_b"]) if sort else out

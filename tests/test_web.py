@@ -483,3 +483,33 @@ def test_skyline_matches_brute(ray_session):
     exp = df[~dom].rename(columns={"a": "a", "b": "b"}).sort_values("doc_id").reset_index(drop=True)
     assert {0, 1}.issubset(set(got["doc_id"]))
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def _lev(a, b):
+    d = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        nd = [i]
+        for j, cb in enumerate(b, 1):
+            nd.append(min(d[j] + 1, nd[-1] + 1, d[j - 1] + (ca != cb)))
+        d = nd
+    return d[-1]
+
+
+def test_edit1_pairs_matches_dp_brute(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.dedup import edit1_pairs
+
+    strs = (
+        ["kitten", "sitten", "sittin", "sitting", "mitten", "kit", "kits", "it"]
+        + [f"host{i}" for i in range(20)]
+        + ["a", "b", "ab", "ba", "abc"]
+    )
+    df = pd.DataFrame({"s": strs * 4})  # repeats must collapse first
+    got = edit1_pairs(ray.data.from_pandas(df).repartition(5), "s").to_pandas()
+    uniq = sorted(set(strs))
+    exp = sorted(
+        (a, b) for i, a in enumerate(uniq) for b in uniq[i + 1 :] if _lev(a, b) <= 1
+    )
+    assert sorted(map(tuple, got.to_numpy())) == exp
+    assert ("kitten", "mitten") in exp and ("sittin", "sitting") in exp
