@@ -358,7 +358,13 @@ def _q_user_steps(sf_dir: str):
 def _q_od_matrix(sf_dir: str):
     """Origin-destination cell flow matrix over user trajectories: the
     per-partition step pass collapses straight to unique (from, to) cell
-    pairs — raw steps never shuffle twice.  Pure integers, hash-exact."""
+    pairs — raw steps never shuffle twice.  Pure integers, hash-exact.
+
+    Oracle note (also applies to user_trips): the SQL computes raw FLOOR
+    cells with no bounds filter, while the engine drops/clamps off-canvas
+    points — equivalent ONLY because the event geocode plane is inside the
+    US bbox by construction (fixtures.geo_from_id); real data through these
+    queries must keep the engine's clip semantics in the SQL too."""
     from rasterflow.pipelines.points import events_points
     from rasterflow.pipelines.trajectory import od_matrix
 
@@ -2730,7 +2736,7 @@ pr{i} AS (
 _URL_CANON_CTES = r"""ub AS (
   SELECT doc_id, n_chars,
          CAST((doc_id // 4) % 50 AS VARCHAR) AS d,
-         lpad(CAST(doc_id // 4 AS VARCHAR), 7, '0') AS pq
+         printf('%07d', doc_id // 4) AS pq
   FROM documents
 ),
 urls AS (

@@ -1911,12 +1911,15 @@ def edit1_pairs(ds, col: str, num_partitions: int | None = None, sort: bool = Tr
     )
 
     def _bytes_mat(strs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        # CODEPOINT matrix (utf-32), not utf-8 bytes: Levenshtein distance is
+        # defined over characters, and a multi-byte encoding would both
+        # overflow the char-length width and miscount substitutions
         ln = np.array([len(x) for x in strs], dtype=np.int64)
         width = int(ln.max()) if len(ln) else 0
-        mat = np.zeros((len(strs), width), dtype=np.uint8)
+        mat = np.zeros((len(strs), width), dtype=np.uint32)
         for i, x in enumerate(strs):  # bounded by candidate-pair count
-            bx = x.encode("utf-8", "surrogatepass")[:width]
-            mat[i, : len(bx)] = np.frombuffer(bx, dtype=np.uint8)
+            cp = np.frombuffer(x.encode("utf-32-le"), dtype=np.uint32)
+            mat[i, : len(cp)] = cp
         return mat, ln
 
     def verify(t: pa.Table) -> pa.Table:

@@ -174,7 +174,9 @@ def triangle_counts(pairs_ds, id_a: str = "id_a", id_b: str = "id_b", sort: bool
         hi = np.maximum(a, b)
         return pa.table({"lo": pa.array(lo), "hi": pa.array(hi), "ek": pa.array(lo * K + hi)})
 
-    edges = pairs_ds.map_batches(canon, batch_format="pyarrow")
+    # four downstream consumers (two wedge maps + Bloom build + exact-verify
+    # distinct) — materialize once or the upstream pair shuffle re-runs 4x
+    edges = pairs_ds.map_batches(canon, batch_format="pyarrow").materialize()
     left = edges.map_batches(
         lambda t: pa.table({"a": t.column("lo"), "m": t.column("hi")}), batch_format="pyarrow"
     )

@@ -225,20 +225,48 @@ def dbscan(
     two-column contract)."""
     import ray.data
 
+    from ..util import coalesce_small, grouped_aggregate
+
     pairs = distance_join_pairs(points_ds, eps, id_col=id_col, sort=False).materialize()
 
-    # pass 1: degrees (both endpoints, one vectorized unique) -> core set
-    edges_a: list[np.ndarray] = []
-    edges_b: list[np.ndarray] = []
-    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
-        edges_a.append(b.column("id_a").to_numpy(zero_copy_only=False))
-        edges_b.append(b.column("id_b").to_numpy(zero_copy_only=False))
-    ua = np.concatenate(edges_a) if edges_a else np.empty(0, np.int64)
-    ub = np.concatenate(edges_b) if edges_b else np.empty(0, np.int64)
-    ids, cnt = np.unique(np.concatenate([ua, ub]), return_counts=True)
-    core = set(ids[cnt + 1 >= min_pts].tolist())
+    # degrees DISTRIBUTED: per-batch endpoint collapse, one collapsed-key
+    # exchange; only the CORE node ids reach the driver (O(core nodes))
+    def degp(b: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                b.column("id_a").to_numpy(zero_copy_only=False),
+                b.column("id_b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq, cnt = np.unique(ids, return_counts=True)
+        return pa.table({"id": pa.array(uniq), "deg": pa.array(cnt.astype(np.int64))})
 
-    # pass 2: union-find over core-core edges (min-id roots)
+    deg = grouped_aggregate(
+        coalesce_small(pairs.map_batches(degp, batch_format="pyarrow"), 0.25),
+        "id",
+        {"deg": ("deg", "sum")},
+    )
+
+    def corefilter(t: pa.Table) -> pa.Table:
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        return t.select(["id"]).filter(pa.array(d + 1 >= min_pts))
+
+    core_arr = np.sort(
+        deg.map_batches(corefilter, batch_format="pyarrow")
+        .to_pandas()["id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+
+    def _is_core(v: np.ndarray) -> np.ndarray:
+        if len(core_arr) == 0:
+            return np.zeros(len(v), dtype=bool)
+        pos = np.minimum(np.searchsorted(core_arr, v), len(core_arr) - 1)
+        return core_arr[pos] == v
+
+    # streaming pass 1: union-find over CORE-CORE edges only (min-id roots);
+    # edge batches are filtered vectorized and never concatenated — driver
+    # memory is the parent map, O(core nodes)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -249,8 +277,11 @@ def dbscan(
             parent[x], x = root, parent[x]
         return root
 
-    for a_, b_ in zip(ua.tolist(), ub.tolist()):
-        if a_ in core and b_ in core:
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
+        ua = b.column("id_a").to_numpy(zero_copy_only=False)
+        ub = b.column("id_b").to_numpy(zero_copy_only=False)
+        cc = _is_core(ua) & _is_core(ub)
+        for a_, b_ in zip(ua[cc].tolist(), ub[cc].tolist()):
             ra, rb = find(a_), find(b_)
             if ra != rb:
                 if rb < ra:
@@ -260,16 +291,21 @@ def dbscan(
     rows_id: list[int] = []
     rows_cl: list[int] = []
     rows_core: list[bool] = []
-    for c in sorted(core):
+    for c in core_arr.tolist():
         rows_id.append(c)
         rows_cl.append(find(c))
         rows_core.append(True)
 
-    # border: non-core endpoint of an edge to a core point -> min core label
+    # streaming pass 2: border = non-core endpoint of a core edge -> min core
+    # label; driver memory O(border nodes)
     border: dict[int, int] = {}
-    for a_, b_ in zip(ua.tolist(), ub.tolist()):
-        for p, q in ((a_, b_), (b_, a_)):
-            if p not in core and q in core:
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
+        ua = b.column("id_a").to_numpy(zero_copy_only=False)
+        ub = b.column("id_b").to_numpy(zero_copy_only=False)
+        ca = _is_core(ua)
+        cb = _is_core(ub)
+        for p_arr, q_arr, m in ((ua, ub, ~ca & cb), (ub, ua, ~cb & ca)):
+            for p, q in zip(p_arr[m].tolist(), q_arr[m].tolist()):
                 lbl = find(q)
                 if p not in border or lbl < border[p]:
                     border[p] = lbl

@@ -31,12 +31,11 @@ from ..util import coalesce_small, grouped_aggregate, shuffle_parts
 
 
 def _with_pk(ds, key: str, cols: list[str], num_partitions: int):
-    from .dedup import _FNV
+    from ..util import _hash_cols
 
     def addpk(b: pa.Table) -> pa.Table:
-        kcol = b.column(key).to_numpy(zero_copy_only=False)
-        hk = pd.util.hash_array(kcol, hash_key="0123456789123456").astype(np.uint64)
-        pk = ((hk * _FNV) % np.uint64(num_partitions)).astype(np.int32)
+        df = pd.DataFrame({key: b.column(key).to_numpy(zero_copy_only=False)})
+        pk = (_hash_cols(df, [key]) % np.uint64(num_partitions)).astype(np.int32)
         return b.select(cols).append_column("_pk", pa.array(pk))
 
     return ds.map_batches(addpk, batch_format="pyarrow")

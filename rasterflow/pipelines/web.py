@@ -51,24 +51,26 @@ N_DOMAINS = 50
 
 
 def synth_urls(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
-    """Append the deterministic ``url`` fixture column (see module doc)."""
+    """Append the deterministic ``url`` fixture column (see module doc).
+    Vectorized pandas string assembly — no Python per row."""
+    import pandas as pd
+
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     q = ids // 4
     v = ids % 4
-    d = q % N_DOMAINS
-    urls = []
-    for qi, vi, di in zip(q, v, d):
-        path = f"/p{qi:07d}"
-        if vi == 0:
-            u = f"https://site{di}.example{path}"
-        elif vi == 1:
-            u = f"HTTPS://SITE{di}.EXAMPLE{path}"
-        elif vi == 2:
-            u = f"https://www.site{di}.example{path}/"
-        else:
-            u = f"https://site{di}.example{path}?utm_source=feed#frag"
-        urls.append(u)
-    return batch.append_column("url", pa.array(urls, type=pa.string()))
+    d = pd.Series(q % N_DOMAINS).astype(str)
+    pq_ = pd.Series(q).astype(str).str.zfill(7)
+    lo = "site" + d + ".example/p" + pq_
+    urls = np.select(
+        [v == 0, v == 1, v == 2],
+        [
+            "https://" + lo,
+            "HTTPS://SITE" + d + ".EXAMPLE/p" + pq_,
+            "https://www." + lo + "/",
+        ],
+        default="https://" + lo + "?utm_source=feed#frag",
+    )
+    return batch.append_column("url", pa.array(urls.tolist(), type=pa.string()))
 
 
 _URL_RE = r"^(?P<scheme>[^:/?#]+)://(?P<host>[^/?#]*)(?P<path>/[^?#]*)?$"

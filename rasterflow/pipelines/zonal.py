@@ -681,7 +681,9 @@ def adaptive_cells(
         sk = lv * K + c
         return t.append_column("jk", pa.array(jk)).append_column("sk", pa.array(sk))
 
-    keyed = pyr.map_batches(addkeys, batch_format="pyarrow")
+    # two consumers (join left + right projection): materialize the collapsed
+    # pyramid once or the point scan behind it executes twice
+    keyed = pyr.map_batches(addkeys, batch_format="pyarrow").materialize()
     right = keyed.map_batches(
         lambda t: pa.table({"jk": t.column("sk"), "n_parent": t.column("n")}),
         batch_format="pyarrow",

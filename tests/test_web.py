@@ -513,3 +513,14 @@ def test_edit1_pairs_matches_dp_brute(ray_session):
     )
     assert sorted(map(tuple, got.to_numpy())) == exp
     assert ("kitten", "mitten") in exp and ("sittin", "sitting") in exp
+
+
+def test_edit1_pairs_non_ascii(ray_session):
+    """Codepoint-level verify: multi-byte UTF-8 must not truncate/miscount."""
+    import ray.data
+
+    from rasterflow.pipelines.dedup import edit1_pairs
+
+    df = pd.DataFrame({"s": ["\u00e9a", "ba", "\u00e9ab", "zz", "caf\u00e9", "cafe"]})
+    got = sorted(map(tuple, edit1_pairs(ray.data.from_pandas(df), "s").to_pandas().to_numpy()))
+    assert got == [("ba", "\u00e9a"), ("cafe", "caf\u00e9"), ("\u00e9a", "\u00e9ab")]
