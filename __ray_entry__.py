@@ -180,6 +180,15 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_lang_entropy_cells(sf_dir: str):
+    """Per-cell Shannon entropy of the language mix (diversity raster):
+    fixed-order fold over the lang domain + scalar libm logs — the
+    lm_nll-style bit-reproducible float plane, hash-exact."""
+    from rasterflow.pipelines.zonal import cell_group_entropy
+
+    return cell_group_entropy(documents_points(sf_dir), ORACLE_GRID)
+
+
 def _q_fuzzy_domains(sf_dir: str):
     """Fuzzy self-join: distinct domains within Levenshtein distance 1
     (typo-squat / near-identical host detection).  SymSpell
@@ -2507,6 +2516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "lang_entropy_cells": _q_lang_entropy_cells,
         "fuzzy_domains": _q_fuzzy_domains,
         "doc_skyline": _q_doc_skyline,
         "choropleth": _q_choropleth,
@@ -3443,6 +3453,19 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "lang_entropy_cells": f"""
+WITH {GEO_CTE.strip()},
+lec AS (
+  SELECT CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id,
+         count(*) AS n,
+         {", ".join(f"count(*) FILTER (lang = '{g}') AS c_{g}" for g in ("de", "en", "es", "fr", "zh"))}
+  FROM geo GROUP BY cell_id
+)
+SELECT cell_id, CAST(n AS BIGINT) AS n,
+       {" + ".join(f"(CASE WHEN c_{g} > 0 THEN -((c_{g} / n) * ln(c_{g} / n)) ELSE 0.0e0 END)" for g in ("de", "en", "es", "fr", "zh"))} AS entropy
+FROM lec ORDER BY cell_id
+""",
         "fuzzy_domains": f"""
 WITH {_URL_CANON_CTES},
 fdm AS (

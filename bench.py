@@ -246,6 +246,7 @@ def bench_queries() -> dict[str, float]:
         "choropleth",
         "doc_skyline",
         "fuzzy_domains",
+        "lang_entropy_cells",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -610,6 +610,80 @@ def cell_top_terms(
     return top_k_per_group(agg, "cell_id", "n", k, id_col="token")
 
 
+def cell_group_entropy(
+    points_ds,
+    grid: Grid,
+    group_col: str = "lang",
+    groups: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+    sort: bool = True,
+):
+    """Per-cell Shannon entropy of a categorical mix (language-diversity
+    raster — "how multilingual is each area").
+
+    ``groups`` fixes BOTH the membership and the summation order: entropy =
+    -Σ_g (n_g/n)·ln(n_g/n), accumulated left-to-right over ``groups`` with
+    zero-count terms skipped — the same fixed-order fold + scalar libm logs
+    that make ``lm_nll_worst`` hash-exact, so the float column matches the
+    SQL oracle bit for bit.  Rows with a value outside ``groups`` are
+    dropped (visible contract; pass the full domain).  Plan: per-batch
+    (cell, group) collapse → one collapsed-key exchange → per-cell
+    fixed-width pivot + row-local entropy.  Returns ``(cell_id, n,
+    entropy)``.
+    """
+    import pandas as pd
+
+    from ..util import _hash_cols, shuffle_parts
+
+    gidx = {g: i for i, g in enumerate(groups)}
+    num_partitions = shuffle_parts(0.5)
+    empty = pa.schema([("cell_id", pa.int64()), ("gi", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        lin, valid = grid.locate_linear(x, y)
+        g = batch.column(group_col).to_pandas().map(gidx)
+        m = valid & g.notna().to_numpy()
+        if not m.any():
+            return empty.empty_table()
+        df = pd.DataFrame({"cell_id": lin[m], "gi": g.to_numpy()[m].astype(np.int64)})
+        out = df.groupby(["cell_id", "gi"], as_index=False, sort=False).size()
+        return pa.Table.from_pandas(out.rename(columns={"size": "n"}), preserve_index=False)
+
+    partials = coalesce_small(points_ds.map_batches(partial, batch_format="pyarrow"), 0.25)
+
+    def addpk(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"cell_id": t.column("cell_id").to_numpy(zero_copy_only=False)})
+        pk = (_hash_cols(df, ["cell_id"]) % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_pk", pa.array(pk))
+
+    def entropy(gdf: pd.DataFrame) -> pd.DataFrame:
+        agg = gdf.groupby(["cell_id", "gi"], as_index=False)["n"].sum()
+        cells, cinv = np.unique(agg["cell_id"].to_numpy(), return_inverse=True)
+        mat = np.zeros((len(cells), len(groups)), dtype=np.int64)
+        mat[cinv, agg["gi"].to_numpy()] = agg["n"].to_numpy()
+        n = mat.sum(axis=1)
+        ent = np.zeros(len(cells), dtype=np.float64)
+        # fixed left-to-right fold over `groups` (the SQL chain's order) with
+        # SCALAR libm logs — numpy's SIMD log drifts 1 ulp from DuckDB's ln
+        # on rare inputs (the lm_nll lesson); the loop is bounded by the
+        # COLLAPSED cells × groups table, never raw rows
+        import math
+
+        for i in range(len(groups)):
+            p = mat[:, i].astype(np.float64) / n
+            lg = np.array([math.log(v) if v > 0 else 0.0 for v in p])
+            ent = ent + np.where(mat[:, i] > 0, -(p * lg), 0.0)
+        return pd.DataFrame({"cell_id": cells, "n": n, "entropy": ent})
+
+    out = (
+        partials.map_batches(addpk, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(entropy, batch_format="pandas")
+    )
+    return out.sort("cell_id") if sort else out
+
+
 def choropleth_classes(
     points_ds, grid: Grid, qs: tuple[float, ...] = (0.25, 0.5, 0.75), sort: bool = True
 ):

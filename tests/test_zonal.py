@@ -379,3 +379,49 @@ def test_choropleth_classes_matches_rank_rule(ray_session):
     exp = pd.DataFrame({"cell_id": cnt.index.to_numpy(), "n": n, "cls": cls})
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False)
     assert got["cls"].nunique() >= 3
+
+
+def test_cell_group_entropy_matches_scipy_free_brute(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rasterflow.geom.cells import Grid
+    from rasterflow.pipelines.zonal import cell_group_entropy
+
+    rng = np.random.default_rng(71)
+    n = 4000
+    grid = Grid.from_bounds(0.0, 0.0, 6.0, 6.0, 1.0)
+    df = pd.DataFrame(
+        {
+            "x": rng.uniform(0.0, 6.0, n),
+            "y": rng.uniform(0.0, 6.0, n),
+            "lang": rng.choice(["de", "en", "es", "fr", "zh", "xx"], n),  # xx dropped
+        }
+    )
+    got = cell_group_entropy(
+        ray.data.from_pandas(df).repartition(5), grid
+    ).to_pandas()
+
+    lin = (df["y"] // 1.0).astype(np.int64) * grid.nx + (df["x"] // 1.0).astype(np.int64)
+    ref = pd.DataFrame({"cell_id": lin, "lang": df["lang"]})
+    ref = ref[ref["lang"] != "xx"]
+    rows = []
+    for cid, g in ref.groupby("cell_id"):
+        cnt = g["lang"].value_counts()
+        tot = int(cnt.sum())
+        e = 0.0
+        for lg in ("de", "en", "es", "fr", "zh"):
+            c = int(cnt.get(lg, 0))
+            if c > 0:
+                p = c / tot
+                e = e + -(p * math.log(p))
+        rows.append((cid, tot, e))
+    exp = pd.DataFrame(rows, columns=["cell_id", "n", "entropy"]).sort_values(
+        "cell_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+    # uniform 5-way mix tops out at ln(5)
+    assert (got["entropy"] <= math.log(5) + 1e-12).all()
