@@ -277,6 +277,17 @@ def _q_overlay_area(sf_dir: str):
     )
 
 
+def _q_copresence(sf_dir: str):
+    """Spatio-temporal co-occurrence: user pairs seen in the same cell in
+    the same hour, with meeting counts.  Distinct (cell, day, user) keys
+    collapse per batch, one (cell, day) exchange, vectorized per-group
+    self-merge — co-visitation analysis."""
+    from rasterflow.pipelines.points import events_points
+    from rasterflow.pipelines.trajectory import copresence_pairs
+
+    return copresence_pairs(events_points(sf_dir), ORACLE_GRID, window_us=3_600 * 10**6)
+
+
 def _q_user_trips(sf_dir: str):
     """Trip segmentation: sessionize each user's event stream at 12 h gaps
     and summarize every trip with start/end cells — one vectorized pass per
@@ -2523,6 +2534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_docs": _q_triangle_docs,
         "adaptive_cells": _q_adaptive_cells,
         "poly_raster_area": _q_poly_raster_area,
+        "copresence": _q_copresence,
         "user_trips": _q_user_trips,
         "events_near_docs": _q_events_near_docs,
         "dbscan_docs": _q_dbscan,
@@ -3580,6 +3592,20 @@ pr AS (
 SELECT CAST(poly_id AS INTEGER) AS poly_id, CAST(n AS BIGINT) AS n_cells,
        CAST(n AS BIGINT) * {OVERLAY_GRID.cell * OVERLAY_GRID.cell!r}e0 AS area
 FROM pr ORDER BY poly_id
+""",
+        "copresence": f"""
+WITH {EVENTS_GEO_CTE.strip()},
+cpk AS (
+  SELECT DISTINCT
+    CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+    + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell,
+    epoch_us(ts) // 3600000000 AS w,
+    user_id AS u
+  FROM egeo
+)
+SELECT a.u AS user_a, b.u AS user_b, count(*) AS n_meet
+FROM cpk a JOIN cpk b ON a.cell = b.cell AND a.w = b.w AND a.u < b.u
+GROUP BY user_a, user_b ORDER BY user_a, user_b
 """,
         "user_trips": f"""
 WITH {EVENTS_GEO_CTE.strip()},

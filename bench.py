@@ -247,6 +247,7 @@ def bench_queries() -> dict[str, float]:
         "doc_skyline",
         "fuzzy_domains",
         "lang_entropy_cells",
+        "copresence",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

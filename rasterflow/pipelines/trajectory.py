@@ -151,6 +151,68 @@ def user_trips(
     return out.sort([key, "trip_id"]) if sort else out
 
 
+def copresence_pairs(
+    events_ds,
+    grid: Grid,
+    window_us: int,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int | None = None,
+    sort: bool = True,
+):
+    """Spatio-temporal co-occurrence: pairs of users observed in the SAME
+    grid cell within the SAME time window, with meeting counts — the
+    contact/co-visitation join.
+
+    Events collapse per batch to distinct ``(cell, window, user)`` keys
+    (repeat visits in one window count once — co-presence, not event
+    volume), ride ONE hash exchange on (cell, window), and each partition
+    self-merges its groups vectorized (user_a < user_b).  Meeting counts
+    collapse again on the pair key.  Pair work is Σ_groups m_g² over
+    DISTINCT users per (cell, window) — bounded by place×time density, the
+    same skew story as the distance join.  Returns
+    ``(user_a, user_b, n_meet)``.
+    """
+    import pandas as pd
+
+    from ..util import _hash_cols, coalesce_small, grouped_aggregate, shuffle_parts
+
+    if num_partitions is None:
+        num_partitions = shuffle_parts(1.0)
+
+    def keys(b: pa.Table) -> pa.Table:
+        lin, valid = grid.locate_linear(
+            b.column("x").to_numpy(zero_copy_only=False),
+            b.column("y").to_numpy(zero_copy_only=False),
+        )
+        t = b.column(ts_col).to_numpy(zero_copy_only=False)
+        us = t.astype("datetime64[us]").astype("int64") if np.issubdtype(
+            t.dtype, np.datetime64
+        ) else t.astype("int64")
+        u = b.column(key).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"cell": lin[valid], "w": us[valid] // window_us, "u": u[valid]}
+        ).drop_duplicates()
+        pk = (_hash_cols(df, ["cell", "w"]) % np.uint64(num_partitions)).astype(np.int32)
+        t2 = pa.Table.from_pandas(df, preserve_index=False)
+        return t2.append_column("_pk", pa.array(pk))
+
+    keyed = events_ds.map_batches(keys, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["cell", "w", "u"])  # cross-batch repeats
+        m = g.merge(g, on=["cell", "w"])
+        m = m[m["u_x"] < m["u_y"]]
+        out = m.groupby(["u_x", "u_y"], as_index=False).size()
+        return out.rename(columns={"u_x": "user_a", "u_y": "user_b", "size": "n_meet"})
+
+    cand = keyed.groupby("_pk").map_groups(pairs, batch_format="pandas")
+    out = grouped_aggregate(
+        coalesce_small(cand, 0.25), ["user_a", "user_b"], {"n_meet": ("n_meet", "sum")}
+    )
+    return out.sort(["user_a", "user_b"]) if sort else out
+
+
 def home_cells(
     points_ds,
     grid: Grid,

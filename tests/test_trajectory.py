@@ -185,3 +185,31 @@ def test_triangle_counts_matches_brute(ray_session):
     exp = exp[exp["n_tri"] > 0].reset_index(drop=True)
     assert len(exp) > 5
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_copresence_pairs_matches_pandas(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.trajectory import copresence_pairs
+
+    df = _events(n=1800, users=25, seed=43)
+    w = 50
+    got = copresence_pairs(
+        ray.data.from_pandas(df).repartition(6), GRID, window_us=w
+    ).to_pandas()
+
+    lin, valid = GRID.locate_linear(df["x"].to_numpy(), df["y"].to_numpy())
+    ref = pd.DataFrame(
+        {"cell": lin, "w": df["ts"].to_numpy() // w, "u": df["user_id"]}
+    )[valid].drop_duplicates()
+    m = ref.merge(ref, on=["cell", "w"])
+    m = m[m["u_x"] < m["u_y"]]
+    exp = (
+        m.groupby(["u_x", "u_y"], as_index=False)
+        .size()
+        .rename(columns={"u_x": "user_a", "u_y": "user_b", "size": "n_meet"})
+        .sort_values(["user_a", "user_b"])
+        .reset_index(drop=True)
+    )
+    assert len(exp) > 20
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
