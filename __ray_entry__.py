@@ -180,6 +180,17 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_lang_entropy_polys(sf_dir: str):
+    """Per-zone diversity: Shannon entropy of the language mix inside each
+    oracle polygon — the polygon-keyed twin of lang_entropy_cells (same
+    fixed-order scalar-log fold, hash-exact)."""
+    from rasterflow.pipelines.zonal import poly_group_entropy
+
+    return poly_group_entropy(
+        documents_points(sf_dir), oracle_poly_layer(), how="index", cell_size=0.05
+    )
+
+
 def _q_lang_entropy_cells(sf_dir: str):
     """Per-cell Shannon entropy of the language mix (diversity raster):
     fixed-order fold over the lang domain + scalar libm logs — the
@@ -2527,6 +2538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "lang_entropy_polys": _q_lang_entropy_polys,
         "lang_entropy_cells": _q_lang_entropy_cells,
         "fuzzy_domains": _q_fuzzy_domains,
         "doc_skyline": _q_doc_skyline,
@@ -3465,6 +3477,26 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "lang_entropy_polys": f"""
+WITH {GEO_CTE.strip()},
+{poly_edges_values_sql()},
+peh AS (
+  SELECT g.doc_id, e.poly_id, g.lang
+  FROM geo g JOIN edges e
+    ON ((e.viy > g.lat) <> (e.vjy > g.lat))
+   AND (g.lon < (e.vjx - e.vix) / (e.vjy - e.viy) * (g.lat - e.viy) + e.vix)
+  GROUP BY g.doc_id, e.poly_id, g.lang
+  HAVING (count(*) % 2) = 1
+),
+pec AS (
+  SELECT poly_id, count(*) AS n,
+         {", ".join(f"count(*) FILTER (lang = '{g}') AS c_{g}" for g in ("de", "en", "es", "fr", "zh"))}
+  FROM peh GROUP BY poly_id
+)
+SELECT CAST(poly_id AS INTEGER) AS poly_id, CAST(n AS BIGINT) AS n,
+       {" + ".join(f"(CASE WHEN c_{g} > 0 THEN -((c_{g} / n) * ln(c_{g} / n)) ELSE 0.0e0 END)" for g in ("de", "en", "es", "fr", "zh"))} AS entropy
+FROM pec ORDER BY poly_id
+""",
         "lang_entropy_cells": f"""
 WITH {GEO_CTE.strip()},
 lec AS (

@@ -248,6 +248,7 @@ def bench_queries() -> dict[str, float]:
         "fuzzy_domains",
         "lang_entropy_cells",
         "copresence",
+        "lang_entropy_polys",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

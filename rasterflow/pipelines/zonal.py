@@ -610,6 +610,30 @@ def cell_top_terms(
     return top_k_per_group(agg, "cell_id", "n", k, id_col="token")
 
 
+def _entropy_fold(gdf, key_name: str, ngroups: int):
+    """Per-key Shannon entropy from collapsed ``(key, gi, n)`` rows.
+
+    Fixed left-to-right fold over group ordinals (the SQL chain's order)
+    with SCALAR libm logs — numpy's SIMD log drifts 1 ulp from DuckDB's
+    ln on rare inputs (the lm_nll lesson); the loop is bounded by the
+    COLLAPSED keys × groups table, never raw rows."""
+    import math
+
+    import pandas as pd
+
+    agg = gdf.groupby([key_name, "gi"], as_index=False)["n"].sum()
+    keys_, kinv = np.unique(agg[key_name].to_numpy(), return_inverse=True)
+    mat = np.zeros((len(keys_), ngroups), dtype=np.int64)
+    mat[kinv, agg["gi"].to_numpy()] = agg["n"].to_numpy()
+    n = mat.sum(axis=1)
+    ent = np.zeros(len(keys_), dtype=np.float64)
+    for i in range(ngroups):
+        p = mat[:, i].astype(np.float64) / n
+        lg = np.array([math.log(v) if v > 0 else 0.0 for v in p])
+        ent = ent + np.where(mat[:, i] > 0, -(p * lg), 0.0)
+    return pd.DataFrame({key_name: keys_, "n": n, "entropy": ent})
+
+
 def cell_group_entropy(
     points_ds,
     grid: Grid,
@@ -658,23 +682,7 @@ def cell_group_entropy(
         return t.append_column("_pk", pa.array(pk))
 
     def entropy(gdf: pd.DataFrame) -> pd.DataFrame:
-        agg = gdf.groupby(["cell_id", "gi"], as_index=False)["n"].sum()
-        cells, cinv = np.unique(agg["cell_id"].to_numpy(), return_inverse=True)
-        mat = np.zeros((len(cells), len(groups)), dtype=np.int64)
-        mat[cinv, agg["gi"].to_numpy()] = agg["n"].to_numpy()
-        n = mat.sum(axis=1)
-        ent = np.zeros(len(cells), dtype=np.float64)
-        # fixed left-to-right fold over `groups` (the SQL chain's order) with
-        # SCALAR libm logs — numpy's SIMD log drifts 1 ulp from DuckDB's ln
-        # on rare inputs (the lm_nll lesson); the loop is bounded by the
-        # COLLAPSED cells × groups table, never raw rows
-        import math
-
-        for i in range(len(groups)):
-            p = mat[:, i].astype(np.float64) / n
-            lg = np.array([math.log(v) if v > 0 else 0.0 for v in p])
-            ent = ent + np.where(mat[:, i] > 0, -(p * lg), 0.0)
-        return pd.DataFrame({"cell_id": cells, "n": n, "entropy": ent})
+        return _entropy_fold(gdf, "cell_id", len(groups))
 
     out = (
         partials.map_batches(addpk, batch_format="pyarrow")
@@ -825,3 +833,73 @@ def pyramid_histogram(points_ds, grid: Grid, levels: int = 3, sort: bool = True)
         coalesce_small(partials, 0.25), ["level", "cell_id"], {"n": ("n", "sum")}
     )
     return out.sort(["level", "cell_id"]) if sort else out
+
+
+def poly_group_entropy(
+    points_ds,
+    layer_or_bundle,
+    group_col: str = "lang",
+    groups: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+    how: str = "index",
+    accuracy_m: float = 100.0,
+    cell_size: float | None = None,
+    batch_size: int = 65536,
+    sort: bool = True,
+):
+    """Per-ZONE Shannon entropy of a categorical mix — the polygon-keyed
+    twin of :func:`cell_group_entropy` (how diverse is each neighborhood).
+
+    The exact matcher classifies each batch; matched pairs collapse to
+    ``(poly_id, group)`` counts in-batch (a point inside two overlapping
+    polygons counts in both — per-zone semantics); one collapsed-key
+    exchange, then the shared fixed-order scalar-log entropy fold.
+    Returns ``(poly_id, n, entropy)``.
+    """
+    import pandas as pd
+    import ray
+
+    from ..util import _hash_cols, shuffle_parts
+
+    ref = _bundle_ref(layer_or_bundle, accuracy_m, cell_size, 32_000_000)
+    key = ("pentropy", ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref), how)
+    gidx = {g: i for i, g in enumerate(groups)}
+    num_partitions = shuffle_parts(0.5)
+    empty = pa.schema([("poly_id", pa.int32()), ("gi", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = _memo(key, lambda: SpatialJoinAgg(ref, how=how))
+        x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        lin, valid = agg.b.grid.locate_linear(x, y)
+        vidx = np.flatnonzero(valid)
+        if len(vidx) == 0:
+            return empty.empty_table()
+        pts, pl = agg._match_pairs(x[vidx], y[vidx], lin[vidx])
+        if len(pts) == 0:
+            return empty.empty_table()
+        g = batch.column(group_col).to_pandas().map(gidx).to_numpy()
+        gp = g[vidx[pts]]
+        m = ~pd.isna(gp)
+        if not m.any():
+            return empty.empty_table()
+        df = pd.DataFrame({"poly_id": pl[m].astype(np.int32), "gi": gp[m].astype(np.int64)})
+        out = df.groupby(["poly_id", "gi"], as_index=False, sort=False).size()
+        return pa.Table.from_pandas(out.rename(columns={"size": "n"}), preserve_index=False)
+
+    partials = coalesce_small(
+        points_ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size), 0.25
+    )
+
+    def addpk(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"poly_id": t.column("poly_id").to_numpy(zero_copy_only=False)})
+        pk = (_hash_cols(df, ["poly_id"]) % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_pk", pa.array(pk))
+
+    out = (
+        partials.map_batches(addpk, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(lambda g: _entropy_fold(g, "poly_id", len(groups)), batch_format="pandas")
+    )
+    return out.sort("poly_id") if sort else out

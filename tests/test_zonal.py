@@ -425,3 +425,47 @@ def test_cell_group_entropy_matches_scipy_free_brute(ray_session):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
     # uniform 5-way mix tops out at ln(5)
     assert (got["entropy"] <= math.log(5) + 1e-12).all()
+
+
+def test_poly_group_entropy_matches_brute(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rasterflow.geom.polyio import rect_layer
+    from rasterflow.pipelines.zonal import poly_group_entropy
+
+    rng = np.random.default_rng(73)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "x": rng.uniform(-1.0, 11.0, n),
+            "y": rng.uniform(-1.0, 11.0, n),
+            "lang": rng.choice(["de", "en", "es", "fr", "zh"], n),
+        }
+    )
+    layer = rect_layer("pe", RECTS)
+    got = poly_group_entropy(
+        ray.data.from_pandas(df).repartition(5), layer, how="index", cell_size=0.5
+    ).to_pandas()
+
+    mem = _member(df)  # (n, k) half-open rect membership
+    rows = []
+    for pid in range(mem.shape[1]):
+        sub = df[mem[:, pid]]
+        if len(sub) == 0:
+            continue
+        cnt = sub["lang"].value_counts()
+        tot = int(cnt.sum())
+        e = 0.0
+        for lg in ("de", "en", "es", "fr", "zh"):
+            c = int(cnt.get(lg, 0))
+            if c > 0:
+                p = c / tot
+                e = e + -(p * math.log(p))
+        rows.append((pid, tot, e))
+    exp = pd.DataFrame(rows, columns=["poly_id", "n", "entropy"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
