@@ -180,6 +180,24 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_density_topk(sf_dir: str):
+    """Raster value extraction at points + selection: append each document's
+    own-cell count (broadcast dense raster, zero point shuffle) and keep the
+    20 densest docs by (density desc, doc_id asc) via per-block partial
+    top-k — 'pick exemplars from the busiest areas'."""
+    from rasterflow.pipelines.cellagg import extract_raster_at_points
+    from rasterflow.pipelines.zonal import smallest_k
+
+    ds = extract_raster_at_points(documents_points(sf_dir), ORACLE_GRID)
+
+    def neg(b: pa.Table) -> pa.Table:
+        d = b.column("density").to_numpy(zero_copy_only=False)
+        return b.append_column("neg_d", pa.array(-d))
+
+    top = smallest_k(ds.map_batches(neg, batch_format="pyarrow"), "neg_d", "doc_id", 20)
+    return top.select_columns(["doc_id", "density"]).sort("doc_id")
+
+
 def _q_lang_entropy_polys(sf_dir: str):
     """Per-zone diversity: Shannon entropy of the language mix inside each
     oracle polygon — the polygon-keyed twin of lang_entropy_cells (same
@@ -2538,6 +2556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "density_topk": _q_density_topk,
         "lang_entropy_polys": _q_lang_entropy_polys,
         "lang_entropy_cells": _q_lang_entropy_cells,
         "fuzzy_domains": _q_fuzzy_domains,
@@ -3477,6 +3496,23 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "density_topk": f"""
+WITH {GEO_CTE.strip()},
+dtc AS (
+  SELECT doc_id,
+         CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id
+  FROM geo
+),
+dcnt AS (SELECT cell_id, count(*) AS n FROM dtc GROUP BY cell_id),
+dj AS (
+  SELECT t.doc_id, c.n AS density,
+         row_number() OVER (ORDER BY c.n DESC, t.doc_id) AS rn
+  FROM dtc t JOIN dcnt c USING (cell_id)
+)
+SELECT doc_id, CAST(density AS BIGINT) AS density FROM dj
+WHERE rn <= 20 ORDER BY doc_id
+""",
         "lang_entropy_polys": f"""
 WITH {GEO_CTE.strip()},
 {poly_edges_values_sql()},

@@ -249,6 +249,7 @@ def bench_queries() -> dict[str, float]:
         "lang_entropy_cells",
         "copresence",
         "lang_entropy_polys",
+        "density_topk",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -44,6 +44,36 @@ def cell_histogram_grid(points_ds, grid: Grid, value_col: str | None = None, sor
     return out.sort("cell_id") if sort else out
 
 
+def extract_raster_at_points(points_ds, grid: Grid, out_col: str = "density"):
+    """Raster value extraction at point locations (the GIS "sample raster at
+    points" primitive): append each point's own cell count — a local-density
+    feature column for downstream selection/filtering.
+
+    The collapsed count raster (canvas-sized, the same bound as every other
+    canvas structure) broadcasts once via ``ray.put`` as a dense int64
+    vector; each batch gathers it at the point's linearized cell — zero
+    shuffle of the points, one exchange to build the raster.  Off-canvas
+    points get density 0."""
+    import ray
+
+    from .cellagg import cell_histogram_grid  # self-import safe at runtime
+
+    hist = cell_histogram_grid(points_ds, grid, sort=False).to_pandas()
+    dense = np.zeros(grid.ncells, dtype=np.int64)
+    dense[hist["cell_id"].to_numpy()] = hist["n"].to_numpy()
+    ref = ray.put(dense) if ray.is_initialized() else dense
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        lin, valid = grid.locate_linear(x, y)
+        val = np.where(valid, d[np.minimum(lin, grid.ncells - 1)], 0)
+        return batch.append_column(out_col, pa.array(val.astype(np.int64)))
+
+    return points_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def rollup_histogram(hist_ds, parent_res: int, sort: bool = True):
     """Roll a global-cell histogram up to a coarser resolution.
 

@@ -469,3 +469,31 @@ def test_poly_group_entropy_matches_brute(ray_session):
         rows.append((pid, tot, e))
     exp = pd.DataFrame(rows, columns=["poly_id", "n", "entropy"])
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_extract_raster_at_points(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rasterflow.geom.cells import Grid
+    from rasterflow.pipelines.cellagg import extract_raster_at_points
+
+    rng = np.random.default_rng(79)
+    grid = Grid.from_bounds(0.0, 0.0, 4.0, 4.0, 1.0)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(500),
+            "x": rng.uniform(-0.5, 4.5, 500),  # some off-canvas -> density 0
+            "y": rng.uniform(-0.5, 4.5, 500),
+        }
+    )
+    got = extract_raster_at_points(
+        ray.data.from_pandas(df).repartition(3), grid
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    lin, valid = grid.locate_linear(df["x"].to_numpy(), df["y"].to_numpy())
+    counts = np.bincount(lin[valid], minlength=grid.ncells)
+    exp = np.where(valid, counts[np.minimum(lin, grid.ncells - 1)], 0)
+    assert (got["density"].to_numpy() == exp).all()
+    assert (exp == 0).any() and (exp > 0).any()
