@@ -180,6 +180,15 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_focal_majority(sf_dir: str):
+    """Categorical focal majority filter: the modal language over each
+    cell's 3×3 neighborhood (GIS mode filter) — per-(cell, lang) scatter +
+    one exchange + vectorized per-cell argmax with lexicographic ties."""
+    from rasterflow.pipelines.cellagg import focal_majority
+
+    return focal_majority(documents_points(sf_dir), ORACLE_GRID)
+
+
 def _q_density_topk(sf_dir: str):
     """Raster value extraction at points + selection: append each document's
     own-cell count (broadcast dense raster, zero point shuffle) and keep the
@@ -2556,6 +2565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "focal_majority": _q_focal_majority,
         "density_topk": _q_density_topk,
         "lang_entropy_polys": _q_lang_entropy_polys,
         "lang_entropy_cells": _q_lang_entropy_cells,
@@ -3496,6 +3506,29 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "focal_majority": f"""
+WITH {GEO_CTE.strip()},
+flc AS (
+  SELECT CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id,
+         lang, count(*) AS n
+  FROM geo GROUP BY cell_id, lang
+),
+fxy AS (SELECT cell_id % {nx} AS cx, cell_id // {nx} AS cy, lang, n FROM flc),
+fst(dx, dy) AS (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(0,0),(1,0),(-1,1),(0,1),(1,1)),
+fnb AS (
+  SELECT (cy + dy) * {nx} + (cx + dx) AS cell_id, lang, sum(n) AS n
+  FROM fxy, fst
+  WHERE cx + dx BETWEEN 0 AND {nx - 1} AND cy + dy BETWEEN 0 AND {ny - 1}
+  GROUP BY 1, lang
+),
+fr AS (
+  SELECT cell_id, lang, n,
+         row_number() OVER (PARTITION BY cell_id ORDER BY n DESC, lang) AS rn
+  FROM fnb
+)
+SELECT cell_id, lang, CAST(n AS BIGINT) AS n_maj FROM fr WHERE rn = 1 ORDER BY cell_id
+""",
         "density_topk": f"""
 WITH {GEO_CTE.strip()},
 dtc AS (

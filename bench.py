@@ -250,6 +250,7 @@ def bench_queries() -> dict[str, float]:
         "copresence",
         "lang_entropy_polys",
         "density_topk",
+        "focal_majority",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

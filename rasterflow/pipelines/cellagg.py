@@ -374,3 +374,103 @@ def hotspot_regions(points_ds, grid: Grid, min_count: int = 5, num_partitions: i
         weight=0.25,
     )
     return out.sort("region_id")
+
+
+def focal_majority(
+    points_ds,
+    grid: Grid,
+    group_col: str = "lang",
+    groups: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+    num_partitions: int | None = None,
+    sort: bool = True,
+):
+    """Categorical focal MAJORITY filter: for each cell, the modal category
+    over its 3×3 neighborhood (ties to the lexicographically first group) —
+    the GIS majority/mode filter that denoises a categorical raster, here
+    "which language dominates each area".
+
+    Same scatter plan as :func:`focal_cell_smooth`, carried per category:
+    the point stream collapses to (cell, group) counts, each row scatters to
+    its ≤9 in-grid neighbors, one exchange sums per (cell, group), and a
+    per-cell vectorized argmax picks the winner.  All integers + a fixed
+    group order — hash-exact.  Returns ``(cell_id, lang, n_maj)``.
+    """
+    import pandas as pd
+
+    from ..util import _hash_cols, coalesce_small, grouped_aggregate, shuffle_parts
+
+    if num_partitions is None:
+        num_partitions = shuffle_parts(0.5)
+    gidx = {g: i for i, g in enumerate(groups)}
+    nx, ny = np.int64(grid.nx), np.int64(grid.ny)
+    dxs = np.tile(np.array([-1, 0, 1], dtype=np.int64), 3)
+    dys = np.repeat(np.array([-1, 0, 1], dtype=np.int64), 3)
+    empty = pa.schema([("cell_id", pa.int64()), ("gi", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lin, valid = grid.locate_linear(
+            batch.column("x").to_numpy(zero_copy_only=False),
+            batch.column("y").to_numpy(zero_copy_only=False),
+        )
+        g = batch.column(group_col).to_pandas().map(gidx)
+        m = valid & g.notna().to_numpy()
+        if not m.any():
+            return empty.empty_table()
+        df = pd.DataFrame({"cell_id": lin[m], "gi": g.to_numpy()[m].astype(np.int64)})
+        out = df.groupby(["cell_id", "gi"], as_index=False, sort=False).size()
+        return pa.Table.from_pandas(out.rename(columns={"size": "n"}), preserve_index=False)
+
+    counts = grouped_aggregate(
+        coalesce_small(points_ds.map_batches(partial, batch_format="pyarrow"), 0.25),
+        ["cell_id", "gi"],
+        {"n": ("n", "sum")},
+    )
+
+    def scatter(t: pa.Table) -> pa.Table:
+        c = t.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        gi = t.column("gi").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = c % nx, c // nx
+        tx = cx[:, None] + dxs[None, :]
+        ty = cy[:, None] + dys[None, :]
+        ok = (tx >= 0) & (tx < nx) & (ty >= 0) & (ty < ny)
+        tgt = (ty * nx + tx)[ok]
+        gii = np.broadcast_to(gi[:, None], ok.shape)[ok]
+        nn = np.broadcast_to(n[:, None], ok.shape)[ok]
+        return pa.table({"cell_id": pa.array(tgt), "gi": pa.array(gii), "n": pa.array(nn)})
+
+    nb = grouped_aggregate(
+        counts.map_batches(scatter, batch_format="pyarrow"),
+        ["cell_id", "gi"],
+        {"n": ("n", "sum")},
+        num_partitions=num_partitions,
+        weight=0.25,
+    )
+
+    def addpk(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"cell_id": t.column("cell_id").to_numpy(zero_copy_only=False)})
+        pk = (_hash_cols(df, ["cell_id"]) % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_pk", pa.array(pk))
+
+    garr = np.asarray(groups)
+
+    def majority(gdf: pd.DataFrame) -> pd.DataFrame:
+        agg = gdf.groupby(["cell_id", "gi"], as_index=False)["n"].sum()
+        # winner per cell: max n, tie -> lowest gi (groups are sorted, so
+        # lexicographically first)
+        agg = agg.sort_values(["n", "gi"], ascending=[False, True], kind="stable")
+        win = agg.groupby("cell_id", sort=False).head(1)
+        return pd.DataFrame(
+            {
+                "cell_id": win["cell_id"].to_numpy(),
+                group_col: garr[win["gi"].to_numpy()],
+                "n_maj": win["n"].to_numpy(),
+            }
+        )
+
+    out = (
+        nb.map_batches(addpk, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(majority, batch_format="pandas")
+    )
+    return out.sort("cell_id") if sort else out

@@ -497,3 +497,45 @@ def test_extract_raster_at_points(ray_session):
     exp = np.where(valid, counts[np.minimum(lin, grid.ncells - 1)], 0)
     assert (got["density"].to_numpy() == exp).all()
     assert (exp == 0).any() and (exp > 0).any()
+
+
+def test_focal_majority_matches_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rasterflow.geom.cells import Grid
+    from rasterflow.pipelines.cellagg import focal_majority
+
+    rng = np.random.default_rng(83)
+    grid = Grid.from_bounds(0.0, 0.0, 6.0, 6.0, 1.0)
+    n = 2500
+    df = pd.DataFrame(
+        {
+            "x": rng.uniform(0.0, 6.0, n),
+            "y": rng.uniform(0.0, 6.0, n),
+            "lang": rng.choice(["de", "en", "es", "fr", "zh"], n, p=[0.1, 0.4, 0.2, 0.2, 0.1]),
+        }
+    )
+    got = focal_majority(ray.data.from_pandas(df).repartition(4), grid).to_pandas()
+
+    langs = ("de", "en", "es", "fr", "zh")
+    lin = (df["y"] // 1.0).astype(np.int64) * grid.nx + (df["x"] // 1.0).astype(np.int64)
+    dense = np.zeros((grid.ncells, len(langs)), dtype=np.int64)
+    for li, lg in enumerate(langs):
+        np.add.at(dense[:, li], lin[(df["lang"] == lg).to_numpy()], 1)
+    rows = []
+    for cid in range(grid.ncells):
+        cy, cx = divmod(cid, grid.nx)
+        tot = np.zeros(len(langs), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                yy, xx = cy + dy, cx + dx
+                if 0 <= yy < grid.ny and 0 <= xx < grid.nx:
+                    tot += dense[yy * grid.nx + xx]
+        if tot.sum() == 0:
+            continue
+        w = int(np.argmax(tot))  # argmax first-occurrence = lexicographic tie
+        rows.append((cid, langs[w], int(tot[w])))
+    exp = pd.DataFrame(rows, columns=["cell_id", "lang", "n_maj"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
