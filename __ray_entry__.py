@@ -180,6 +180,15 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_coverage_gaps(sf_dir: str):
+    """Coverage-gap mining: cells whose entire 3×3 neighborhood is empty —
+    the spatial complement query (broadcast lit-cell bitmap, streamed
+    canvas, zero extra shuffle)."""
+    from rasterflow.pipelines.cellagg import coverage_gaps
+
+    return coverage_gaps(documents_points(sf_dir), ORACLE_GRID)
+
+
 def _q_focal_majority(sf_dir: str):
     """Categorical focal majority filter: the modal language over each
     cell's 3×3 neighborhood (GIS mode filter) — per-(cell, lang) scatter +
@@ -2565,6 +2574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "coverage_gaps": _q_coverage_gaps,
         "focal_majority": _q_focal_majority,
         "density_topk": _q_density_topk,
         "lang_entropy_polys": _q_lang_entropy_polys,
@@ -3506,6 +3516,26 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "coverage_gaps": f"""
+WITH {GEO_CTE.strip()},
+cgc AS (
+  SELECT DISTINCT
+    CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+    + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id
+  FROM geo
+),
+cgl AS (
+  -- every cell whose 3x3 neighborhood contains a lit cell = lit scattered
+  SELECT DISTINCT (cell_id // {nx} + dy) * {nx} + (cell_id % {nx} + dx) AS cell_id
+  FROM cgc, (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(0,0),(1,0),(-1,1),(0,1),(1,1)) AS s(dx, dy)
+  WHERE cell_id % {nx} + dx BETWEEN 0 AND {nx - 1}
+    AND cell_id // {nx} + dy BETWEEN 0 AND {ny - 1}
+)
+SELECT CAST(i AS BIGINT) AS cell_id
+FROM generate_series(0, {ORACLE_GRID.ncells - 1}) AS t(i)
+WHERE i NOT IN (SELECT cell_id FROM cgl)
+ORDER BY cell_id
+""",
         "focal_majority": f"""
 WITH {GEO_CTE.strip()},
 flc AS (

@@ -251,6 +251,7 @@ def bench_queries() -> dict[str, float]:
         "lang_entropy_polys",
         "density_topk",
         "focal_majority",
+        "coverage_gaps",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

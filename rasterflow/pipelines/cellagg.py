@@ -74,6 +74,42 @@ def extract_raster_at_points(points_ds, grid: Grid, out_col: str = "density"):
     return points_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def coverage_gaps(points_ds, grid: Grid, sort: bool = True):
+    """Coverage-gap mining: grid cells whose ENTIRE 3×3 neighborhood holds
+    zero points — "where is there no data at all", the complement query
+    behind site placement and survey-gap analysis.
+
+    The lit-cell set collapses to a canvas-sized bitmap broadcast once via
+    ``ray.put``; the canvas itself streams as ``ray.data.range`` blocks and
+    each block tests its cells' neighborhoods against the bitmap with one
+    vectorized gather per stencil offset — no shuffle at all after the
+    histogram's own exchange.  Returns ``(cell_id,)`` sorted."""
+    import ray
+
+    hist = cell_histogram_grid(points_ds, grid, sort=False).to_pandas()
+    lit = np.zeros(grid.ncells, dtype=bool)
+    lit[hist["cell_id"].to_numpy()] = True
+    ref = ray.put(lit) if ray.is_initialized() else lit
+    nx, ny = np.int64(grid.nx), np.int64(grid.ny)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lm = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        c = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = c % nx, c // nx
+        any_lit = np.zeros(len(c), dtype=bool)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                tx, ty = cx + dx, cy + dy
+                ok = (tx >= 0) & (tx < nx) & (ty >= 0) & (ty < ny)
+                idx = np.where(ok, ty * nx + tx, 0)
+                any_lit |= ok & lm[idx]
+        return pa.table({"cell_id": pa.array(c[~any_lit])})
+
+    canvas = ray.data.range(grid.ncells, override_num_blocks=max(1, grid.ncells // 65536))
+    out = canvas.map_batches(fn, batch_format="pyarrow")
+    return out.sort("cell_id") if sort else out
+
+
 def rollup_histogram(hist_ds, parent_res: int, sort: bool = True):
     """Roll a global-cell histogram up to a coarser resolution.
 

@@ -539,3 +539,35 @@ def test_focal_majority_matches_brute(ray_session):
         rows.append((cid, langs[w], int(tot[w])))
     exp = pd.DataFrame(rows, columns=["cell_id", "lang", "n_maj"])
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_coverage_gaps_matches_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rasterflow.geom.cells import Grid
+    from rasterflow.pipelines.cellagg import coverage_gaps
+
+    rng = np.random.default_rng(89)
+    grid = Grid.from_bounds(0.0, 0.0, 8.0, 8.0, 1.0)
+    # points only in the left half -> gaps on the right (minus the border hood)
+    df = pd.DataFrame({"x": rng.uniform(0.0, 3.0, 400), "y": rng.uniform(0.0, 8.0, 400)})
+    got = coverage_gaps(ray.data.from_pandas(df).repartition(3), grid).to_pandas()
+
+    lin, valid = grid.locate_linear(df["x"].to_numpy(), df["y"].to_numpy())
+    lit = np.zeros(grid.ncells, dtype=bool)
+    lit[lin[valid]] = True
+    exp = []
+    for cid in range(grid.ncells):
+        cy, cx = divmod(cid, grid.nx)
+        any_lit = any(
+            lit[(cy + dy) * grid.nx + (cx + dx)]
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if 0 <= cy + dy < grid.ny and 0 <= cx + dx < grid.nx
+        )
+        if not any_lit:
+            exp.append(cid)
+    assert got["cell_id"].tolist() == exp
+    assert len(exp) > 0
