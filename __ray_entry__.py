@@ -180,6 +180,18 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_rank_transform(sf_dir: str):
+    """Exact rank/percentile normalization of n_chars (the ML rank
+    transform): value histogram → broadcast cumulative-below table →
+    row-local gather; the rows never shuffle."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import rank_transform
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return rank_transform(ds, "n_chars")
+
+
 def _q_coverage_gaps(sf_dir: str):
     """Coverage-gap mining: cells whose entire 3×3 neighborhood is empty —
     the spatial complement query (broadcast lit-cell bitmap, streamed
@@ -2574,6 +2586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "rank_transform": _q_rank_transform,
         "coverage_gaps": _q_coverage_gaps,
         "focal_majority": _q_focal_majority,
         "density_topk": _q_density_topk,
@@ -3516,6 +3529,11 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "rank_transform": """
+SELECT doc_id, n_chars,
+       CAST(RANK() OVER (ORDER BY n_chars) - 1 AS BIGINT) AS rank_lt
+FROM documents ORDER BY doc_id
+""",
         "coverage_gaps": f"""
 WITH {GEO_CTE.strip()},
 cgc AS (

@@ -252,6 +252,7 @@ def bench_queries() -> dict[str, float]:
         "density_topk",
         "focal_majority",
         "coverage_gaps",
+        "rank_transform",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -1151,3 +1151,46 @@ def skyline(ds, x_col: str, y_col: str, id_col: str = "doc_id", sort: bool = Tru
         front, batch_format="pyarrow"
     )
     return out.sort(id_col) if sort else out
+
+
+def rank_transform(ds, col: str, id_col: str = "doc_id", sort: bool = True):
+    """Exact rank / percentile normalization: append ``rank_lt`` — the count
+    of rows with a strictly smaller value — the ML-preprocessing rank
+    transform (percentile = (rank_lt + 1) / n on the consumer side).
+
+    Two passes, bounded-distinct contract (the :func:`column_quantiles`
+    class — scores, lengths, grades; NOT continuous uniques): pass 1
+    collapses the column to a value histogram (in-batch ``np.unique`` + one
+    collapsed exchange), the driver folds it into a sorted
+    (values, cumulative-below) table broadcast once; pass 2 is a row-local
+    ``searchsorted`` gather — the rows themselves never shuffle.
+    """
+    import pyarrow as pa
+
+    from ..util import coalesce_small, grouped_aggregate
+
+    def hist(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq), "c": pa.array(cnt.astype(np.int64))})
+
+    vc = grouped_aggregate(
+        coalesce_small(ds.map_batches(hist, batch_format="pyarrow"), 0.25),
+        "v",
+        {"c": ("c", "sum")},
+    ).to_pandas()
+    vc = vc.sort_values("v")
+    values = vc["v"].to_numpy()
+    below = np.concatenate(([0], np.cumsum(vc["c"].to_numpy())[:-1])).astype(np.int64)
+    import ray
+
+    ref = ray.put((values, below)) if ray.is_initialized() else (values, below)
+
+    def gather(b: pa.Table) -> pa.Table:
+        vals, bel = ray.get(ref) if not isinstance(ref, tuple) else ref
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vals, v)
+        return b.select([id_col, col]).append_column("rank_lt", pa.array(bel[idx]))
+
+    out = ds.map_batches(gather, batch_format="pyarrow")
+    return out.sort(id_col) if sort else out

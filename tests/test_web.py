@@ -524,3 +524,24 @@ def test_edit1_pairs_non_ascii(ray_session):
     df = pd.DataFrame({"s": ["\u00e9a", "ba", "\u00e9ab", "zz", "caf\u00e9", "cafe"]})
     got = sorted(map(tuple, edit1_pairs(ray.data.from_pandas(df), "s").to_pandas().to_numpy()))
     assert got == [("ba", "\u00e9a"), ("cafe", "caf\u00e9"), ("\u00e9a", "\u00e9ab")]
+
+
+def test_rank_transform_matches_scipy_style_rank(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import rank_transform
+
+    rng = np.random.default_rng(97)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_chars": rng.integers(0, 80, n).astype(np.int64),  # heavy ties
+        }
+    )
+    got = rank_transform(ray.data.from_pandas(df).repartition(6), "n_chars").to_pandas()
+    v = df["n_chars"].to_numpy()
+    exp = np.array([(v < x).sum() for x in v], dtype=np.int64)
+    assert (got.sort_values("doc_id")["rank_lt"].to_numpy() == exp).all()
+    # min value has rank 0; percentile = (rank+1)/n is within (0, 1]
+    assert got["rank_lt"].min() == 0
