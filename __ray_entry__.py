@@ -180,6 +180,21 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_cube_lang_source(sf_dir: str):
+    """CUBE aggregation over (source, lang): every grouping set in one
+    exchange — ROLLUP's cross-tab sibling (corpus sliced any way)."""
+    import ray.data
+
+    from rasterflow.pipelines.relational import cube_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+    return cube_aggregate(
+        ds, ["source", "lang"], {"n_docs": ("n_chars", "size"), "sum_chars": ("n_chars", "sum")}
+    )
+
+
 def _q_rank_transform(sf_dir: str):
     """Exact rank/percentile normalization of n_chars (the ML rank
     transform): value histogram → broadcast cumulative-below table →
@@ -2586,6 +2601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "cube_lang_source": _q_cube_lang_source,
         "rank_transform": _q_rank_transform,
         "coverage_gaps": _q_coverage_gaps,
         "focal_majority": _q_focal_majority,
@@ -3529,6 +3545,13 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "cube_lang_source": """
+SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE(source, lang)
+ORDER BY COALESCE(source, 'ALL'), COALESCE(lang, 'ALL')
+""",
         "rank_transform": """
 SELECT doc_id, n_chars,
        CAST(RANK() OVER (ORDER BY n_chars) - 1 AS BIGINT) AS rank_lt

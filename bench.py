@@ -253,6 +253,7 @@ def bench_queries() -> dict[str, float]:
         "focal_majority",
         "coverage_gaps",
         "rank_transform",
+        "cube_lang_source",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -536,6 +536,56 @@ def rollup_aggregate(
     return grouped_aggregate(coalesce_small(partials, 0.25), keys, reagg).sort(keys)
 
 
+def cube_aggregate(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    all_label: str = "ALL",
+):
+    """CUBE aggregation: one output row per SUBSET of ``keys`` (every
+    grouping set, 2^k of them) — ROLLUP's cross-tab sibling, the
+    slice-any-way summary of corpus reporting.
+
+    Same one-exchange plan as :func:`rollup_aggregate`: each batch
+    pre-aggregates to its distinct finest keys, replicates the partial rows
+    across every subset with rolled-out slots carrying ``all_label``,
+    re-combines in-batch, and a single :func:`grouped_aggregate` reduces
+    all 2^k grouping sets together (valid for distributive aggs).
+    """
+    from itertools import combinations
+
+    from ..util import coalesce_small, grouped_aggregate
+
+    reagg = {
+        out: (out, "sum" if fn in ("sum", "count", "size") else fn)
+        for out, (_c, fn) in aggs.items()
+    }
+    subsets = [
+        set(c) for r in range(len(keys), -1, -1) for c in combinations(keys, r)
+    ]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, as_index=False).agg(
+            **{out: (c, "size" if fn == "size" else fn) for out, (c, fn) in aggs.items()}
+        )
+        for k in keys:
+            g[k] = pa.Array.from_pandas(g[k]).cast(pa.string()).to_pandas()
+        frames = []
+        for keep in subsets:
+            f = g.copy()
+            for k in keys:
+                if k not in keep:
+                    f[k] = all_label
+            frames.append(f)
+        e = pd.concat(frames, ignore_index=True)
+        return e.groupby(keys, sort=False, as_index=False).agg(
+            **{out: (out, fn) for out, (_c, fn) in reagg.items()}
+        )[keys + list(aggs)]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return grouped_aggregate(coalesce_small(partials, 0.25), keys, reagg).sort(keys)
+
+
 def pivot_counts(
     ds,
     row_key: str,

@@ -545,3 +545,40 @@ def test_rank_transform_matches_scipy_style_rank(ray_session):
     assert (got.sort_values("doc_id")["rank_lt"].to_numpy() == exp).all()
     # min value has rank 0; percentile = (rank+1)/n is within (0, 1]
     assert got["rank_lt"].min() == 0
+
+
+def test_cube_aggregate_matches_pandas(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.relational import cube_aggregate
+
+    rng = np.random.default_rng(101)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "source": rng.choice(["s0", "s1", "s2"], n),
+            "lang": rng.choice(["en", "de"], n),
+            "v": rng.integers(0, 100, n).astype(np.int64),
+        }
+    )
+    got = cube_aggregate(
+        ray.data.from_pandas(df).repartition(5),
+        ["source", "lang"],
+        {"n": ("v", "size"), "s": ("v", "sum")},
+    ).to_pandas()
+
+    frames = []
+    for keep in (["source", "lang"], ["source"], ["lang"], []):
+        g = df.copy()
+        for k in ("source", "lang"):
+            if k not in keep:
+                g[k] = "ALL"
+        frames.append(
+            g.groupby(["source", "lang"], as_index=False).agg(n=("v", "size"), s=("v", "sum"))
+        )
+    exp = pd.concat(frames, ignore_index=True).sort_values(["source", "lang"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+    # the four grouping sets are all present
+    assert ((got["source"] == "ALL") & (got["lang"] == "ALL")).sum() == 1
+    assert ((got["source"] == "ALL") & (got["lang"] != "ALL")).sum() == 2
+    assert ((got["source"] != "ALL") & (got["lang"] == "ALL")).sum() == 3
