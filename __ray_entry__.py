@@ -180,6 +180,17 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_lang_mad(sf_dir: str):
+    """Per-language robust stats: rank-rule median + MAD of document length
+    — two histogram passes, broadcast medians, integers end to end."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_mad
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return group_mad(ds, "n_chars", "lang")
+
+
 def _q_cube_lang_source(sf_dir: str):
     """CUBE aggregation over (source, lang): every grouping set in one
     exchange — ROLLUP's cross-tab sibling (corpus sliced any way)."""
@@ -2601,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "lang_mad": _q_lang_mad,
         "cube_lang_source": _q_cube_lang_source,
         "rank_transform": _q_rank_transform,
         "coverage_gaps": _q_coverage_gaps,
@@ -3545,6 +3557,34 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "lang_mad": """
+WITH mg AS (
+  SELECT lang, n_chars,
+         count(*) OVER (PARTITION BY lang) AS n,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn
+  FROM documents
+),
+gmed AS (
+  SELECT lang, n_chars AS median FROM mg
+  WHERE rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+),
+gdv AS (
+  SELECT d.lang, abs(d.n_chars - m.median) AS dev
+  FROM documents d JOIN gmed m USING (lang)
+),
+mg2 AS (
+  SELECT lang, dev,
+         count(*) OVER (PARTITION BY lang) AS n,
+         row_number() OVER (PARTITION BY lang ORDER BY dev) AS rn
+  FROM gdv
+),
+gmad AS (
+  SELECT lang, dev AS mad FROM mg2
+  WHERE rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+)
+SELECT m.lang, CAST(m.median AS BIGINT) AS median, CAST(a.mad AS BIGINT) AS mad
+FROM gmed m JOIN gmad a USING (lang) ORDER BY m.lang
+""",
         "cube_lang_source": """
 SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
        CAST(count(*) AS BIGINT) AS n_docs,

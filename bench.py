@@ -254,6 +254,7 @@ def bench_queries() -> dict[str, float]:
         "coverage_gaps",
         "rank_transform",
         "cube_lang_source",
+        "lang_mad",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -1194,3 +1194,67 @@ def rank_transform(ds, col: str, id_col: str = "doc_id", sort: bool = True):
 
     out = ds.map_batches(gather, batch_format="pyarrow")
     return out.sort(id_col) if sort else out
+
+
+def group_mad(ds, col: str, group_col: str, sort: bool = True):
+    """Per-group ROBUST statistics: the rank-rule median and the MAD
+    (median absolute deviation) — outlier-resistant scale estimation for
+    quality gating where means/stds are poisoned by heavy tails.
+
+    Two histogram passes under the bounded-distinct contract (the
+    :func:`group_quantiles` class): pass 1 selects each group's median;
+    the tiny (group → median) map broadcasts; pass 2 histograms the
+    absolute deviations per group and selects their median the same way.
+    Only distinct ``(group, value)`` pairs ever shuffle.  Integer columns
+    stay integer end to end (|v - med| is exact).  Returns
+    ``(group, median, mad)``.
+    """
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from ..util import coalesce_small, grouped_aggregate
+
+    med_df = group_quantiles(ds, col, group_col, qs=(0.5,)).to_pandas()
+    med = dict(zip(med_df[group_col], med_df["value"]))
+    ref = ray.put(med) if ray.is_initialized() else med
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = ray.get(ref) if not isinstance(ref, dict) else ref
+        g = b.column(group_col).to_pandas()
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        gm = g.map(m).to_numpy()
+        dev = np.abs(v - gm)
+        df = pd.DataFrame({group_col: g, "v": dev})
+        vc = df.groupby([group_col, "v"], sort=False).size().rename("cnt").reset_index()
+        vc["cnt"] = vc["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    red = grouped_aggregate(
+        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125),
+        [group_col, "v"],
+        {"cnt": ("cnt", "sum")},
+    )
+    pdf = red.to_pandas().sort_values([group_col, "v"]).reset_index(drop=True)
+    out_g, out_m, out_d = [], [], []
+    for gval, sub in pdf.groupby(group_col, sort=True):
+        cum = sub["cnt"].cumsum().to_numpy()
+        vals = sub["v"].to_numpy()
+        rank = max(1, math.ceil(0.5 * float(cum[-1])))
+        i = min(int(np.searchsorted(cum, rank)), len(vals) - 1)
+        out_g.append(gval)
+        out_m.append(med[gval])
+        out_d.append(vals[i])
+    out = ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(out_g),
+                "median": pa.array(np.asarray(out_m, dtype=np.int64)),
+                "mad": pa.array(np.asarray(out_d, dtype=np.int64)),
+            }
+        )
+    )
+    return out.sort(group_col) if sort else out

@@ -582,3 +582,36 @@ def test_cube_aggregate_matches_pandas(ray_session):
     assert ((got["source"] == "ALL") & (got["lang"] == "ALL")).sum() == 1
     assert ((got["source"] == "ALL") & (got["lang"] != "ALL")).sum() == 2
     assert ((got["source"] != "ALL") & (got["lang"] == "ALL")).sum() == 3
+
+
+def test_group_mad_matches_rank_rule_brute(ray_session):
+    import math
+
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_mad
+
+    rng = np.random.default_rng(103)
+    n = 2500
+    df = pd.DataFrame(
+        {
+            "lang": rng.choice(["a", "b", "c"], n),
+            "n_chars": rng.integers(0, 300, n).astype(np.int64),
+        }
+    )
+    # plant outliers: MAD must ignore them where std would not
+    df.loc[:20, "n_chars"] = 100000
+    got = group_mad(ray.data.from_pandas(df).repartition(5), "n_chars", "lang").to_pandas()
+
+    def rank_med(v):
+        sv = np.sort(v)
+        return int(sv[max(1, math.ceil(0.5 * len(sv))) - 1])
+
+    rows = []
+    for g, sub in df.groupby("lang"):
+        med = rank_med(sub["n_chars"].to_numpy())
+        mad = rank_med(np.abs(sub["n_chars"].to_numpy() - med))
+        rows.append((g, med, mad))
+    exp = pd.DataFrame(rows, columns=["lang", "median", "mad"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+    assert (got["mad"] < 1000).all()  # outliers didn't poison the scale
