@@ -262,7 +262,10 @@ def bench_queries() -> dict[str, float]:
     # (BASELINE.md; cold/turbo effects decay 20-40% between runs).  This also
     # credits deliberately amortized state (the persisted kNN shard index),
     # matching how the reference benchmarks against its persisted grid index.
-    iters = int(os.environ.get("GRAFT_QUERY_ITERS", "3"))
+    # min-over-2 per query (headline stays min-over-3): with 110 benched
+    # queries (2x round 4) a third pass would double-digit-minutes the gate
+    # run; the 2nd iteration already captures the 20-40% cold-decay band
+    iters = int(os.environ.get("GRAFT_QUERY_ITERS", "2"))
     for name in names:
         best = float("inf")
         for _ in range(iters):
