@@ -31,7 +31,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--pipeline",
-        choices=["raster", "index", "hybrid", "bounds", "zonal", "ingest", "stream-ingest", "rows", "dedup", "url-dedup", "export", "bm25-build", "dsir", "lm-filter", "semdedup"],
+        choices=["raster", "index", "hybrid", "bounds", "zonal", "ingest", "stream-ingest", "rows", "dedup", "url-dedup", "compact", "export", "bm25-build", "dsir", "lm-filter", "semdedup"],
         default="hybrid",
     )
     ap.add_argument("--input", required=True, help="pages parquet file/dir (or glob)")
@@ -162,6 +162,34 @@ def main() -> int:
         if owns_ray:
             ray.shutdown()
         return 0
+
+    if args.pipeline == "compact":
+        # table maintenance (the OPTIMIZE/compaction pass): rewrite an input
+        # directory's many small parquet files into ~partition-size groups of
+        # row-count-verified larger files.  Resumable: each output partition
+        # is a pure function of its input-file group (the lineage contract),
+        # so a rerun skips verified partitions.  Content is preserved
+        # row-for-row (no shuffle, no re-sort — read order within a group).
+        def build_compact(files):
+            # one output file per partition group: --partition-size IS the
+            # compaction factor (N small inputs -> 1 larger output)
+            return ray.data.read_parquet(files).repartition(1)
+
+        parts = partition_files(paths, args.partition_size)
+        res = run_resumable(parts, build_compact, args.out)
+        import pyarrow.parquet as pq
+
+        rows_in = sum(pq.read_metadata(f).num_rows for f in paths)
+        outs = sorted(glob.glob(os.path.join(args.out, "part-*", "*.parquet")))
+        rows_out = sum(pq.read_metadata(f).num_rows for f in outs)
+        ok = rows_in == rows_out
+        print(json.dumps(res | {
+            "files_in": len(paths), "files_out": len(outs),
+            "rows_in": rows_in, "rows_out": rows_out, "verified": ok,
+        }))
+        if owns_ray:
+            ray.shutdown()
+        return 0 if ok else 1
 
     if args.pipeline == "url-dedup":
         # resumable URL-level dedup over the pages table's REAL url column:

@@ -615,3 +615,37 @@ def test_group_mad_matches_rank_rule_brute(ray_session):
     exp = pd.DataFrame(rows, columns=["lang", "median", "mad"])
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
     assert (got["mad"] < 1000).all()  # outliers didn't poison the scale
+
+
+def test_run_job_compact_preserves_content(ray_session, tmp_path, monkeypatch):
+    """Compaction rewrites many small files into few, row-for-row equal;
+    a rerun skips verified partitions (resume contract)."""
+    import sys
+
+    import pyarrow.parquet as pq
+
+    import scripts.run_job as RJ
+    from rasterflow.sources.fixtures import pages_batch
+
+    ind = tmp_path / "pages"
+    ind.mkdir()
+    for i in range(12):  # 12 tiny files
+        pq.write_table(pages_batch(np.arange(i * 100, (i + 1) * 100)), ind / f"f{i:02d}.parquet")
+    argv = ["run_job.py", "--pipeline", "compact", "--input", str(ind),
+            "--out", str(tmp_path / "o"), "--partition-size", "6"]
+    monkeypatch.setattr(sys, "argv", argv)
+    assert RJ.main() == 0
+    import glob as g
+
+    outs = sorted(g.glob(str(tmp_path / "o" / "part-*" / "*.parquet")))
+    assert 0 < len(outs) < 12  # fewer, larger files
+    got = pd.concat([pd.read_parquet(f) for f in outs]).sort_values("url").reset_index(drop=True)
+    exp = pd.concat(
+        [pd.read_parquet(ind / f"f{i:02d}.parquet") for i in range(12)]
+    ).sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # rerun: all partitions verified-skip, content unchanged
+    monkeypatch.setattr(sys, "argv", argv)
+    assert RJ.main() == 0
+    outs2 = sorted(g.glob(str(tmp_path / "o" / "part-*" / "*.parquet")))
+    assert outs2 == outs
