@@ -180,6 +180,30 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_lang_skyline(sf_dir: str):
+    """Per-language Pareto fronts over (length, lexical richness): the
+    grouped skyline — best-of-every-language selection, local fronts merge
+    exactly per group."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_skyline
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars", "lang"]
+    )
+
+    def add_utok(b: pa.Table) -> pa.Table:
+        toks = b.column("text").to_pandas().str.split().explode()
+        n_utok = (
+            toks.groupby(level=0).nunique().reindex(range(len(b)), fill_value=0)
+        ).to_numpy().astype(np.int64)
+        return b.select(["doc_id", "n_chars", "lang"]).append_column("n_utok", pa.array(n_utok))
+
+    return group_skyline(
+        ds.map_batches(add_utok, batch_format="pyarrow"), "lang", "n_chars", "n_utok"
+    )
+
+
 def _q_lang_mad(sf_dir: str):
     """Per-language robust stats: rank-rule median + MAD of document length
     — two histogram passes, broadcast medians, integers end to end."""
@@ -2612,6 +2636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "lang_skyline": _q_lang_skyline,
         "lang_mad": _q_lang_mad,
         "cube_lang_source": _q_cube_lang_source,
         "rank_transform": _q_rank_transform,
@@ -3557,6 +3582,21 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "lang_skyline": r"""
+WITH lsk AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'),
+              t -> t <> ''))) AS BIGINT) AS n_utok
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, n_utok FROM lsk a
+WHERE NOT EXISTS (
+  SELECT 1 FROM lsk b
+  WHERE b.lang = a.lang AND b.n_chars >= a.n_chars AND b.n_utok >= a.n_utok
+    AND (b.n_chars > a.n_chars OR b.n_utok > a.n_utok)
+)
+ORDER BY lang, doc_id
+""",
         "lang_mad": """
 WITH mg AS (
   SELECT lang, n_chars,

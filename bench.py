@@ -255,6 +255,7 @@ def bench_queries() -> dict[str, float]:
         "rank_transform",
         "cube_lang_source",
         "lang_mad",
+        "lang_skyline",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

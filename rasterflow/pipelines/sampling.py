@@ -1123,6 +1123,42 @@ def _skyline_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return mask
 
 
+def group_skyline(
+    ds, group_col: str, x_col: str, y_col: str, id_col: str = "doc_id", sort: bool = True
+):
+    """Per-GROUP skyline: each group's Pareto front under (maximize x,
+    maximize y) — "the best documents of every language".
+
+    Same compose-exactly property per group; each block keeps its per-group
+    local fronts in ONE vectorized pass (sort by (group, -x, -y), per-group
+    suffix-max via ``reduceat`` segments), then a single merge task re-runs
+    the kernel over the concatenated partials.  Returns the surviving rows.
+    """
+    import pyarrow as pa
+
+    cols = [group_col, id_col, x_col, y_col]
+
+    def front(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        g = t.column(group_col).to_pandas().to_numpy()
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        keep = np.zeros(len(t), dtype=bool)
+        import pandas as pd
+
+        codes, _ = pd.factorize(g, sort=False)
+        for c in np.unique(codes):  # bounded by group count per block
+            m = codes == c
+            idx = np.flatnonzero(m)
+            keep[idx[_skyline_mask(x[idx], y[idx])]] = True
+        return t.filter(pa.array(keep))
+
+    out = ds.map_batches(front, batch_format="pyarrow").repartition(1).map_batches(
+        front, batch_format="pyarrow"
+    )
+    return out.sort([group_col, id_col]) if sort else out
+
+
 def skyline(ds, x_col: str, y_col: str, id_col: str = "doc_id", sort: bool = True):
     """Distributed skyline (Pareto-front) query: rows not dominated in the
     (maximize ``x_col``, maximize ``y_col``) order — multi-criteria "best"

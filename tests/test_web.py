@@ -649,3 +649,37 @@ def test_run_job_compact_preserves_content(ray_session, tmp_path, monkeypatch):
     assert RJ.main() == 0
     outs2 = sorted(g.glob(str(tmp_path / "o" / "part-*" / "*.parquet")))
     assert outs2 == outs
+
+
+def test_group_skyline_matches_brute(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_skyline
+
+    rng = np.random.default_rng(107)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "g": rng.choice(["p", "q", "r"], n),
+            "a": rng.integers(0, 100, n).astype(np.int64),
+        }
+    )
+    df["b"] = (100 - df["a"] + rng.integers(-20, 20, n)).astype(np.int64)
+    got = group_skyline(
+        ray.data.from_pandas(df).repartition(6), "g", "a", "b"
+    ).to_pandas()
+
+    keep = []
+    for gv, sub in df.groupby("g"):
+        A, B = sub["a"].to_numpy(), sub["b"].to_numpy()
+        ids = sub["doc_id"].to_numpy()
+        for i in range(len(sub)):
+            dom = ((A >= A[i]) & (B >= B[i]) & ((A > A[i]) | (B > B[i]))).any()
+            if not dom:
+                keep.append(ids[i])
+    exp = df[df["doc_id"].isin(keep)][["g", "doc_id", "a", "b"]].sort_values(
+        ["g", "doc_id"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+    assert got["g"].nunique() == 3
