@@ -180,6 +180,18 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_lang_gini(sf_dir: str):
+    """Per-language length inequality: exact Gini numerator Σ|xi−xj| from
+    the value histogram via prefix sums (never O(n²)) — integers end to
+    end, hash-exact."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_gini
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return group_gini(ds, "n_chars", "lang")
+
+
 def _q_lang_skyline(sf_dir: str):
     """Per-language Pareto fronts over (length, lexical richness): the
     grouped skyline — best-of-every-language selection, local fronts merge
@@ -2636,6 +2648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "lang_gini": _q_lang_gini,
         "lang_skyline": _q_lang_skyline,
         "lang_mad": _q_lang_mad,
         "cube_lang_source": _q_cube_lang_source,
@@ -3582,6 +3595,17 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "lang_gini": """
+WITH ggp AS (
+  SELECT a.lang, sum(abs(a.n_chars - b.n_chars)) AS gnum
+  FROM documents a JOIN documents b ON a.lang = b.lang
+  GROUP BY a.lang
+),
+ggs AS (SELECT lang, count(*) AS n, sum(n_chars) AS sum_v FROM documents GROUP BY lang)
+SELECT ggs.lang, CAST(n AS BIGINT) AS n, CAST(sum_v AS BIGINT) AS sum_v,
+       CAST(gnum AS BIGINT) AS gini_num
+FROM ggs JOIN ggp USING (lang) ORDER BY ggs.lang
+""",
         "lang_skyline": r"""
 WITH lsk AS (
   SELECT doc_id, lang, n_chars,

@@ -256,6 +256,7 @@ def bench_queries() -> dict[str, float]:
         "cube_lang_source",
         "lang_mad",
         "lang_skyline",
+        "lang_gini",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

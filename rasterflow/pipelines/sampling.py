@@ -1294,3 +1294,62 @@ def group_mad(ds, col: str, group_col: str, sort: bool = True):
         )
     )
     return out.sort(group_col) if sort else out
+
+
+def group_gini(ds, col: str, group_col: str, sort: bool = True):
+    """Per-group inequality: the exact Gini NUMERATOR ``Σ_{i,j} |x_i - x_j|``
+    over all ordered pairs, plus n and Σx — the consumer divides
+    ``gini_num / (2 n² mean)`` for the coefficient.  Length/score
+    inequality is a corpus-health signal (is one domain hogging tokens?).
+
+    Integer-exact without touching pairs: from each group's value histogram
+    (the bounded-distinct contract), Σ|xi−xj| = 2·Σ_j c_j·(v_j·N_{<j} −
+    S_{<j}) with prefix counts/sums — one vectorized pass over the
+    COLLAPSED (group, value) table, never O(n²).  Only distinct pairs
+    shuffle.  Returns ``(group, n, sum_v, gini_num)``, all int64.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ..util import coalesce_small, grouped_aggregate
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                group_col: b.column(group_col).to_numpy(zero_copy_only=False),
+                "v": b.column(col).to_numpy(zero_copy_only=False),
+            }
+        )
+        vc = df.groupby([group_col, "v"], sort=False).size().rename("cnt").reset_index()
+        vc["cnt"] = vc["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    red = grouped_aggregate(
+        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 0.125),
+        [group_col, "v"],
+        {"cnt": ("cnt", "sum")},
+    )
+    pdf = red.to_pandas().sort_values([group_col, "v"]).reset_index(drop=True)
+    out_g, out_n, out_s, out_gn = [], [], [], []
+    for gval, sub in pdf.groupby(group_col, sort=True):
+        v = sub["v"].to_numpy().astype(np.int64)
+        c = sub["cnt"].to_numpy().astype(np.int64)
+        n_lt = np.concatenate(([0], np.cumsum(c)[:-1]))
+        s_lt = np.concatenate(([0], np.cumsum(c * v)[:-1]))
+        gnum = 2 * int(np.sum(c * (v * n_lt - s_lt)))
+        out_g.append(gval)
+        out_n.append(int(c.sum()))
+        out_s.append(int(np.sum(c * v)))
+        out_gn.append(gnum)
+    out = ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(out_g),
+                "n": pa.array(np.asarray(out_n, dtype=np.int64)),
+                "sum_v": pa.array(np.asarray(out_s, dtype=np.int64)),
+                "gini_num": pa.array(np.asarray(out_gn, dtype=np.int64)),
+            }
+        )
+    )
+    return out.sort(group_col) if sort else out

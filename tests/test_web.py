@@ -683,3 +683,30 @@ def test_group_skyline_matches_brute(ray_session):
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
     assert got["g"].nunique() == 3
+
+
+def test_group_gini_matches_pair_brute(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_gini
+
+    rng = np.random.default_rng(109)
+    n = 1200
+    df = pd.DataFrame(
+        {
+            "lang": rng.choice(["a", "b"], n),
+            "n_chars": rng.integers(0, 200, n).astype(np.int64),
+        }
+    )
+    got = group_gini(ray.data.from_pandas(df).repartition(5), "n_chars", "lang").to_pandas()
+    rows = []
+    for g, sub in df.groupby("lang"):
+        v = sub["n_chars"].to_numpy().astype(np.int64)
+        gnum = int(np.abs(v[:, None] - v[None, :]).sum())
+        rows.append((g, len(v), int(v.sum()), gnum))
+    exp = pd.DataFrame(rows, columns=["lang", "n", "sum_v", "gini_num"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+    # constant column -> zero inequality
+    cdf = pd.DataFrame({"lang": ["z"] * 50, "n_chars": [7] * 50})
+    z = group_gini(ray.data.from_pandas(cdf), "n_chars", "lang").to_pandas()
+    assert z["gini_num"].iloc[0] == 0
