@@ -180,6 +180,19 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_lang_rank(sf_dir: str):
+    """Within-language rank transform: each doc's strict below-count among
+    its own language — per-group percentile features, rows never shuffle."""
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_rank_transform
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return group_rank_transform(ds, "n_chars", "lang")
+
+
 def _q_lang_gini(sf_dir: str):
     """Per-language length inequality: exact Gini numerator Σ|xi−xj| from
     the value histogram via prefix sums (never O(n²)) — integers end to
@@ -2648,6 +2661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "lang_rank": _q_lang_rank,
         "lang_gini": _q_lang_gini,
         "lang_skyline": _q_lang_skyline,
         "lang_mad": _q_lang_mad,
@@ -3595,6 +3609,11 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "lang_rank": """
+SELECT doc_id, lang, n_chars,
+       CAST(RANK() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS BIGINT) AS rank_lt
+FROM documents ORDER BY doc_id
+""",
         "lang_gini": """
 WITH ggp AS (
   SELECT a.lang, sum(abs(a.n_chars - b.n_chars)) AS gnum

@@ -257,6 +257,7 @@ def bench_queries() -> dict[str, float]:
         "lang_mad",
         "lang_skyline",
         "lang_gini",
+        "lang_rank",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -1353,3 +1353,63 @@ def group_gini(ds, col: str, group_col: str, sort: bool = True):
         )
     )
     return out.sort(group_col) if sort else out
+
+
+def group_rank_transform(ds, col: str, group_col: str, id_col: str = "doc_id", sort: bool = True):
+    """Rank transform WITHIN groups: append ``rank_lt`` = count of same-group
+    rows with a strictly smaller value — per-language percentile features
+    (per-group thresholds without per-group jobs).
+
+    The (group, value) histogram collapses distributed (bounded-distinct
+    contract); the driver folds per-group sorted (values, cumulative-below)
+    tables, broadcast once; each batch gathers per group present in the
+    batch (loop over groups, vectorized within) — rows never shuffle.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from ..util import coalesce_small, grouped_aggregate
+
+    def hist(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                group_col: b.column(group_col).to_numpy(zero_copy_only=False),
+                "v": b.column(col).to_numpy(zero_copy_only=False),
+            }
+        )
+        vc = df.groupby([group_col, "v"], sort=False).size().rename("cnt").reset_index()
+        vc["cnt"] = vc["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    pdf = (
+        grouped_aggregate(
+            coalesce_small(ds.map_batches(hist, batch_format="pyarrow"), 0.125),
+            [group_col, "v"],
+            {"cnt": ("cnt", "sum")},
+        )
+        .to_pandas()
+        .sort_values([group_col, "v"])
+    )
+    tables = {
+        g: (
+            sub["v"].to_numpy(),
+            np.concatenate(([0], np.cumsum(sub["cnt"].to_numpy())[:-1])).astype(np.int64),
+        )
+        for g, sub in pdf.groupby(group_col, sort=False)
+    }
+    ref = ray.put(tables) if ray.is_initialized() else tables
+
+    def gather(b: pa.Table) -> pa.Table:
+        t = ray.get(ref) if not isinstance(ref, dict) else ref
+        g = b.column(group_col).to_pandas().to_numpy()
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        out = np.zeros(len(v), dtype=np.int64)
+        for gv in pd.unique(g):  # groups per batch, not rows
+            m = g == gv
+            vals, below = t[gv]
+            out[m] = below[np.searchsorted(vals, v[m])]
+        return b.select([id_col, group_col, col]).append_column("rank_lt", pa.array(out))
+
+    out = ds.map_batches(gather, batch_format="pyarrow")
+    return out.sort(id_col) if sort else out

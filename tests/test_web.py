@@ -710,3 +710,27 @@ def test_group_gini_matches_pair_brute(ray_session):
     cdf = pd.DataFrame({"lang": ["z"] * 50, "n_chars": [7] * 50})
     z = group_gini(ray.data.from_pandas(cdf), "n_chars", "lang").to_pandas()
     assert z["gini_num"].iloc[0] == 0
+
+
+def test_group_rank_transform_matches_brute(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.sampling import group_rank_transform
+
+    rng = np.random.default_rng(113)
+    n = 2200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.choice(["a", "b", "c"], n),
+            "n_chars": rng.integers(0, 60, n).astype(np.int64),  # tie-heavy
+        }
+    )
+    got = group_rank_transform(
+        ray.data.from_pandas(df).repartition(6), "n_chars", "lang"
+    ).to_pandas()
+    exp = np.empty(n, dtype=np.int64)
+    for g, sub in df.groupby("lang"):
+        v = sub["n_chars"].to_numpy()
+        exp[sub.index.to_numpy()] = np.array([(v < x).sum() for x in v])
+    assert (got.sort_values("doc_id")["rank_lt"].to_numpy() == exp).all()
