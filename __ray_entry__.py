@@ -180,6 +180,32 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_value_by_home(sf_dir: str):
+    """Geo-attribution rollup: total event value (half-away cents) per
+    user's HOME cell — home_cells composed with a broadcast user→cell map
+    and collapsed-cell partials."""
+    import ray.data
+
+    from rasterflow.pipelines.points import events_points
+    from rasterflow.pipelines.trajectory import value_by_home_cell
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return value_by_home_cell(
+        ev, events_points(sf_dir, columns=("event_id", "user_id")), ORACLE_GRID
+    )
+
+
+def _q_domain_dup_stats(sf_dir: str):
+    """Per-domain URL-duplication report (recrawl-waste dashboard): urls vs
+    distinct canonical urls per domain — only collapsed keys shuffle."""
+    import ray.data
+
+    from rasterflow.pipelines.web import domain_dup_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return domain_dup_stats(ds)
+
+
 def _q_lang_rank(sf_dir: str):
     """Within-language rank transform: each doc's strict below-count among
     its own language — per-group percentile features, rows never shuffle."""
@@ -2661,6 +2687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "value_by_home": _q_value_by_home,
+        "domain_dup_stats": _q_domain_dup_stats,
         "lang_rank": _q_lang_rank,
         "lang_gini": _q_lang_gini,
         "lang_skyline": _q_lang_skyline,
@@ -3609,6 +3637,37 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "value_by_home": f"""
+WITH {EVENTS_GEO_CTE.strip()},
+vhc AS (
+  SELECT user_id,
+         CAST(FLOOR((lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id,
+         count(*) AS n
+  FROM egeo GROUP BY user_id, cell_id
+),
+vhr AS (
+  SELECT user_id, cell_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, cell_id) AS rn
+  FROM vhc
+),
+vhs AS (SELECT user_id, cell_id FROM vhr WHERE rn = 1),
+vev AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT h.cell_id, count(*) AS n_events, CAST(sum(e.cents) AS BIGINT) AS cents
+FROM vev e JOIN vhs h USING (user_id)
+GROUP BY h.cell_id ORDER BY h.cell_id
+""",
+        "domain_dup_stats": f"""
+WITH {_URL_CANON_CTES},
+ddd AS (
+  SELECT regexp_replace(host, '^.*?([^.]+\\.[^.]+)$', '\\1') AS domain, canon
+  FROM ucanon
+)
+SELECT domain, count(*) AS n_urls, count(DISTINCT canon) AS n_canon
+FROM ddd GROUP BY domain ORDER BY domain
+""",
         "lang_rank": """
 SELECT doc_id, lang, n_chars,
        CAST(RANK() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS BIGINT) AS rank_lt

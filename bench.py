@@ -258,6 +258,8 @@ def bench_queries() -> dict[str, float]:
         "lang_skyline",
         "lang_gini",
         "lang_rank",
+        "domain_dup_stats",
+        "value_by_home",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -249,6 +249,52 @@ def home_cells(
     return top_k_per_group(agg, key, "n", 1, id_col="cell_id")
 
 
+def value_by_home_cell(
+    events_ds,
+    points_ds,
+    grid: Grid,
+    value_col: str = "value",
+    key: str = "user_id",
+    sort: bool = True,
+):
+    """Revenue-by-home-area: total event value (fixed-point cents) and event
+    count attributed to each user's HOME cell — the geo-attribution rollup
+    (composition: :func:`home_cells` → broadcast user→cell map → streaming
+    gather + collapsed-cell partials; the value rows never shuffle raw).
+
+    ``events_ds`` carries (user, value); ``points_ds`` the geocoded events
+    for the home derivation.  Cents use the half-away rule shared with the
+    SQL ``round()`` (windows._cents_half_away) — integer-exact sums.
+    """
+    import ray
+
+    from .windows import _cents_half_away
+
+    home = home_cells(points_ds, grid, key=key).to_pandas()
+    m = dict(zip(home[key], home["cell_id"]))
+    ref = ray.put(m) if ray.is_initialized() else m
+
+    def partial(b: pa.Table) -> pa.Table:
+        mm = ray.get(ref) if not isinstance(ref, dict) else ref
+        u = b.column(key).to_pandas()
+        cents = _cents_half_away(b.column(value_col).to_numpy(zero_copy_only=False))
+        cell = u.map(mm)
+        ok = cell.notna().to_numpy()
+        df = pd.DataFrame({"cell_id": cell.to_numpy()[ok].astype(np.int64), "cents": cents[ok]})
+        out = df.groupby("cell_id", as_index=False).agg(
+            n_events=("cents", "size"), cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ..util import coalesce_small, grouped_aggregate
+
+    partials = coalesce_small(events_ds.map_batches(partial, batch_format="pyarrow"), 0.25)
+    out = grouped_aggregate(
+        partials, "cell_id", {"n_events": ("n_events", "sum"), "cents": ("cents", "sum")}
+    )
+    return out.sort("cell_id") if sort else out
+
+
 def od_matrix(
     events_ds,
     grid: Grid,

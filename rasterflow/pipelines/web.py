@@ -156,6 +156,32 @@ def domain_of(batch: pa.Table, canon_col: str = "canon", out_col: str = "domain"
     return batch.append_column(out_col, dom)
 
 
+def domain_dup_stats(ds, id_col: str = "doc_id", sort: bool = True):
+    """Per-domain URL-duplication report: ``(domain, n_urls, n_canon)`` —
+    how much of each domain's crawl collapses under canonicalization (the
+    recrawl-waste dashboard).  Composition: canonicalize → collapse to
+    distinct (domain, canon) with URL counts → per-domain fold.  Only
+    collapsed keys shuffle."""
+    import pandas as pd
+
+    withd = add_urls_and_canon(ds, id_col).map_batches(domain_of, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(["domain", "canon"]).to_pandas()
+        out = df.groupby(["domain", "canon"], as_index=False, sort=False).size()
+        return pa.Table.from_pandas(out.rename(columns={"size": "n"}), preserve_index=False)
+
+    per_canon = grouped_aggregate(
+        coalesce_small(withd.map_batches(partial, batch_format="pyarrow"), 0.25),
+        ["domain", "canon"],
+        {"n": ("n", "sum")},
+    )
+    out = grouped_aggregate(
+        per_canon, "domain", {"n_urls": ("n", "sum"), "n_canon": ("canon", "count")}
+    )
+    return out.sort("domain") if sort else out
+
+
 def domain_quality_gate(
     ds,
     min_docs: int = 1,

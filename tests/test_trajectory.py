@@ -213,3 +213,34 @@ def test_copresence_pairs_matches_pandas(ray_session):
     )
     assert len(exp) > 20
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_value_by_home_cell_matches_pandas(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.trajectory import value_by_home_cell
+    from rasterflow.pipelines.windows import _cents_half_away
+
+    df = _events(n=1500, users=15, seed=47)
+    rng = np.random.default_rng(48)
+    df["value"] = rng.uniform(0.0, 50.0, len(df))
+    pts = ray.data.from_pandas(df[["event_id", "user_id", "x", "y"]]).repartition(4)
+    ev = ray.data.from_pandas(df[["user_id", "value"]]).repartition(3)
+    got = value_by_home_cell(ev, pts, GRID).to_pandas()
+
+    lin, valid = GRID.locate_linear(df["x"].to_numpy(), df["y"].to_numpy())
+    cc = pd.DataFrame({"user_id": df["user_id"], "cell_id": lin})[valid]
+    cnt = cc.groupby(["user_id", "cell_id"], as_index=False).size()
+    cnt = cnt.sort_values(["size", "cell_id"], ascending=[False, True], kind="stable")
+    home = cnt.groupby("user_id", sort=False).head(1).set_index("user_id")["cell_id"]
+    ref = pd.DataFrame(
+        {"cell_id": df["user_id"].map(home), "cents": _cents_half_away(df["value"].to_numpy())}
+    ).dropna()
+    exp = ref.groupby("cell_id", as_index=False).agg(
+        n_events=("cents", "size"), cents=("cents", "sum")
+    )
+    exp["cell_id"] = exp["cell_id"].astype(np.int64)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.sort_values("cell_id").reset_index(drop=True),
+        check_dtype=False,
+    )
