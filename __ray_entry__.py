@@ -180,6 +180,18 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_domain_trend(sf_dir: str):
+    """Trending domains: early/late-half crawl counts per domain +
+    emerging/declining/persistent labels — hotspot_evolution's plan on the
+    domain key.  Integer counts + CASE label, hash-exact."""
+    import ray.data
+
+    from rasterflow.pipelines.web import domain_trend
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return domain_trend(ds, min_count=3)
+
+
 def _q_value_by_home(sf_dir: str):
     """Geo-attribution rollup: total event value (half-away cents) per
     user's HOME cell — home_cells composed with a broadcast user→cell map
@@ -2687,6 +2699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "domain_trend": _q_domain_trend,
         "value_by_home": _q_value_by_home,
         "domain_dup_stats": _q_domain_dup_stats,
         "lang_rank": _q_lang_rank,
@@ -3637,6 +3650,23 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "domain_trend": f"""
+WITH {_URL_CANON_CTES},
+dtd AS (
+  SELECT doc_id, regexp_replace(host, '^.*?([^.]+\\.[^.]+)$', '\\1') AS domain
+  FROM ucanon
+),
+dtc2 AS (
+  SELECT domain,
+         count(*) FILTER (((doc_id * 137) % 126144000) // 15768000 < 4) AS n_early,
+         count(*) FILTER (((doc_id * 137) % 126144000) // 15768000 >= 4) AS n_late
+  FROM dtd GROUP BY domain
+)
+SELECT domain, CAST(n_early AS BIGINT) AS n_early, CAST(n_late AS BIGINT) AS n_late,
+       CASE WHEN n_early >= 3 AND n_late >= 3 THEN 'persistent'
+            WHEN n_late >= 3 THEN 'emerging' ELSE 'declining' END AS status
+FROM dtc2 WHERE n_early >= 3 OR n_late >= 3 ORDER BY domain
+""",
         "value_by_home": f"""
 WITH {EVENTS_GEO_CTE.strip()},
 vhc AS (

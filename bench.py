@@ -260,6 +260,7 @@ def bench_queries() -> dict[str, float]:
         "lang_rank",
         "domain_dup_stats",
         "value_by_home",
+        "domain_trend",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -182,6 +182,66 @@ def domain_dup_stats(ds, id_col: str = "doc_id", sort: bool = True):
     return out.sort("domain") if sort else out
 
 
+def domain_trend(
+    ds,
+    id_col: str = "doc_id",
+    buckets: int = 8,
+    min_count: int = 10,
+    sort: bool = True,
+):
+    """Trending domains: early/late-half crawl counts per domain with an
+    emerging/declining/persistent label — :func:`zonal.hotspot_evolution`'s
+    plan on the DOMAIN key instead of the cell key (what's growing in the
+    crawl).  Crawl timestamps are the pages-fixture plane ``(id·137) %
+    TS_SPAN``; integer counts + a CASE label, hash-exact.  Per-batch
+    (domain, half) collapse → one collapsed-key exchange → row-local label.
+    """
+    import pandas as pd
+
+    from ..sources.fixtures import TS_SPAN
+
+    if TS_SPAN % buckets:
+        raise ValueError("buckets must divide TS_SPAN")
+    w = TS_SPAN // buckets
+    half = buckets // 2
+    withd = add_urls_and_canon(ds, id_col).map_batches(domain_of, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        late = (((ids * 137) % TS_SPAN) // w) >= half
+        df = pd.DataFrame({"domain": b.column("domain").to_pandas(), "late": late.astype(np.int64)})
+        out = df.groupby("domain", as_index=False).agg(
+            n_late=("late", "sum"), n=("late", "size")
+        )
+        out["n_early"] = out["n"] - out["n_late"]
+        return pa.Table.from_pandas(out[["domain", "n_early", "n_late"]], preserve_index=False)
+
+    agg = grouped_aggregate(
+        coalesce_small(withd.map_batches(partial, batch_format="pyarrow"), 0.25),
+        "domain",
+        {"n_early": ("n_early", "sum"), "n_late": ("n_late", "sum")},
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        ne = t.column("n_early").to_numpy(zero_copy_only=False)
+        nl = t.column("n_late").to_numpy(zero_copy_only=False)
+        hot_e = ne >= min_count
+        hot_l = nl >= min_count
+        keep = hot_e | hot_l
+        status = np.where(hot_e & hot_l, "persistent", np.where(hot_l, "emerging", "declining"))
+        return pa.table(
+            {
+                "domain": t.column("domain").filter(pa.array(keep)),
+                "n_early": pa.array(ne[keep]),
+                "n_late": pa.array(nl[keep]),
+                "status": pa.array(status[keep].tolist(), type=pa.string()),
+            }
+        )
+
+    out = agg.map_batches(classify, batch_format="pyarrow")
+    return out.sort("domain") if sort else out
+
+
 def domain_quality_gate(
     ds,
     min_docs: int = 1,

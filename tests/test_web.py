@@ -734,3 +734,38 @@ def test_group_rank_transform_matches_brute(ray_session):
         v = sub["n_chars"].to_numpy()
         exp[sub.index.to_numpy()] = np.array([(v < x).sum() for x in v])
     assert (got.sort_values("doc_id")["rank_lt"].to_numpy() == exp).all()
+
+
+def test_domain_trend_matches_brute(ray_session):
+    import ray.data
+
+    from rasterflow.pipelines.web import domain_trend
+    from rasterflow.sources.fixtures import TS_SPAN
+
+    n = 1600
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+    got = domain_trend(
+        ray.data.from_pandas(df).repartition(5), min_count=5
+    ).to_pandas()
+
+    w = TS_SPAN // 8
+    late = (((df["doc_id"] * 137) % TS_SPAN) // w) >= 4
+    dom = "site" + ((df["doc_id"] // 4) % 50).astype(str) + ".example"
+    ref = pd.DataFrame({"domain": dom, "late": late.astype(int)})
+    agg = ref.groupby("domain").agg(n=("late", "size"), n_late=("late", "sum"))
+    agg["n_early"] = agg["n"] - agg["n_late"]
+    agg = agg[(agg["n_early"] >= 5) | (agg["n_late"] >= 5)]
+    status = np.where(
+        (agg["n_early"] >= 5) & (agg["n_late"] >= 5),
+        "persistent",
+        np.where(agg["n_late"] >= 5, "emerging", "declining"),
+    )
+    exp = pd.DataFrame(
+        {
+            "domain": agg.index.to_numpy(),
+            "n_early": agg["n_early"].to_numpy(),
+            "n_late": agg["n_late"].to_numpy(),
+            "status": status,
+        }
+    ).sort_values("domain").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
