@@ -180,6 +180,39 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank_fixed(pairs, iters=5)
 
 
+def _q_source_profile(sf_dir: str):
+    """Per-source spatial footprint — the generic group_spatial_profile on
+    its third key plane (lang → user → source); raw points never shuffle."""
+    from rasterflow.pipelines.zonal import group_spatial_profile
+
+    return group_spatial_profile(
+        documents_points(sf_dir, columns=("doc_id", "source")), ORACLE_GRID, "source"
+    )
+
+
+def _q_events_dow(sf_dir: str):
+    """Weekday activity histogram: events per day-of-week (0=Thu epoch
+    anchor arithmetic, pure ints) — the temporal-profile reporting query."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype("int64")
+        dow = (us // 86_400_000_000 + 4) % 7  # 1970-01-01 was a Thursday
+        uniq, cnt = np.unique(dow, return_counts=True)
+        return pa.table({"dow": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
+
+    from rasterflow.util import coalesce_small, grouped_aggregate
+
+    out = grouped_aggregate(
+        coalesce_small(ds.map_batches(fn, batch_format="pyarrow"), 0.25),
+        "dow",
+        {"n": ("n", "sum")},
+    )
+    return out.sort("dow")
+
+
 def _q_domain_trend(sf_dir: str):
     """Trending domains: early/late-half crawl counts per domain +
     emerging/declining/persistent labels — hotspot_evolution's plan on the
@@ -2699,6 +2732,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "source_profile": _q_source_profile,
+        "events_dow": _q_events_dow,
         "domain_trend": _q_domain_trend,
         "value_by_home": _q_value_by_home,
         "domain_dup_stats": _q_domain_dup_stats,
@@ -3650,6 +3685,22 @@ def oracle_sql() -> dict[str, str]:
     ) + " END"
     mix_in = ", ".join(f"'{s}'" for s in MIX_WEIGHTS)
     return {
+        "source_profile": f"""
+WITH {GEO_CTE.strip()},
+spc AS (
+  SELECT d.source, g.lon, g.lat,
+         CAST(FLOOR((g.lat - ({MIN_LAT!r})) / 0.5) AS BIGINT) * {nx}
+         + CAST(FLOOR((g.lon - ({MIN_LON!r})) / 0.5) AS BIGINT) AS cell_id
+  FROM geo g JOIN documents d USING (doc_id)
+)
+SELECT source, count(*) AS n_points, count(DISTINCT cell_id) AS n_cells,
+       min(lon) AS min_x, max(lon) AS max_x, min(lat) AS min_y, max(lat) AS max_y
+FROM spc GROUP BY source ORDER BY source
+""",
+        "events_dow": """
+SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, count(*) AS n
+FROM events GROUP BY dow ORDER BY dow
+""",
         "domain_trend": f"""
 WITH {_URL_CANON_CTES},
 dtd AS (

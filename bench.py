@@ -261,6 +261,8 @@ def bench_queries() -> dict[str, float]:
         "domain_dup_stats",
         "value_by_home",
         "domain_trend",
+        "source_profile",
+        "events_dow",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
