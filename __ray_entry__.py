@@ -213,6 +213,38 @@ def _q_events_dow(sf_dir: str):
     return out.sort("dow")
 
 
+def _q_events_punchcard(sf_dir: str):
+    """Punch-card heatmap: events per (weekday, hour) cell — the classic
+    temporal-profile matrix; pure epoch integer arithmetic, collapsed
+    (dow, hour) partials."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype("int64")
+        dow = (us // 86_400_000_000 + 4) % 7
+        hour = (us // 3_600_000_000) % 24
+        key = dow * 24 + hour
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "dow": pa.array(uniq // 24),
+                "hour": pa.array(uniq % 24),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from rasterflow.util import coalesce_small, grouped_aggregate
+
+    out = grouped_aggregate(
+        coalesce_small(ds.map_batches(fn, batch_format="pyarrow"), 0.25),
+        ["dow", "hour"],
+        {"n": ("n", "sum")},
+    )
+    return out.sort(["dow", "hour"])
+
+
 def _q_domain_trend(sf_dir: str):
     """Trending domains: early/late-half crawl counts per domain +
     emerging/declining/persistent labels — hotspot_evolution's plan on the
@@ -2732,6 +2764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampled, then the long-green remainder.
     return {
         # -- round-5 additions (newest first) --
+        "events_punchcard": _q_events_punchcard,
         "source_profile": _q_source_profile,
         "events_dow": _q_events_dow,
         "domain_trend": _q_domain_trend,
@@ -3696,6 +3729,12 @@ spc AS (
 SELECT source, count(*) AS n_points, count(DISTINCT cell_id) AS n_cells,
        min(lon) AS min_x, max(lon) AS max_x, min(lat) AS min_y, max(lat) AS max_y
 FROM spc GROUP BY source ORDER BY source
+""",
+        "events_punchcard": """
+SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+       (epoch_us(ts) // 3600000000) % 24 AS hour,
+       count(*) AS n
+FROM events GROUP BY dow, hour ORDER BY dow, hour
 """,
         "events_dow": """
 SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, count(*) AS n

@@ -263,6 +263,7 @@ def bench_queries() -> dict[str, float]:
         "domain_trend",
         "source_profile",
         "events_dow",
+        "events_punchcard",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
